@@ -1,0 +1,202 @@
+"""SCD2 (slowly-changing-dimension type 2) operators.
+
+This is the live heart of the reference flow: CDC events are merged
+into ``products_catalog_history`` with ``valid_from`` / ``valid_until``
+/ ``Is_current`` columns (reference semantics: README.md:43-49 insert
+route, README.md:102-123 update route; SCD2 stamping Jolt specs at
+nifi/templates/final_template.xml:5286-5315 and :2402-2419; the expire
+UPDATE at final_template.xml:4646-4797).
+
+The reference implements the merge as two racing per-event JDBC writes
+and has three documented bugs (README.md:186-195; SURVEY.md §2.8):
+a second update to a key corrupts history, and expire/insert race.
+We fix all three *by construction*: the merge is a single deterministic
+DataFrame transformation — within a batch, versions are chained by a
+window ``lead()``; the previously-current row is expired with the
+batch's first change timestamp; expire-then-insert is one plan, so
+there is nothing to race.
+
+Scale notes (100 TB design point):
+- ``scd2_build`` is one shuffle on the business key (window). No other
+  shuffle: the SCD2 stamping is pure map-side.
+- ``scd2_apply`` touches the huge history table with ONE broadcast-hash
+  join against the (small) per-key first-change summary of the incoming
+  micro-batch — history is never shuffled. The new-version chaining is
+  a window over the batch only.
+- Store the history table partitioned by ``is_current`` (sinks.py) so
+  the ``Is_current='Y'`` lookup (the reference's hand-written pushdown,
+  final_template.xml:1439) becomes partition pruning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SCD2_COLS = ("valid_from", "valid_until", "is_current")
+
+
+def _as_list(cols: str | Sequence[str]) -> list[str]:
+    return [cols] if isinstance(cols, str) else list(cols)
+
+
+def scd2_build(
+    changes: DataFrame,
+    key_cols: str | Sequence[str],
+    ts_col: str,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Build a full SCD2 history from a change stream (batch formulation).
+
+    Every input row is one version of the entity identified by
+    ``key_cols``, effective at ``ts_col``. Output adds the three SCD2
+    columns with half-open validity intervals
+    (``valid_until[i] = valid_from[i+1]``, FIXTURES.md F2 invariants).
+
+    ``order_cols`` break ties for equal timestamps (e.g. the CDC
+    sequence id, FlowFile attr ``cdc.sequence.id`` in the reference) so
+    the result is deterministic.
+
+    One shuffle: the window partition on the key. At 100 TB this is the
+    unavoidable shuffle of any per-key versioning; AQE handles skewed
+    keys.
+    """
+    keys = _as_list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).asc() for c in [ts_col, *order_cols]]
+    )
+    nxt = F.lead(F.col(ts_col)).over(w)
+    return (
+        changes.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_until", nxt)
+        .withColumn(
+            "is_current", F.when(nxt.isNull(), F.lit("Y")).otherwise(F.lit("N"))
+        )
+    )
+
+
+def scd2_stamp_new(changes: DataFrame, ts_col: str | None = None) -> DataFrame:
+    """Stamp incoming rows as new current versions.
+
+    Mirrors the insert-route Jolt ``default`` spec "Add SCD2 columns"
+    (final_template.xml:5286-5315): ``valid_from = now`` (the reference
+    writes epoch millis, ``${now():toNumber()}``, final_template.xml:5291),
+    ``valid_until = NULL``, ``is_current = 'Y'``. We use the event time
+    when given (deterministic), else processing time like the reference.
+    Also fixes the reference's ``valid_unitl`` typo (final_template.xml:2547)
+    by implementing the documented intent.
+    """
+    vf = F.col(ts_col) if ts_col else F.current_timestamp()
+    return (
+        changes.withColumn("valid_from", vf)
+        .withColumn("valid_until", F.lit(None).cast("timestamp"))
+        .withColumn("is_current", F.lit("Y"))
+    )
+
+
+def scd2_expire(history: DataFrame, until_ts=None) -> DataFrame:
+    """Expire rows: the update-route ``modify-overwrite-beta`` spec
+    "update the required fields" (final_template.xml:2402-2419):
+    ``valid_until = now`` (formatted string in the reference,
+    final_template.xml:2408 — we keep TimestampType), ``Is_current='N'``.
+    """
+    until = F.current_timestamp() if until_ts is None else until_ts
+    return history.withColumn("valid_until", until).withColumn(
+        "is_current", F.lit("N")
+    )
+
+
+def scd2_apply(
+    history: DataFrame,
+    changes: DataFrame,
+    key_cols: str | Sequence[str],
+    ts_col: str,
+    order_cols: Sequence[str] = (),
+    broadcast_changes: bool = True,
+) -> DataFrame:
+    """Merge a batch of changes into an existing SCD2 history.
+
+    Deterministic replacement for the reference's racing Task 1 (insert
+    new current row) + Task 2 (lookup + expire old row) on the update
+    route (SURVEY.md §3.3), with the multi-update-per-key bug fixed:
+
+    1. versions within the batch are chained per key (window ``lead``);
+    2. the previously-current history row of each touched key is
+       expired with the key's FIRST change timestamp in the batch —
+       only that row, unlike the reference's UPDATE keyed on ProductID
+       alone (final_template.xml:4736, README.md:186);
+    3. untouched rows pass through unchanged.
+
+    ``broadcast_changes=True`` broadcasts the per-key first-change
+    summary (one row per touched key) so the history table — the huge
+    side at scale — is never shuffled. Set False if a single batch
+    touches more keys than fit in a broadcast; Catalyst then picks a
+    shuffle join and AQE re-plans at runtime.
+    """
+    keys = _as_list(key_cols)
+
+    first_change = changes.groupBy(*keys).agg(F.min(ts_col).alias("__first_change_ts"))
+    if broadcast_changes:
+        first_change = F.broadcast(first_change)
+
+    is_hit = F.col("__first_change_ts").isNotNull() & (F.col("is_current") == "Y")
+    updated_history = (
+        history.join(first_change, on=keys, how="left")
+        .withColumn(
+            "valid_until",
+            F.when(is_hit, F.col("__first_change_ts")).otherwise(F.col("valid_until")),
+        )
+        .withColumn(
+            "is_current", F.when(is_hit, F.lit("N")).otherwise(F.col("is_current"))
+        )
+        .drop("__first_change_ts")
+    )
+
+    new_versions = scd2_build(changes, keys, ts_col, order_cols).select(
+        *updated_history.columns
+    )
+    return updated_history.unionByName(new_versions)
+
+
+def scd2_current(history: DataFrame) -> DataFrame:
+    """The reference's lookup dimension: ``(SELECT * FROM …history WHERE
+    Is_current='Y') AS current`` (final_template.xml:1439). Plain filter —
+    Catalyst pushes it to the scan / prunes the ``is_current`` partition.
+    """
+    return history.filter(F.col("is_current") == "Y")
+
+
+def scd2_invariants(
+    history: DataFrame, key_cols: str | Sequence[str]
+) -> DataFrame:
+    """SCD2 invariant violations as rows (empty result == healthy).
+
+    Checks (FIXTURES.md F2, README.md:129):
+    - at most one current row per key;
+    - current rows have ``valid_until IS NULL``;
+    - consecutive versions chain: ``valid_until[i] = valid_from[i+1]``.
+    """
+    keys = _as_list(key_cols)
+    cur = (
+        history.filter(F.col("is_current") == "Y")
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_current"))
+        .filter(F.col("n_current") > 1)
+        .select(*keys, F.lit("multiple_current_rows").alias("violation"))
+    )
+    open_expired = (
+        history.filter((F.col("is_current") == "Y") & F.col("valid_until").isNotNull())
+        .select(*keys, F.lit("current_row_has_valid_until").alias("violation"))
+    )
+    w = Window.partitionBy(*keys).orderBy("valid_from")
+    chain = (
+        history.withColumn("__next_from", F.lead("valid_from").over(w))
+        .filter(
+            F.col("__next_from").isNotNull()
+            & (F.col("valid_until") != F.col("__next_from"))
+        )
+        .select(*keys, F.lit("broken_interval_chain").alias("violation"))
+    )
+    return cur.unionByName(open_expired).unionByName(chain)

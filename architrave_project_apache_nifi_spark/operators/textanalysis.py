@@ -1,0 +1,101 @@
+"""Text analysis operators (driver-mandated extension, SURVEY.md §2.9):
+language ID, quality scoring, token counting, document fingerprinting.
+
+All pure Column expressions (codegen-friendly, no UDFs); every formula
+is deliberately ANSI-SQL-expressible so the DuckDB oracle can replicate
+it exactly (queries.py pairs each with its oracle SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokens
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+# Order matters: ties resolve to the earlier language.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "is", "in"),
+    "es": ("el", "la", "de", "y", "que", "los", "un"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "de", "un", "est"),
+}
+
+EN_STOPWORDS = LANG_STOPWORDS["en"]
+
+FINGERPRINT_MOD = 1_000_000_007
+FINGERPRINT_BASE = 31
+
+
+def token_count(text: Column) -> Column:
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def _stop_hits(text: Column, words: tuple[str, ...]) -> Column:
+    toks = tokens(text)
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def language_scores(text: Column) -> dict[str, Column]:
+    """Stopword-hit count per candidate language."""
+    return {lang: _stop_hits(text, words) for lang, words in LANG_STOPWORDS.items()}
+
+
+def language_id(text: Column) -> Column:
+    """Argmax of stopword hits; 'und' (undetermined) when all zero.
+    First language in table order wins ties — deterministic, and the
+    same CASE cascade is emitted in the oracle SQL."""
+    scores = language_scores(text)
+    langs = list(scores)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    out = F.lit("und")
+    for lang in reversed(langs):
+        out = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-doc quality features + composite score.
+
+    score = 0.4·min(n_tokens/100,1) + 0.3·type_token_ratio
+          + 0.3·stopword_ratio-capped — a simple, monotone, fully
+    SQL-portable stand-in for perplexity-style quality filters."""
+    t = tokens(F.col(text_col))
+    n_tok = F.size(t)
+    n_distinct = F.size(F.array_distinct(t))
+    stop_hits = _stop_hits(F.col(text_col), EN_STOPWORDS)
+    ttr = n_distinct.cast("double") / n_tok
+    stop_ratio = stop_hits.cast("double") / n_tok
+    score = (
+        F.lit(0.4) * F.least(n_tok.cast("double") / 100.0, F.lit(1.0))
+        + F.lit(0.3) * ttr
+        + F.lit(0.3) * F.least(stop_ratio * 4.0, F.lit(1.0))
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        F.round(ttr, 6).alias("type_token_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Polynomial rolling hash over characters:
+    ``fp = fold(chars, (acc, c) -> (acc*31 + ascii(c)) mod 1e9+7)``.
+    Stays in bigint range (acc < 1e9, ·31 + 127 < 2^35); identical
+    arithmetic is expressible in DuckDB ``list_reduce`` — exact oracle
+    parity, unlike xxhash/md5-based prints."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(text)),
+        lambda i: F.ascii(F.substring(text, i, F.lit(1))),
+    )
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * FINGERPRINT_BASE + c) % FINGERPRINT_MOD,
+    )

@@ -1,0 +1,64 @@
+"""Assertions over physical plans.
+
+The reference's only "optimizations" are hand-written (the prefiltered
+lookup subquery, final_template.xml:1439). Ours come from Catalyst —
+these helpers let tests PROVE pushdown/broadcast/codegen happened
+instead of assuming it (the 100 TB contract: a scan that reads all
+columns for a 2-column projection is wrong).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def assert_pushed_filter(df: DataFrame, fragment: str) -> None:
+    plan = formatted_plan(df)
+    if "PushedFilters" not in plan or fragment not in plan:
+        raise AssertionError(
+            f"expected pushed filter containing {fragment!r}; plan:\n{plan}"
+        )
+
+
+def assert_pruned_columns(df: DataFrame, max_read_cols: int) -> None:
+    """Every parquet scan in the plan must read at most N columns."""
+    plan = formatted_plan(df)
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            schema = line.split("ReadSchema:", 1)[1]
+            ncols = schema.count(":")
+            if ncols > max_read_cols:
+                raise AssertionError(
+                    f"scan reads {ncols} columns (> {max_read_cols}): {line.strip()}"
+                )
+
+
+def assert_broadcast_join(df: DataFrame) -> None:
+    plan = formatted_plan(df)
+    if "BroadcastHashJoin" not in plan and "BroadcastNestedLoopJoin" not in plan:
+        raise AssertionError(f"expected a broadcast join; plan:\n{plan}")
+
+
+def assert_no_shuffle(df: DataFrame) -> None:
+    plan = formatted_plan(df)
+    if "Exchange hashpartitioning" in plan:
+        raise AssertionError(f"unexpected shuffle exchange; plan:\n{plan}")
+
+
+def count_shuffles(df: DataFrame) -> int:
+    plan = formatted_plan(df)
+    return sum(
+        1
+        for line in plan.splitlines()
+        if line.strip().startswith("Exchange") and "SinglePartition" not in line
+    )
+
+
+def has_wholestage_codegen(df: DataFrame) -> bool:
+    return "WholeStageCodegen" in formatted_plan(df)

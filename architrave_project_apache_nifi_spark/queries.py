@@ -1,0 +1,873 @@
+"""Query registry: every implemented operator (SURVEY.md §2) exposed as
+a (spark_fn, duckdb_oracle_sql) pair for the driver's correctness gate.
+
+Contract (repo __spark_entry__.py): each fn takes (spark, sf_dir) and
+returns a DataFrame; the oracle is ANSI SQL DuckDB runs over the same
+parquet tables (views: region nation customer supplier part orders
+lineitem events documents embeddings). Column names are aliased
+identically on both sides; aggregates over doubles are rounded so the
+value-hash is stable across summation orders.
+
+Queries without an oracle (approximate / Python-batch ops) get the
+driver's rows-only check and a pytest property test instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import dedup as dd
+from .operators import multimodal as mm
+from .operators import similarity as sim
+from .operators import textanalysis as ta
+from .operators.lookup import lookup_matched, lookup_record, lookup_unmatched
+from .operators.routing import route_on_predicates
+from .operators.scd2 import scd2_apply, scd2_build, scd2_current, scd2_invariants
+from .tables import load
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# SCD2 core (reference live semantics; final_template.xml SCD2 flow)
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+SELECT user_id, event_id, value,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_until,
+       CASE WHEN lead(ts) OVER w IS NULL THEN 'Y' ELSE 'N' END AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register("scd2_build", _SCD2_ORACLE)
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full SCD2 history from the change stream (reference README.md:102-123
+    semantics, window-lead formulation)."""
+    events = load(spark, "events", sf_dir)
+    return scd2_build(events, "user_id", "ts", ("event_id",)).select(
+        "user_id", "event_id", "value", "valid_from", "valid_until", "is_current"
+    )
+
+
+_MERGE_CUTOFF = "2024-01-16 00:00:00"
+
+
+@register("scd2_merge_incremental", _SCD2_ORACLE)
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scd2_apply(history(first half), batch(second half)) must equal the
+    full rebuild — the merge-equals-rebuild property that proves the
+    reference's Bugs 1-3 (README.md:186-195) are fixed."""
+    events = load(spark, "events", sf_dir)
+    first = events.filter(F.col("ts") < F.lit(_MERGE_CUTOFF).cast("timestamp"))
+    second = events.filter(F.col("ts") >= F.lit(_MERGE_CUTOFF).cast("timestamp"))
+    hist = scd2_build(first, "user_id", "ts", ("event_id",))
+    merged = scd2_apply(hist, second, "user_id", "ts", ("event_id",))
+    return merged.select(
+        "user_id", "event_id", "value", "valid_from", "valid_until", "is_current"
+    )
+
+
+@register(
+    "scd2_current_rows",
+    """
+SELECT user_id, value AS current_value, ts AS valid_from
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+""",
+)
+def q_scd2_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's lookup dimension: WHERE Is_current='Y'
+    (final_template.xml:1439)."""
+    events = load(spark, "events", sf_dir)
+    hist = scd2_build(events, "user_id", "ts", ("event_id",))
+    return scd2_current(hist).select(
+        "user_id", F.col("value").alias("current_value"), "valid_from"
+    )
+
+
+@register(
+    "scd2_invariant_violations",
+    """
+SELECT CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS VARCHAR) AS violation
+WHERE FALSE
+""",
+)
+def q_scd2_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 health check (FIXTURES.md F2 invariants) — must be empty."""
+    events = load(spark, "events", sf_dir)
+    hist = scd2_build(events, "user_id", "ts", ("event_id",))
+    return scd2_invariants(hist, "user_id")
+
+
+# ---------------------------------------------------------------------------
+# Routing / filter / union (RouteOnAttribute, final_template.xml:1890-1983)
+# ---------------------------------------------------------------------------
+
+_EVENT_COLS = "event_id, ts, user_id, event_type, value, props"
+
+
+@register(
+    "route_insert", f"SELECT {_EVENT_COLS} FROM events WHERE event_type = 'signup'"
+)
+def q_route_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'insert' route: ${cdc.event.type:equals('insert')} analog."""
+    events = load(spark, "events", sf_dir)
+    routes = route_on_predicates(
+        events,
+        {
+            "insert": F.col("event_type") == "signup",
+            "update": F.col("event_type").isin("click", "view", "purchase"),
+        },
+    )
+    return routes["insert"]
+
+
+@register(
+    "route_update",
+    f"SELECT {_EVENT_COLS} FROM events WHERE event_type IN ('click','view','purchase')",
+)
+def q_route_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'update' route; 'error' events drop (reference drops
+    delete/begin/commit/ddl, README.md:28)."""
+    events = load(spark, "events", sf_dir)
+    return events.filter(F.col("event_type").isin("click", "view", "purchase"))
+
+
+@register(
+    "union_routes",
+    f"SELECT {_EVENT_COLS} FROM events WHERE event_type = 'signup' "
+    f"UNION ALL SELECT {_EVENT_COLS} FROM events "
+    "WHERE event_type IN ('click','view','purchase')",
+)
+def q_union_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both routes land in one history table (FT connections 450+506)."""
+    events = load(spark, "events", sf_dir)
+    ins = events.filter(F.col("event_type") == "signup")
+    upd = events.filter(F.col("event_type").isin("click", "view", "purchase"))
+    return ins.unionByName(upd)
+
+
+# ---------------------------------------------------------------------------
+# Flatten / scalar / JSON (Jolt shift + EL, SURVEY.md §2.3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "flatten_envelope",
+    "SELECT event_id, event_type, user_id, value FROM events",
+)
+def q_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the CDC envelope shape: pack columns into
+    array<struct<name,value>> then pivot back with map_from_entries —
+    the Jolt shift (final_template.xml:5161-5173)."""
+    from .functions.jolt import shift_pivot
+
+    events = load(spark, "events", sf_dir)
+    envel = events.select(
+        "event_id",
+        F.array(
+            F.struct(F.lit("event_type").alias("name"), F.col("event_type").cast("string").alias("value")),
+            F.struct(F.lit("user_id").alias("name"), F.col("user_id").cast("string").alias("value")),
+            F.struct(F.lit("value").alias("name"), F.col("value").cast("string").alias("value")),
+        ).alias("columns"),
+    )
+    return shift_pivot(
+        envel,
+        "columns",
+        ["event_type", "user_id", "value"],
+        keep=["event_id"],
+        types={"user_id": "bigint", "value": "double"},
+    )
+
+
+@register(
+    "el_functions",
+    """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+       epoch_ms(ts) AS ts_ms,
+       event_type = 'signup' AS is_insert
+FROM events
+""",
+)
+def q_el(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's EL function floor: format / toNumber / equals
+    (final_template.xml:2408, 2538, 1950)."""
+    from .functions import el
+
+    events = load(spark, "events", sf_dir)
+    return events.select(
+        "event_id",
+        el.format(F.col("ts")).alias("ts_str"),
+        el.to_number(F.col("ts")).alias("ts_ms"),
+        el.equals(F.col("event_type"), "signup").alias("is_insert"),
+    )
+
+
+@register(
+    "json_extract_props",
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val FROM events",
+)
+def q_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONPath over in-flight JSON (EvaluateJsonPath analog,
+    final_template.xml:1988-2086)."""
+    events = load(spark, "events", sf_dir)
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+    )
+
+
+@register(
+    "regex_extract",
+    """
+SELECT doc_id, regexp_extract(text, '(the [a-z]+)', 1) AS the_phrase FROM documents
+""",
+)
+def q_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExtractText regex capture (the ("Price":.*) extract,
+    final_template.xml:3769)."""
+    docs = load(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id", F.regexp_extract("text", "(the [a-z]+)", 1).alias("the_phrase")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lookup join (LookupRecord, the reference's only join, SURVEY.md §2.4)
+# ---------------------------------------------------------------------------
+
+_DIM_FILTER = "c_acctbal > 0"  # the Is_current='Y' prefilter analog
+
+
+@register(
+    "lookup_join",
+    f"""
+SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_acctbal
+FROM orders o LEFT JOIN (SELECT * FROM customer WHERE {_DIM_FILTER}) c
+  ON o.o_custkey = c.c_custkey
+""",
+)
+def q_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left equi-join against a prefiltered dimension, matched row
+    embedded at /resultSet then projected (final_template.xml:3311-3320)."""
+    orders = load(spark, "orders", sf_dir)
+    customer = load(spark, "customer", sf_dir).withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    joined = lookup_record(
+        orders, customer, "o_custkey", prefilter=F.col("c_acctbal") > 0
+    )
+    return joined.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("resultSet.c_name").alias("c_name"),
+        F.col("resultSet.c_acctbal").alias("c_acctbal"),
+    )
+
+
+@register(
+    "lookup_matched",
+    f"""
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE {_DIM_FILTER})
+""",
+)
+def q_lookup_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The matched route = left_semi (final_template.xml:3316)."""
+    orders = load(spark, "orders", sf_dir)
+    customer = load(spark, "customer", sf_dir).withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    return lookup_matched(
+        orders, customer, "o_custkey", prefilter=F.col("c_acctbal") > 0
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register(
+    "lookup_unmatched",
+    f"""
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM customer c WHERE {_DIM_FILTER} AND c.c_custkey = o.o_custkey)
+""",
+)
+def q_lookup_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unmatched route = left_anti (V9's dropped path, SURVEY.md §2.6)."""
+    orders = load(spark, "orders", sf_dir)
+    customer = load(spark, "customer", sf_dir).withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    return lookup_unmatched(
+        orders, customer, "o_custkey", prefilter=F.col("c_acctbal") > 0
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# Aggregation / window / sort / distinct (engine floor, SURVEY.md §2.7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_events_by_type",
+    """
+SELECT event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       round(avg(value), 4) AS avg_value,
+       min(ts) AS first_ts, max(ts) AS last_ts
+FROM events GROUP BY event_type
+""",
+)
+def q_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, "events", sf_dir)
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+@register(
+    "windowed_event_counts",
+    """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+)
+def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch form of the streaming
+    window(); same plan shape as readStream + window + agg)."""
+    events = load(spark, "events", sf_dir)
+    return (
+        events.groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("day"), "event_type", "n_events", "sum_value")
+    )
+
+
+@register(
+    "window_latest_event_per_user",
+    """
+SELECT user_id, event_id, ts, value FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+""",
+)
+def q_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key argmax — the reference maintains this via the Is_current
+    flag protocol (README.md:118-123)."""
+    events = load(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "value")
+    )
+
+
+@register(
+    "topk_users_by_spend",
+    """
+SELECT user_id, round(sum(value), 2) AS total_spend
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id ORDER BY total_spend DESC, user_id LIMIT 10
+""",
+)
+def q_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, "events", sf_dir)
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 2).alias("total_spend"))
+        .orderBy(F.col("total_spend").desc(), F.col("user_id"))
+        .limit(10)
+    )
+
+
+@register("distinct_event_types", "SELECT DISTINCT event_type FROM events")
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, "events", sf_dir).select("event_type").distinct()
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style analytics (bench headliners; exercise pushdown/joins/aggs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-agg; the filter must reach the
+    parquet scan (plans.inspect asserts PushedFilters)."""
+    li = load(spark, "lineitem", sf_dir)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+SELECT o.o_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       o.o_orderdate
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+""",
+)
+def q_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → join → agg → top-k.
+    customer broadcasts (small dim); lineitem never shuffles twice."""
+    c = load(spark, "customer", sf_dir).filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    l = load(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("o_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n.n_name
+""",
+)
+def q_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join; dims broadcast, fact joined once."""
+    c = load(spark, "customer", sf_dir)
+    o = load(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = load(spark, "lineitem", sf_dir)
+    s = load(spark, "supplier", sf_dir)
+    n = load(spark, "nation", sf_dir)
+    r = load(spark, "region", sf_dir)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q6_revenue_change",
+    """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.02 AND 0.09
+  AND l_quantity < 25
+""",
+)
+def q_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure pushdown showcase — every predicate reaches
+    the parquet scan."""
+    li = load(spark, "lineitem", sf_dir)
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.09)
+        & (F.col("l_quantity") < 25)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (extension, SURVEY.md §2.9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_count",
+    """
+SELECT doc_id,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+FROM documents
+""",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id", ta.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+
+
+_STOP_SQL = "('the','a','of','and','to','is','in')"
+
+
+@register(
+    "text_quality",
+    f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents
+), f AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct_tokens,
+         len(list_filter(toks, x -> x IN {_STOP_SQL})) AS stop_hits
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_distinct_tokens AS BIGINT) AS n_distinct_tokens,
+       round(CAST(n_distinct_tokens AS DOUBLE) / n_tokens, 6) AS type_token_ratio,
+       round(CAST(stop_hits AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+       round(0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+           + 0.3 * (CAST(n_distinct_tokens AS DOUBLE) / n_tokens)
+           + 0.3 * least(CAST(stop_hits AS DOUBLE) / n_tokens * 4.0, 1.0), 6)
+         AS quality_score
+FROM f
+""",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    out = ta.quality_features(docs, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
+        "type_token_ratio",
+        "stopword_ratio",
+        "quality_score",
+    )
+
+
+def _langid_oracle() -> str:
+    scores = []
+    for lang, words in ta.LANG_STOPWORDS.items():
+        lst = ",".join(f"'{w}'" for w in words)
+        scores.append(
+            f"len(list_filter(toks, x -> x IN ({lst}))) AS s_{lang}"
+        )
+    langs = list(ta.LANG_STOPWORDS)
+    greatest = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = "CASE "
+    for l in langs:
+        case += f"WHEN {greatest} > 0 AND s_{l} = {greatest} THEN '{l}' "
+    case += "ELSE 'und' END"
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents
+), s AS (
+  SELECT doc_id, {", ".join(scores)} FROM t
+)
+SELECT doc_id, {case} AS lang_guess FROM s
+"""
+
+
+@register("text_langid", _langid_oracle())
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID (n-gram heuristic family)."""
+    docs = load(spark, "documents", sf_dir)
+    return docs.select("doc_id", ta.language_id(F.col("text")).alias("lang_guess"))
+
+
+@register(
+    "doc_fingerprint",
+    """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, length(text) + 1),
+                          i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+         (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+FROM documents
+""",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial hash — identical arithmetic both sides."""
+    docs = load(spark, "documents", sf_dir)
+    return docs.select("doc_id", ta.fingerprint(F.col("text")).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup (extension, SURVEY.md §2.9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY text
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    return dd.dedup_exact(docs, "text", "doc_id")
+
+
+_JACCARD_THRESHOLD = 0.2
+_SHINGLE_N = 2
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(t) < {_SHINGLE_N} THEN [array_to_string(t, ' ')]
+                ELSE list_transform(range(0, len(t) - {_SHINGLE_N} + 1),
+                                    i -> array_to_string(t[CAST(i+1 AS INT):CAST(i+{_SHINGLE_N} AS INT)], ' '))
+                END) AS sh
+  FROM toks
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= {_JACCARD_THRESHOLD}
+""",
+)
+def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-bigram Jaccard near-dup pairs."""
+    docs = load(spark, "documents", sf_dir)
+    return dd.ngram_jaccard_pairs(
+        docs, "doc_id", "text", _JACCARD_THRESHOLD, _SHINGLE_N
+    )
+
+
+@register("dedup_minhash_lsh", None)
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs (approximate — verified against exact
+    Jaccard in tests/test_dedup.py, no SQL oracle)."""
+    docs = load(spark, "documents", sf_dir)
+    return dd.minhash_lsh_candidates(docs, "doc_id", "text", 64, 16, _SHINGLE_N)
+
+
+@register("dedup_simhash_groups", None)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash bucket dedup (hash-function-specific — property-tested)."""
+    docs = load(spark, "documents", sf_dir)
+    return dd.simhash_dup_groups(docs, "doc_id", "text")
+
+
+_COSINE_THRESHOLD = 0.30
+
+
+@register(
+    "neardup_cosine",
+    f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {_COSINE_THRESHOLD}
+""",
+)
+def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (at scale the
+    block is an LSH bucket — same plan shape)."""
+    emb = load(spark, "embeddings", sf_dir)
+    return dd.embedding_neardup_pairs(
+        emb, "vec_id", "embedding", _COSINE_THRESHOLD, block_col="label"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (extension, SURVEY.md §2.9)
+# ---------------------------------------------------------------------------
+
+_N_QUERIES = 5
+_TOP_K = 10
+
+
+@register(
+    "ann_topk_bruteforce",
+    f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_N_QUERIES}
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(e.v, q.qv)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS c
+  FROM e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, round(c, 6) AS cosine, CAST(rnk AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rnk
+      FROM scored)
+WHERE rnk <= {_TOP_K}
+""",
+)
+def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for a fixed query set."""
+    emb = load(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.brute_force_topk(emb, queries, k=_TOP_K)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@register("ann_topk_lsh", None)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (recall vs brute force measured in
+    tests/test_similarity.py — no SQL oracle for the approximate path)."""
+    emb = load(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.lsh_topk(emb, queries, k=_TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal (extension, SURVEY.md §2.9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_meta",
+    """
+SELECT doc_id, 'text/plain' AS mime,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+FROM documents
+""",
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column + typed metadata struct (payload bytes stay
+    prunable in their own column)."""
+    docs = load(spark, "documents", sf_dir)
+    media = mm.attach_media(docs, "text", "text/plain")
+    return media.select(
+        "doc_id",
+        F.col("media.meta.mime").alias("mime"),
+        F.col("media.meta.byte_len").alias("byte_len"),
+    )
+
+
+@register("multimodal_decode_stub", None)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode plumbing over mapInPandas (codec stubbed —
+    deterministic fake features; tests pin the contract)."""
+    docs = load(spark, "documents", sf_dir)
+    media = mm.attach_media(docs, "text", "text/plain")
+    return mm.decode_stub_features(media)
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+    }

@@ -1,0 +1,58 @@
+"""SparkSession construction tuned for this engine.
+
+The reference runs a single NiFi node with per-event, disk-queued
+processing (SURVEY.md §4.1). We instead target Spark's whole-stage
+codegen + AQE. These settings are what we'd ship on a real cluster;
+only ``master`` differs between local test runs and cluster deploys.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Conf applied everywhere (tests, bench, driver helpers). Values chosen
+# for the 100 TB design point and safe at local scale:
+#  - AQE on: runtime coalescing of shuffle partitions + skew-join
+#    splitting replaces hand-tuned partition counts.
+#  - shuffle.partitions is only the *initial* number under AQE.
+#  - UTC session timezone: deterministic timestamp semantics matching
+#    the parquet test data and the DuckDB oracle.
+#  - Arrow on: any pandas-UDF extension op gets batched transfer.
+ENGINE_CONF: dict[str, str] = {
+    # local[N] runs executors as threads inside the driver JVM, so the
+    # driver heap is the whole cluster's memory; 1g default OOMs at
+    # sf0.1 with 32 threads. Env-overridable for constrained hosts.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+    "spark.driver.maxResultSize": "4g",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+}
+
+
+def apply_engine_conf(builder: SparkSession.Builder) -> SparkSession.Builder:
+    for k, v in ENGINE_CONF.items():
+        builder = builder.config(k, v)
+    return builder
+
+
+def get_spark(app_name: str = "architrave-spark", master: str | None = None) -> SparkSession:
+    """Build (or reuse) a session with the engine conf applied.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    so the bench harness and ad-hoc runs share one code path.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    return apply_engine_conf(builder).getOrCreate()

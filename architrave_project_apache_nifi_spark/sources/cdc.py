@@ -1,0 +1,192 @@
+"""CDC envelope source — the reference's ``CaptureChangeMySQL``.
+
+Reference (nifi/templates/final_template.xml:4110-4382): streams MySQL
+binlog row events as JSON, one event per FlowFile, starting with a full
+snapshot (``retrieve-all-records=true``, FT:4321); begin/commit/DDL flow
+in-band (FT:4325-4331) and are dropped by the router; binlog position is
+kept in a DistributedMapCache (FT:1519).
+
+Spark-first mapping: a (file/Kafka) stream of envelope JSON parsed with
+``from_json`` against a pinned StructType (FIXTURES.md F3); the snapshot
+is the initial file listing; the binlog-position state is the streaming
+checkpoint. No custom DataSourceV2 needed — the envelope is plain JSON.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.jolt import shift_pivot
+
+# FIXTURES.md F3; column structs carry old values (`last_value`) on
+# update events — the reference's shift takes only `value` (new values).
+CDC_ENVELOPE_SCHEMA = StructType(
+    [
+        StructField("type", StringType()),
+        StructField("timestamp", LongType()),  # epoch millis
+        StructField("database", StringType()),
+        StructField("table_name", StringType()),
+        StructField("cdc_sequence_id", LongType()),
+        StructField(
+            "columns",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("id", IntegerType()),
+                        StructField("name", StringType()),
+                        StructField("value", StringType()),
+                        StructField("last_value", StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+# products_catalog columns + types (FIXTURES.md F1,
+# mysql/sql-scripts/03-create-table.sql.txt:1-16).
+PRODUCT_KEYS = (
+    "ProductID",
+    "ProductName",
+    "ProductBrand",
+    "Target_Gender",
+    "Price",
+    "Currency",
+    "Description",
+    "Launch_date",
+    "Loaded_at",
+)
+PRODUCT_TYPES = {
+    "ProductID": "int",
+    "Price": "double",
+    "Launch_date": "date",
+    "Loaded_at": "date",
+}
+
+
+def parse_envelope(raw: DataFrame, json_col: str = "value") -> DataFrame:
+    """Parse a column of envelope JSON strings into typed columns."""
+    return raw.select(
+        F.from_json(F.col(json_col), CDC_ENVELOPE_SCHEMA).alias("e")
+    ).select("e.*")
+
+
+def flatten_events(events: DataFrame, keep: tuple[str, ...] = ("type", "timestamp", "cdc_sequence_id")) -> DataFrame:
+    """The reference's first transform: pivot the ``columns`` array into
+    flat, typed product columns ("Transform to Flat JSON",
+    final_template.xml:5161-5173). The Jolt ``[#1]`` 1-element array
+    wrap has no equivalent here (it is immediately unwrapped by the
+    ``$.[0]`` EvaluateJsonPath downstream, final_template.xml:3434-3435).
+    """
+    return shift_pivot(
+        events,
+        "columns",
+        PRODUCT_KEYS,
+        keep=keep,
+        types=PRODUCT_TYPES,
+    )
+
+
+def read_envelope_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-based CDC stream: each line one envelope JSON (the
+    reference's 1-event-per-FlowFile, final_template.xml:4298-4301).
+    Offset tracking (which files are consumed) lives in the query's
+    checkpoint — the DistributedMapCache equivalent."""
+    reader = spark.readStream.schema(CDC_ENVELOPE_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)
+
+
+def read_envelope_batch(spark: SparkSession, path: str) -> DataFrame:
+    """Batch read of the same files (the snapshot path)."""
+    return spark.read.schema(CDC_ENVELOPE_SCHEMA).json(path)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic fixture generator — FIXTURES.md F4 golden scenario
+# (the reference's manual README.md:271-307 test as data).
+# ---------------------------------------------------------------------------
+
+_SEED_ROWS = {
+    9012: dict(ProductName="Casual Shirts", ProductBrand="Ralph Lauren",
+               Target_Gender="Male", Price=106.0, Currency="Euro",
+               Description="comfy", Launch_date="2023-07-17"),
+    9013: dict(ProductName="Tees", ProductBrand="Gucci",
+               Target_Gender="Female", Price=77.0, Currency="Euro",
+               Description="", Launch_date="2023-07-15"),
+    9014: dict(ProductName="fancy pants", ProductBrand="Hugo Boss",
+               Target_Gender="Female", Price=56.0, Currency="Euro",
+               Description="Created with love", Launch_date="2023-08-01"),
+}
+
+
+def _envelope(seq: int, etype: str, pid: int | None, price: float | None = None) -> dict:
+    base = dt.datetime(2023, 9, 27, 10, 0, 0)
+    ts = int((base + dt.timedelta(minutes=seq)).timestamp() * 1000)
+    cols = None
+    if pid is not None:
+        row = dict(_SEED_ROWS[pid])
+        if price is not None:
+            row["Price"] = price
+        row["ProductID"] = pid
+        row["Loaded_at"] = "2023-09-27"
+        cols = [
+            {"id": i + 1, "name": k, "value": None if v is None else str(v)}
+            for i, (k, v) in enumerate(row.items())
+        ]
+    return {
+        "type": etype,
+        "timestamp": ts,
+        "database": "sample_data",
+        "table_name": "products_catalog",
+        "cdc_sequence_id": seq,
+        "columns": cols,
+    }
+
+
+def golden_scenario_events() -> list[dict]:
+    """FIXTURES.md F4: 2 snapshot inserts, 1 insert, 2 updates to the
+    same key (exercises the reference's multiple-update bug,
+    README.md:186), 1 delete + begin/commit to be dropped."""
+    return [
+        _envelope(1, "insert", 9012),
+        _envelope(2, "insert", 9013),
+        _envelope(3, "insert", 9014),            # price 56.00
+        _envelope(4, "update", 9014, price=100.0),
+        _envelope(5, "update", 9014, price=120.0),
+        _envelope(6, "delete", 9013),
+        _envelope(7, "begin", None),
+        _envelope(8, "commit", None),
+    ]
+
+
+def write_golden_scenario(path: str, files: int = 1) -> list[str]:
+    """Write the F4 events as JSON-lines file(s) for batch/stream reads.
+    ``files>1`` splits events across files (stream micro-batch replay)."""
+    os.makedirs(path, exist_ok=True)
+    events = golden_scenario_events()
+    out = []
+    per = max(1, (len(events) + files - 1) // files)
+    for i in range(0, len(events), per):
+        fp = os.path.join(path, f"events_{i:04d}.json")
+        with open(fp, "w") as fh:
+            for e in events[i : i + per]:
+                fh.write(json.dumps(e) + "\n")
+        out.append(fp)
+    return out

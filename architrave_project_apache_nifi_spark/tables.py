@@ -1,0 +1,56 @@
+"""Access to the driver-provided parquet tables (TESTDATA.md).
+
+The reference flows JSON over JDBC endpoints; our engine's batch inputs
+are columnar parquet (scans get predicate pushdown + column pruning for
+free — see plans/inspect.py assertions).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+# events.ts is parquet TIMESTAMP(NANOS), which Spark refuses by default;
+# we read it as long and truncate to micros — matching DuckDB, whose
+# TIMESTAMP is micros, so the oracle sees identical values.
+_NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; one of {TABLES}")
+    nano_cols = _NANO_TS_COLS.get(name, ())
+    if nano_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c in nano_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {name: load(spark, name, sf_dir) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every table as a temp view so ``spark.sql`` works too."""
+    for name, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

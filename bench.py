@@ -1,0 +1,77 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized through the noop sink (full plan executes,
+nothing written, no driver collect bottleneck) — measuring the engine,
+not the transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from architrave_project_apache_nifi_spark.queries import REGISTRY  # noqa: E402
+from architrave_project_apache_nifi_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "scd2_build",
+    "scd2_merge_incremental",
+    "scd2_current_rows",
+    "lookup_join",
+    "agg_events_by_type",
+    "window_latest_event_per_user",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_change",
+    "text_quality",
+    "doc_fingerprint",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "neardup_cosine",
+    "ann_topk_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + file listing once so per-query numbers measure the
+    # plans, not first-touch overheads.
+    REGISTRY["agg_events_by_type"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

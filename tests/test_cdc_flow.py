@@ -1,0 +1,106 @@
+"""CDC envelope parse → route → flatten → SCD2 path (reference DAG,
+SURVEY.md §2.6) in batch, plus the lookup join and column aligner."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, IntegerType, StringType, StructField, StructType
+
+from architrave_project_apache_nifi_spark.operators.align import align_to_schema
+from architrave_project_apache_nifi_spark.operators.lookup import (
+    lookup_matched,
+    lookup_record,
+    lookup_unmatched,
+)
+from architrave_project_apache_nifi_spark.operators.routing import route_cdc_events
+from architrave_project_apache_nifi_spark.operators.scd2 import scd2_build, scd2_current
+from architrave_project_apache_nifi_spark.sources import cdc
+
+
+def _events_df(spark):
+    raw = spark.createDataFrame(
+        [(json.dumps(e),) for e in cdc.golden_scenario_events()], "value STRING"
+    )
+    return cdc.parse_envelope(raw)
+
+
+def test_parse_envelope_schema(spark):
+    df = _events_df(spark)
+    assert df.count() == 8
+    assert set(df.columns) == {
+        "type", "timestamp", "database", "table_name", "cdc_sequence_id", "columns",
+    }
+
+
+def test_route_drops_noninsert_nonupdate(spark):
+    routes = route_cdc_events(_events_df(spark))
+    assert set(routes) == {"insert", "update"}
+    assert routes["insert"].count() == 3
+    assert routes["update"].count() == 2
+    # delete/begin/commit dropped — reference has no route for them
+    total = routes["insert"].count() + routes["update"].count()
+    assert total == 5
+
+
+def test_flatten_pivots_and_types(spark):
+    routes = route_cdc_events(_events_df(spark))
+    flat = cdc.flatten_events(routes["insert"])
+    row = flat.filter(F.col("ProductID") == 9014).collect()[0]
+    assert row.Price == 56.0 and isinstance(row.Price, float)
+    assert row.ProductName == "fancy pants"
+    assert str(row.Launch_date) == "2023-08-01"
+
+
+def test_end_to_end_golden_scd2(spark):
+    """Full reference semantics on the F4 fixture: 5 history rows, 9014
+    with three chained versions (multi-update bug fixed)."""
+    events = _events_df(spark)
+    changes = (
+        cdc.flatten_events(events.filter(F.col("type").isin("insert", "update")))
+        .withColumn("change_ts", F.timestamp_millis(F.col("timestamp")))
+    )
+    hist = scd2_build(changes, "ProductID", "change_ts", ("cdc_sequence_id",))
+    assert hist.count() == 5
+    v9014 = hist.filter(F.col("ProductID") == 9014).orderBy("valid_from").collect()
+    assert [r.Price for r in v9014] == [56.0, 100.0, 120.0]
+    assert [r.is_current for r in v9014] == ["N", "N", "Y"]
+    assert v9014[0].valid_until == v9014[1].valid_from
+    assert v9014[1].valid_until == v9014[2].valid_from
+    cur = scd2_current(hist)
+    assert cur.count() == 3  # 9012, 9013, 9014
+
+
+def test_lookup_record_embeds_result_struct(spark):
+    stream = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k INT, v STRING")
+    dim = spark.createDataFrame(
+        [(1, "Y", 10.0), (2, "N", 20.0)], "k INT, is_current STRING, price DOUBLE"
+    )
+    out = lookup_record(
+        stream, dim, "k", prefilter=F.col("is_current") == "Y"
+    ).collect()
+    by_k = {r.k: r.resultSet for r in out}
+    assert by_k[1].price == 10.0          # matched, embedded whole
+    assert by_k[2] is None                # filtered out by Is_current='Y'
+    assert by_k[3] is None                # no row at all
+    assert lookup_matched(stream, dim, "k", F.col("is_current") == "Y").count() == 1
+    assert lookup_unmatched(stream, dim, "k", F.col("is_current") == "Y").count() == 2
+
+
+def test_align_to_schema_reconciles_case_and_extras(spark):
+    df = spark.createDataFrame([("1", "x", 5.0)], "productid STRING, EXTRA STRING, PRICE DOUBLE")
+    target = StructType(
+        [StructField("ProductID", IntegerType()), StructField("Price", DoubleType())]
+    )
+    out = align_to_schema(df, target)
+    assert out.columns == ["ProductID", "Price"]
+    row = out.collect()[0]
+    assert row.ProductID == 1 and row.Price == 5.0
+    # missing target column fails (Fail on Unmatched Columns)
+    target2 = StructType([StructField("Nope", StringType())])
+    try:
+        align_to_schema(df, target2)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass

@@ -1,0 +1,100 @@
+"""SCD2 core: golden scenario (FIXTURES.md F4), merge==rebuild property,
+invariants."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from architrave_project_apache_nifi_spark.tables import load
+from architrave_project_apache_nifi_spark.operators.scd2 import (
+    scd2_apply,
+    scd2_build,
+    scd2_current,
+    scd2_invariants,
+    scd2_stamp_new,
+)
+from tests.conftest import SF_DIR
+
+
+def _changes(spark):
+    rows = [
+        (9012, 106.0, dt.datetime(2023, 9, 27, 10, 1), 1),
+        (9013, 77.0, dt.datetime(2023, 9, 27, 10, 2), 2),
+        (9014, 56.0, dt.datetime(2023, 9, 27, 10, 3), 3),
+        (9014, 100.0, dt.datetime(2023, 9, 27, 10, 4), 4),
+        (9014, 120.0, dt.datetime(2023, 9, 27, 10, 5), 5),
+    ]
+    return spark.createDataFrame(
+        rows, "ProductID INT, Price DOUBLE, change_ts TIMESTAMP, seq LONG"
+    )
+
+
+def test_scd2_build_golden(spark):
+    hist = scd2_build(_changes(spark), "ProductID", "change_ts", ("seq",))
+    rows = {
+        (r.ProductID, r.Price): (r.valid_from, r.valid_until, r.is_current)
+        for r in hist.collect()
+    }
+    assert len(rows) == 5
+    # 9014: three chained versions, reference's multi-update bug fixed
+    t3, t4, t5 = (dt.datetime(2023, 9, 27, 10, m) for m in (3, 4, 5))
+    assert rows[(9014, 56.0)] == (t3, t4, "N")
+    assert rows[(9014, 100.0)] == (t4, t5, "N")
+    assert rows[(9014, 120.0)] == (t5, None, "Y")
+    assert rows[(9012, 106.0)][2] == "Y" and rows[(9012, 106.0)][1] is None
+
+
+def test_scd2_apply_equals_rebuild(spark):
+    """Merging the second half of a change stream into the history built
+    from the first half must equal building from the whole stream."""
+    changes = _changes(spark)
+    cutoff = dt.datetime(2023, 9, 27, 10, 3, 30)
+    first = changes.filter(F.col("change_ts") < cutoff)
+    second = changes.filter(F.col("change_ts") >= cutoff)
+
+    merged = scd2_apply(
+        scd2_build(first, "ProductID", "change_ts", ("seq",)),
+        second,
+        "ProductID",
+        "change_ts",
+        ("seq",),
+    )
+    rebuilt = scd2_build(changes, "ProductID", "change_ts", ("seq",))
+    key = lambda r: (r.ProductID, r.Price, r.valid_from, r.valid_until, r.is_current)
+    assert sorted(map(key, merged.collect())) == sorted(map(key, rebuilt.collect()))
+
+
+def test_scd2_apply_multiple_batches_invariants(spark):
+    """Apply three sequential batches; invariants must hold after each
+    (the reference corrupts history on the 2nd update, README.md:186)."""
+    changes = _changes(spark).orderBy("seq").collect()
+    hist = None
+    for row in changes:
+        batch = _changes(spark).filter(F.col("seq") == row.seq)
+        if hist is None:
+            hist = scd2_build(batch, "ProductID", "change_ts", ("seq",))
+        else:
+            hist = scd2_apply(hist, batch, "ProductID", "change_ts", ("seq",))
+        assert scd2_invariants(hist, "ProductID").count() == 0
+    cur = {r.ProductID: r.Price for r in scd2_current(hist).collect()}
+    assert cur == {9012: 106.0, 9013: 77.0, 9014: 120.0}
+
+
+def test_scd2_stamp_new_matches_reference_defaults(spark):
+    df = spark.createDataFrame([(1, 10.0)], "ProductID INT, Price DOUBLE")
+    out = scd2_stamp_new(df).collect()[0]
+    assert out.valid_until is None
+    assert out.is_current == "Y"
+    assert out.valid_from is not None
+
+
+def test_scd2_build_on_events_table(spark):
+    """Real testdata: version each user's event stream."""
+    events = load(spark, "events", SF_DIR)
+    hist = scd2_build(events, "user_id", "ts", ("event_id",))
+    assert hist.count() == events.count()
+    assert scd2_invariants(hist, "user_id").count() == 0
+    n_users = events.select("user_id").distinct().count()
+    assert scd2_current(hist).count() == n_users
