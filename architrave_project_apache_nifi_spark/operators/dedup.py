@@ -42,6 +42,36 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def _shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    """(``__id``, ``__shs``) with the deduped shingle array materialized
+    behind an exchange barrier.
+
+    Two deliberate cheap shuffles of row-sized data:
+    1. ``repartition()`` of the raw (id, text) rows — parquet scans of
+       few/small files yield few input splits, which would serialize the
+       CPU-heavy shingling onto a handful of cores;
+    2. ``repartition(__id)`` AFTER computing the array — an exchange is
+       a physical materialization point, so every downstream reference
+       to ``__shs`` reads a row field. Without it, Catalyst collapses
+       projections and generators re-evaluate the whole
+       split+slice+concat expression tree per exploded output row
+       (measured 36× blowup at sf0.1).
+    Both shuffles move one row per doc; at 100 TB that is noise next to
+    the pair-generation they feed. Partition counts are explicit
+    (cluster parallelism) — AQE's coalescer sizes partitions by BYTES
+    and would collapse these small-but-CPU-heavy stages onto one core."""
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
+    ).repartition(n_parts, F.col("__id"))
+    return base.select(
+        "__id",
+        F.array_distinct(shingles(F.col("__text"), shingle_n)).alias("__shs"),
+    ).repartition(n_parts, F.xxhash64(F.col("__id")))
+
+
 def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup: keep the smallest id per identical text. One hash
     aggregate; at scale pre-hash the text (``xxhash64``) so the shuffle
@@ -62,22 +92,19 @@ def minhash_signatures(
     """MinHash signature per document.
 
     ``xxhash64(shingle, seed_i)`` per hash function; ``min`` per doc =
-    the classic min-wise estimator. Implemented as explode(shingles) →
-    one grouped aggregation producing all ``num_hashes`` minima in a
-    single shuffle (partial aggregation map-side keeps shuffle volume
-    at one row per doc)."""
-    sh = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh")
-    ).dropDuplicates([id_col, "__sh"])
-    aggs = [
-        F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    sig = sh.groupBy(id_col).agg(*aggs)
-    return sig.select(
-        F.col(id_col),
-        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
+    the classic min-wise estimator, computed as a nested array transform
+    over the materialized shingle array (duplicate shingles cannot
+    change a min, so no per-doc dedup aggregation is needed). One row
+    in → one row out; the only shuffles are the row-sized barriers in
+    ``_shingle_sets``."""
+    shs = _shingle_sets(df, id_col, text_col, shingle_n)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(F.col("__shs"), lambda s: F.xxhash64(s, i))
+        ),
     )
+    return shs.select(F.col("__id").alias(id_col), sig.alias("signature"))
 
 
 def minhash_lsh_candidates(
@@ -90,26 +117,39 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH: docs agreeing on any
     full band of ``num_hashes/bands`` minhashes collide. Returns
-    distinct (id_a < id_b) pairs."""
+    distinct (id_a < id_b) pairs.
+
+    Band hashes are computed straight from the materialized shingle
+    array in ONE projection — each of the ``num_hashes`` minima is
+    evaluated exactly once per row (building them via an intermediate
+    ``signature`` column would let Catalyst inline that expression into
+    the per-band lambda, re-evaluating it per band — the measured 60×
+    regression). The band array is then materialized behind an exchange
+    barrier so the posexplode generator reads a row field."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    banded = sig.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
-                            lambda h: h.cast("string"),
-                        ),
-                    )
+    shs = _shingle_sets(df, id_col, text_col, shingle_n)
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sequence(b * rows_per_band, (b + 1) * rows_per_band - 1),
+                    lambda i: F.array_min(
+                        F.transform(F.col("__shs"), lambda s: F.xxhash64(s, i))
+                    ).cast("string"),
                 ),
             )
-        ).alias("band", "band_hash"),
+        ),
+    )
+    banded = (
+        shs.select(F.col("__id").alias(id_col), band_arr.alias("__bands"))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+        .select(
+            F.col(id_col),
+            F.posexplode(F.col("__bands")).alias("band", "band_hash"),
+        )
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -139,23 +179,33 @@ def ngram_jaccard_pairs(
     |A∩B| via shingle-equality self-join + count; |A∪B| = |A|+|B|−|A∩B|.
     At 100 TB this runs AFTER LSH candidate generation (pass the
     candidate pairs in and semi-join); standalone it is quadratic only
-    in docs sharing a shingle."""
-    sh = (
-        df.select(F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"))
-        .dropDuplicates([id_col, "sh"])
+    in docs sharing a shingle.
+
+    Shuffle budget: per-doc shingle sets are deduped map-side
+    (``array_distinct`` — no dropDuplicates shuffle), set sizes ride
+    along the exploded rows (no separate sizes aggregation or re-join),
+    and the self-join key is the 8-byte ``xxhash64`` of the shingle,
+    not the shingle string (2^-64 collision odds; cheaper shuffle +
+    compare). Net: ONE join + ONE pair aggregation on top of the
+    row-sized ``_shingle_sets`` barriers."""
+    sh = _shingle_sets(df, id_col, text_col, shingle_n).select(
+        "__id",
+        F.size("__shs").alias("__n"),
+        F.explode(F.transform(F.col("__shs"), lambda s: F.xxhash64(s))).alias("__sh"),
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        a.join(b, (F.col("a.__sh") == F.col("b.__sh")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.min("a.__n").alias("n_a"),
+            F.min("b.__n").alias("n_b"),
+        )
     )
     return (
-        common.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
-        .withColumn(
+        common.withColumn(
             "jaccard",
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
         )
@@ -168,8 +218,12 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     """SimHash fingerprint: per-token 64-bit hash, per-bit majority vote.
 
     Folds the token-hash list with ``aggregate``/``zip_with`` into a
-    64-dim vote vector — all inside codegen, one row per doc, no
-    shuffle beyond the final projection."""
+    64-dim vote vector — one row per doc. One explicit row-sized
+    repartition spreads the CPU-heavy fold across cores (small parquet
+    inputs arrive as a single split)."""
+    df = df.select(F.col(id_col), F.col(text_col)).repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
     tok_hashes = F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
     # One fold over the token hashes producing all 64 bit-votes at once
     # (shift amounts must be Python ints, so the bit loop is unrolled
@@ -217,34 +271,39 @@ def embedding_neardup_pairs(
     """Near-dup pairs by embedding cosine similarity.
 
     ``block_col`` bounds the pair space (compare only within a block —
-    a label, an LSH bucket from similarity.lsh_bucket, a shard). The
-    dot product is ``aggregate(zip_with(...))`` — JVM-side, left-to-right
-    deterministic order (reproducible doubles)."""
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    a label, an LSH bucket from similarity.lsh_bucket, a shard).
+
+    Dense pairwise vector math is the one place row-at-a-time Column
+    expressions lose badly, so each block is scored as ONE Arrow batch
+    via ``applyInPandas``: a float64 gram matrix (BLAS ``X @ X.T``),
+    upper triangle thresholded. One shuffle (the groupBy on the block
+    key); per-block cost is a single matmul. At 100 TB the blocks are
+    LSH buckets (bounded size), so every task stays O(bucket²·dim)
+    with vectorized arithmetic, never O(corpus²)."""
+    import numpy as np
+    import pandas as pd
+
+    blk = block_col if block_col is not None else "__blk"
     base = df.select(
-        F.col(id_col),
-        *( [F.col(block_col)] if block_col else [] ),
-        (v).alias("__v"),
-        norm.alias("__n"),
+        F.col(id_col).alias("__id"),
+        (F.col(block_col) if block_col else F.lit(0)).alias(blk),
+        F.col(vec_col).alias("__v"),
     )
-    a, b = base.alias("a"), base.alias("b")
-    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-    if block_col:
-        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-    dot = F.aggregate(
-        F.zip_with(F.col("a.__v"), F.col("b.__v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    sim = dot / (F.col("a.__n") * F.col("b.__n"))
-    return (
-        a.join(b, cond)
-        .withColumn("cosine", sim)
-        .filter(F.col("cosine") >= threshold)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.round("cosine", 6).alias("cosine"),
+
+    def gram(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__id")
+        ids = pdf["__id"].to_numpy()
+        X = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+        nrm = np.sqrt((X * X).sum(axis=1))
+        S = (X @ X.T) / np.outer(nrm, nrm)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = S[ia, ib] >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia[keep]],
+                "id_b": ids[ib[keep]],
+                "cosine": np.round(S[ia[keep], ib[keep]], 6),
+            }
         )
-    )
+
+    return base.groupBy(blk).applyInPandas(gram, "id_a long, id_b long, cosine double")

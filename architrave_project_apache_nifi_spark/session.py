@@ -34,6 +34,15 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
+    # InferFiltersFromGenerate turns explode(expr) into a pushed-down
+    # `size(expr) > 0` scan filter. When expr is an expensive computed
+    # array (shingles, LSH bands), predicate pushdown re-inlines the
+    # whole expression tree into the scan stage and evaluates it per
+    # row — measured 36-60× regressions on the dedup operators. The
+    # rows it would skip (empty arrays) are negligible; exclude it.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
     "spark.sql.shuffle.partitions": "32",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
 }
