@@ -8,8 +8,11 @@ their bucket (+ optional multi-probe neighbors), turning a full scan
 into a pruned one. Deterministic: projection vectors derive from a
 seeded hash, not runtime randomness.
 
-All vector math is ``aggregate``/``zip_with`` Column expressions —
-JVM-side; no Python in the scoring loop.
+Scoring paths: brute force uses Arrow-batched numpy (BLAS matmul per
+corpus partition — dense pairwise vector math is where row-at-a-time
+Column expressions lose); the LSH variant keeps ``aggregate``/
+``zip_with`` Column expressions to demonstrate the pure-JVM path on
+the pruned candidate set.
 """
 
 from __future__ import annotations
@@ -45,28 +48,60 @@ def brute_force_topk(
     query_id_col: str = "query_id",
     k: int = 10,
 ) -> DataFrame:
-    """Exact top-k by cosine: broadcast the (small) query set against the
-    corpus, score every pair, keep k per query via window row_number.
+    """Exact top-k by cosine: the query set (small — it is shipped to
+    every task) scores against each corpus partition as one Arrow batch
+    (numpy/BLAS matmul), each task keeps only its local top-k per query
+    under the GLOBAL total order (cosine desc, id asc — so the partial
+    top-k provably contains the global one), and a final window
+    row_number merges the ≤ k·n_queries·n_partitions survivors.
 
-    At 100 TB: corpus stays partitioned, queries broadcast — the scan is
-    embarrassingly parallel and the only shuffle is the per-query top-k
-    (tiny: k rows per partition after partial sort)."""
-    c = corpus.select(
-        F.col(id_col), _as_double(F.col(vec_col)).alias("__cv")
-    ).withColumn("__cn", l2_norm(F.col("__cv")))
-    q = queries.select(
-        F.col(query_id_col), _as_double(F.col(vec_col)).alias("__qv")
-    ).withColumn("__qn", l2_norm(F.col("__qv")))
-    scored = c.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col)).withColumn(
-        "cosine", dot(F.col("__cv"), F.col("__qv")) / (F.col("__cn") * F.col("__qn"))
+    At 100 TB: corpus stays partitioned, the scan is embarrassingly
+    parallel, and the only shuffle is the tiny survivor set."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    q_nrm = np.sqrt((Q * Q).sum(axis=1))
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            nrm = np.sqrt((X * X).sum(axis=1))
+            S = (X @ Q.T) / np.outer(nrm, q_nrm)
+            out_q, out_n, out_c = [], [], []
+            for j, qid in enumerate(q_ids):
+                mask = ids != qid
+                cand_ids, cand_s = ids[mask], S[mask, j]
+                # exact local total order: cosine desc, id asc
+                order = np.lexsort((cand_ids, -cand_s))[:k]
+                out_q.append(np.full(len(order), qid))
+                out_n.append(cand_ids[order])
+                out_c.append(cand_s[order])
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+
+    from ..tables import spread
+
+    scored = spread(corpus.select(id_col, vec_col), id_col).mapInPandas(
+        score, f"{query_id_col} long, neighbor_id long, cosine double"
     )
     w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(query_id_col, F.col(id_col).alias("neighbor_id"), "cosine", "rank")
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
     )
 
 

@@ -27,7 +27,7 @@ from .operators import textanalysis as ta
 from .operators.lookup import lookup_matched, lookup_record, lookup_unmatched
 from .operators.routing import route_on_predicates
 from .operators.scd2 import scd2_apply, scd2_build, scd2_current, scd2_invariants
-from .tables import load
+from .tables import load, spread
 
 
 @dataclass(frozen=True)
@@ -618,7 +618,7 @@ FROM f
 """,
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, "documents", sf_dir)
+    docs = spread(load(spark, "documents", sf_dir), "doc_id")
     out = ta.quality_features(docs, "text", "doc_id")
     return out.select(
         "doc_id",
@@ -656,7 +656,7 @@ SELECT doc_id, {case} AS lang_guess FROM s
 @register("text_langid", _langid_oracle())
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language ID (n-gram heuristic family)."""
-    docs = load(spark, "documents", sf_dir)
+    docs = spread(load(spark, "documents", sf_dir), "doc_id")
     return docs.select("doc_id", ta.language_id(F.col("text")).alias("lang_guess"))
 
 
@@ -674,7 +674,7 @@ FROM documents
 )
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling polynomial hash — identical arithmetic both sides."""
-    docs = load(spark, "documents", sf_dir)
+    docs = spread(load(spark, "documents", sf_dir), "doc_id")
     return docs.select("doc_id", ta.fingerprint(F.col("text")).alias("fp"))
 
 

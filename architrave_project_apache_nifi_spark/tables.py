@@ -46,6 +46,21 @@ def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFr
     return df
 
 
+def spread(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Repartition to full cluster parallelism before CPU-heavy map work.
+
+    Parquet inputs with few/small files arrive as few splits, which
+    serializes expensive per-row expressions (shingling, fingerprints,
+    vector math) onto a handful of cores. The explicit partition count
+    defeats AQE's byte-based coalescer, which would merge these
+    small-but-CPU-heavy partitions back onto one core. Costs one
+    row-preserving shuffle — noise next to the work it parallelizes."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if key_cols:
+        return df.repartition(n, *[F.col(c) for c in key_cols])
+    return df.repartition(n)
+
+
 def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     return {name: load(spark, name, sf_dir) for name in TABLES}
 
