@@ -1,0 +1,49 @@
+"""Tests for multimodal column plumbing (SURVEY.md §2.9): the schema /
+partitioning / Arrow-batch machinery is real; the codec is a
+deterministic stub (no image/audio libraries in this environment)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from architrave_project_apache_nifi_spark.operators import multimodal as mm
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, "binary-ish éÀ")],
+        "doc_id LONG, text STRING",
+    )
+
+
+def test_attach_media_schema_and_meta(spark):
+    out = mm.attach_media(_df(spark), "text", "text/plain")
+    field = dict(zip(out.schema.names, out.schema.fields))["media"]
+    sub = {f.name: f.dataType.simpleString() for f in field.dataType.fields}
+    assert sub["payload"] == "binary"
+    assert [f.name for f in field.dataType["meta"].dataType.fields] == [
+        "mime", "byte_len", "width", "height", "duration_ms",
+    ]
+    rows = {r.doc_id: r for r in out.select("doc_id", "media.*").collect()}
+    assert rows[1].meta.mime == "text/plain"
+    assert rows[1].meta.byte_len == len("hello world")
+    assert rows[2].meta.byte_len == 0
+    # utf-8 byte length, not char count
+    assert rows[3].meta.byte_len == len("binary-ish éÀ".encode())
+
+
+def test_decode_stub_deterministic_and_shaped(spark):
+    media = mm.attach_media(_df(spark), "text", "text/plain")
+    a = {r.doc_id: r for r in mm.decode_stub_features(media).collect()}
+    b = {r.doc_id: r for r in mm.decode_stub_features(media).collect()}
+    for doc_id in (1, 2, 3):
+        assert len(a[doc_id].feature) == 8
+        assert a[doc_id].feature == b[doc_id].feature  # deterministic
+        assert all(0.0 <= v < 1.0 for v in a[doc_id].feature)
+    assert a[1].byte_len == len("hello world")
+
+
+def test_decode_real_is_explicit_stub(spark):
+    with pytest.raises(NotImplementedError):
+        mm.decode_real(_df(spark))

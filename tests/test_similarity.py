@@ -1,0 +1,91 @@
+"""Tests for similarity search (SURVEY.md §2.9): brute-force top-k is
+checked against an independent numpy reference; the approximate LSH
+variant is held to a recall floor against brute force (it has no SQL
+oracle — this is its correctness gate)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from architrave_project_apache_nifi_spark.operators import similarity as sim
+
+SF_DIR = "/root/testdata/sf0.001"
+K = 5
+N_QUERIES = 3
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _queries(df):
+    return df.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def _numpy_topk(rows, k):
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    nrm = np.sqrt((X * X).sum(axis=1))
+    S = (X @ X.T) / np.outer(nrm, nrm)
+    out = {}
+    for qi in range(N_QUERIES):
+        j = int(np.where(ids == qi)[0][0])
+        mask = ids != qi
+        cand_ids, cand_s = ids[mask], S[mask, j]
+        order = np.lexsort((cand_ids, -cand_s))[:k]
+        out[qi] = [(int(cand_ids[i]), float(cand_s[i])) for i in order]
+    return out
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    emb = _emb(spark)
+    got = sim.brute_force_topk(emb, _queries(emb), k=K).collect()
+    expected = _numpy_topk(emb.collect(), K)
+    by_query: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r.query_id, r.rank)):
+        by_query.setdefault(r.query_id, []).append((r.neighbor_id, r.cosine))
+    assert set(by_query) == set(expected)
+    for q in expected:
+        assert [n for n, _ in by_query[q]] == [n for n, _ in expected[q]]
+        for (_, c_got), (_, c_exp) in zip(by_query[q], expected[q]):
+            assert abs(c_got - c_exp) < 1e-9
+
+
+def test_brute_force_excludes_self_and_ranks_densely(spark):
+    emb = _emb(spark)
+    rows = sim.brute_force_topk(emb, _queries(emb), k=K).collect()
+    for r in rows:
+        assert r.neighbor_id != r.query_id
+    for q in range(N_QUERIES):
+        ranks = sorted(r.rank for r in rows if r.query_id == q)
+        assert ranks == list(range(1, K + 1))
+
+
+def test_lsh_bucket_deterministic(spark):
+    emb = _emb(spark)
+    b1 = {r.vec_id: r.bucket for r in sim.lsh_bucket(emb, "embedding").collect()}
+    b2 = {r.vec_id: r.bucket for r in sim.lsh_bucket(emb, "embedding").collect()}
+    assert b1 == b2
+    assert all(0 <= b < 256 for b in b1.values())  # 8 planes → 8-bit bucket
+
+
+def test_lsh_topk_subset_of_corpus_with_sane_recall(spark):
+    """LSH prunes to the query's bucket; every returned neighbor must be
+    a real corpus id, scores must match brute-force scores for the same
+    pair, and recall@K against brute force must clear a floor (random
+    hyperplanes at 8 planes leave same-bucket neighbors likely for the
+    clustered test embeddings)."""
+    emb = _emb(spark)
+    brute = sim.brute_force_topk(emb, _queries(emb), k=K).collect()
+    lsh = sim.lsh_topk(emb, _queries(emb), k=K).collect()
+    brute_pairs = {(r.query_id, r.neighbor_id): r.cosine for r in brute}
+    corpus_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    for r in lsh:
+        assert r.neighbor_id in corpus_ids
+        if (r.query_id, r.neighbor_id) in brute_pairs:
+            assert abs(r.cosine - brute_pairs[(r.query_id, r.neighbor_id)]) < 1e-6
+    hits = sum(1 for p in {(r.query_id, r.neighbor_id) for r in lsh} if p in brute_pairs)
+    assert hits >= 1, "LSH found none of the true top-k — buckets degenerate"
