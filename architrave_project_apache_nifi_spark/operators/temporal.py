@@ -1,0 +1,164 @@
+"""Temporal join / windowing operators the reference lacks but a
+large-scale event pipeline needs (task extension list: as-of join,
+range join; sessionization is the streaming-adjacent classic).
+
+All three are compositions of native DataFrame ops — one shuffle on the
+key, no UDFs, no per-key driver loops:
+
+- ``asof_join``: union-then-window. Tagging both sides and running one
+  ``last(..., ignorenulls)`` window over the merged timeline costs ONE
+  shuffle and never builds the O(left×right) pair space a naive
+  inequality join would (Spark plans non-equi joins as broadcast
+  nested-loop — quadratic work at scale).
+- ``range_join_binned``: equi-join on (key, time-bin) with the exact
+  range predicate applied post-join. Each left row lands in ≤2 bins of
+  width = the range span, so the pair space is bounded by true matches
+  per bin — turning Catalyst's nested-loop fallback into a hash join.
+- ``sessionize``: gap-based session ids via lag + running sum — the
+  batch twin of Structured Streaming's ``session_window``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_list(cols: str | Sequence[str]) -> list[str]:
+    return [cols] if isinstance(cols, str) else list(cols)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: Sequence[str],
+    left_order_cols: Sequence[str] = (),
+    right_order_cols: Sequence[str] = (),
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For each left row, the latest right row with
+    ``right_ts <= left_ts`` per key (backward, inclusive).
+
+    Ties on the timestamp resolve to the right row greatest under
+    ``right_order_cols`` (pass the event sequence id for determinism).
+    Right values are packed into one struct before the window, so a
+    right row whose value column is genuinely NULL still matches
+    (``last(..., ignorenulls)`` skips only absent rows, not null
+    fields)."""
+    keys = _as_list(key_cols)
+    rv = F.struct(*[F.col(c) for c in right_value_cols])
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        *[F.col(c) for c in right_order_cols],
+        rv.alias("__rv"),
+    ).withColumn("__is_left", F.lit(0))
+    l = left.withColumn("__ts", F.col(left_ts)).withColumn("__is_left", F.lit(1))
+    merged = l.unionByName(r, allowMissingColumns=True)
+
+    order = [F.col("__ts").asc(), F.col("__is_left").asc()]
+    # at equal (ts, side), later right rows win — order_cols ascending
+    order += [F.col(c).asc() for c in right_order_cols]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        merged.withColumn("__last_rv", F.last("__rv", ignorenulls=True).over(w))
+        .filter(F.col("__is_left") == 1)
+        .drop("__rv", "__ts", "__is_left", *[c for c in right_order_cols if c not in left.columns])
+    )
+    for c in right_value_cols:
+        out = out.withColumn(f"{prefix}{c}", F.col("__last_rv").getField(c))
+    return out.drop("__last_rv")
+
+
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    lower_s: float,
+    upper_s: float,
+) -> DataFrame:
+    """All (left, right) pairs with
+    ``left_ts + lower_s <= right_ts <= left_ts + upper_s`` per key.
+
+    Each left row emits its interval's ≤2 covering bins of width
+    ``upper_s - lower_s``; right rows land in exactly one bin, so the
+    equi-join on (key, bin) finds every qualifying pair exactly once
+    and the exact BETWEEN predicate prunes bin edges. Returns left
+    columns + right columns suffixed ``_r`` on collision."""
+    assert upper_s > lower_s
+    keys = _as_list(key_cols)
+    width_us = int((upper_s - lower_s) * 1_000_000)
+    lo_us = int(lower_s * 1_000_000)
+    hi_us = int(upper_s * 1_000_000)
+
+    lts = F.unix_micros(F.col(left_ts))
+    rts = F.unix_micros(F.col(right_ts))
+
+    overlap = set(left.columns) & set(right.columns)
+    r = right
+    for c in overlap:
+        r = r.withColumnRenamed(c, f"{c}_r")
+    rkeys = [f"{k}_r" if k in overlap else k for k in keys]
+    rts_col = f"{right_ts}_r" if right_ts in overlap else right_ts
+
+    l_binned = left.withColumn(
+        "__bin",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor((lts + lo_us) / width_us),
+                    F.floor((lts + hi_us) / width_us),
+                )
+            )
+        ),
+    )
+    r_binned = r.withColumn("__bin", F.floor(F.unix_micros(F.col(rts_col)) / width_us))
+    joined = l_binned.join(
+        r_binned,
+        on=[
+            *[l_binned[k] == r_binned[rk] for k, rk in zip(keys, rkeys)],
+            l_binned["__bin"] == r_binned["__bin"],
+        ],
+    )
+    exact = (F.unix_micros(F.col(rts_col)) >= F.unix_micros(F.col(left_ts)) + lo_us) & (
+        F.unix_micros(F.col(rts_col)) <= F.unix_micros(F.col(left_ts)) + hi_us
+    )
+    return joined.filter(exact).drop("__bin")
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    ts_col: str,
+    gap_s: float,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Assign gap-based session ids per key: a new session starts when
+    the time since the previous event exceeds ``gap_s``. One shuffle
+    (the window partition); ids are 1-based and dense per key."""
+    keys = _as_list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col).asc(), *[F.col(c).asc() for c in order_cols]
+    )
+    gap_us = int(gap_s * 1_000_000)
+    prev = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    new_sess = (
+        prev.isNull() | (F.unix_micros(F.col(ts_col)) - prev > F.lit(gap_us))
+    ).cast("int")
+    return df.withColumn(
+        "session_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )

@@ -46,19 +46,39 @@ def assert_broadcast_join(df: DataFrame) -> None:
 
 
 def assert_no_shuffle(df: DataFrame) -> None:
-    plan = formatted_plan(df)
-    if "Exchange hashpartitioning" in plan:
-        raise AssertionError(f"unexpected shuffle exchange; plan:\n{plan}")
+    if count_shuffles(df) > 0:
+        raise AssertionError(
+            f"unexpected shuffle exchange; plan:\n{formatted_plan(df)}"
+        )
 
 
 def count_shuffles(df: DataFrame) -> int:
+    """Hash-partitioning exchanges in the plan (formatted mode prints
+    each Exchange node's partitioning on an ``Arguments:`` line;
+    SinglePartition/broadcast exchanges don't count)."""
     plan = formatted_plan(df)
     return sum(
         1
         for line in plan.splitlines()
-        if line.strip().startswith("Exchange") and "SinglePartition" not in line
+        if line.strip().startswith("Arguments: hashpartitioning")
     )
 
 
 def has_wholestage_codegen(df: DataFrame) -> bool:
-    return "WholeStageCodegen" in formatted_plan(df)
+    """True if any part of the plan compiles into whole-stage codegen.
+
+    AQE wraps the whole plan in an opaque AdaptiveSparkPlan until
+    execution, hiding codegen subtrees from every explain mode — so
+    re-plan a fresh copy of the logical plan with AQE off and read the
+    ``codegen`` dump (the physical strategy AQE stages also use)."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        probe = df.alias("__codegen_probe")  # fresh QueryExecution
+        dump = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+            probe._jdf.queryExecution(), "codegen"
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    return "Found 0 WholeStageCodegen subtrees" not in dump

@@ -863,6 +863,121 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_stub_features(media)
 
 
+# ---------------------------------------------------------------------------
+# Temporal joins / sessionization (extension ops the reference lacks;
+# operators/temporal.py — as-of join, binned range join, gap sessions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_join_last_click",
+    """
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       (SELECT c.value FROM events c
+        WHERE c.event_type = 'click' AND c.user_id = p.user_id
+          AND c.ts <= p.ts
+        ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS last_click_value
+FROM events p WHERE p.event_type = 'purchase'
+""",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward, inclusive): each purchase picks the user's
+    latest click at-or-before it. Union+window formulation — one
+    shuffle, no nested-loop pair space (operators/temporal.asof_join)."""
+    from .operators.temporal import asof_join
+
+    events = load(spark, "events", sf_dir)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        "user_id",
+        "ts",
+        "ts",
+        right_value_cols=("value",),
+        right_order_cols=("event_id",),
+        prefix="last_click_",
+    )
+    return out.select("event_id", "user_id", "ts", "value", "last_click_value")
+
+
+@register(
+    "range_join_clicks_before_purchase",
+    """
+SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+       p.ts AS purchase_ts, c.ts AS click_ts
+FROM events p JOIN events c
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+ AND epoch_us(c.ts) <= epoch_us(p.ts)
+""",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: every click within the hour before each purchase.
+    Binned equi-join (≤2 bins/row) instead of Catalyst's nested-loop
+    fallback for inequality joins (operators/temporal.range_join_binned)."""
+    from .operators.temporal import range_join_binned
+
+    events = load(spark, "events", sf_dir)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = range_join_binned(purchases, clicks, "user_id", "ts", "ts", -3600.0, 0.0)
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("event_id_r").alias("click_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("ts_r").alias("click_ts"),
+    )
+
+
+@register(
+    "sessionize_events",
+    """
+WITH s AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), t AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM s
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM t GROUP BY user_id, session_id
+""",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min): lag + running sum — the batch
+    twin of Structured Streaming's session_window."""
+    from .operators.temporal import sessionize
+
+    events = load(spark, "events", sf_dir)
+    sess = sessionize(events, "user_id", "ts", 1800.0, ("event_id",))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -31,6 +31,9 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_revenue_change",
+    "asof_join_last_click",
+    "range_join_clicks_before_purchase",
+    "sessionize_events",
     "text_quality",
     "doc_fingerprint",
     "dedup_minhash_lsh",

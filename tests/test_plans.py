@@ -1,0 +1,84 @@
+"""Physical-plan assertions (SURVEY.md §4): prove that the declarative
+queries actually get predicate pushdown, column pruning, broadcast
+joins, and bounded shuffles — the properties the 100 TB design relies
+on — instead of assuming Catalyst did the right thing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from architrave_project_apache_nifi_spark.operators.lookup import lookup_record
+from architrave_project_apache_nifi_spark.operators.scd2 import scd2_apply, scd2_build
+from architrave_project_apache_nifi_spark.plans import inspect as pi
+from architrave_project_apache_nifi_spark.queries import REGISTRY
+from architrave_project_apache_nifi_spark.tables import load
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_q6_filters_reach_parquet_scan(spark):
+    df = REGISTRY["q6_revenue_change"].fn(spark, SF_DIR)
+    pi.assert_pushed_filter(df, "l_shipdate")
+    pi.assert_pushed_filter(df, "l_discount")
+    pi.assert_pushed_filter(df, "l_quantity")
+
+
+def test_q6_reads_only_needed_columns(spark):
+    df = REGISTRY["q6_revenue_change"].fn(spark, SF_DIR)
+    # lineitem has 16 columns; Q6 needs 4 (shipdate, discount, quantity,
+    # extendedprice)
+    pi.assert_pruned_columns(df, 4)
+
+
+def test_q1_pushdown_and_pruning(spark):
+    df = REGISTRY["q1_pricing_summary"].fn(spark, SF_DIR)
+    pi.assert_pushed_filter(df, "l_shipdate")
+    pi.assert_pruned_columns(df, 6)
+
+
+def test_q3_broadcasts_dimension(spark):
+    df = REGISTRY["q3_shipping_priority"].fn(spark, SF_DIR)
+    pi.assert_broadcast_join(df)
+
+
+def test_q5_broadcasts_all_dims(spark):
+    df = REGISTRY["q5_local_supplier_volume"].fn(spark, SF_DIR)
+    plan = pi.formatted_plan(df)
+    # all four dimension joins broadcast; the fact table shuffles only
+    # for its own join key / aggregation
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_lookup_join_broadcasts_prefiltered_dim(spark):
+    orders = load(spark, "orders", SF_DIR)
+    customer = load(spark, "customer", SF_DIR).withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    df = lookup_record(orders, customer, "o_custkey", prefilter=F.col("c_acctbal") > 0)
+    pi.assert_broadcast_join(df)
+    # the Is_current='Y'-style prefilter reaches the dimension scan
+    pi.assert_pushed_filter(df, "c_acctbal")
+
+
+def test_scd2_build_single_shuffle(spark):
+    events = load(spark, "events", SF_DIR)
+    hist = scd2_build(events, "user_id", "ts", ("event_id",))
+    assert pi.count_shuffles(hist) == 1, pi.formatted_plan(hist)
+
+
+def test_scd2_apply_never_shuffles_history(spark):
+    """The merge's contract at scale: history (the 100 TB side) joins
+    the per-key change summary via BROADCAST — the only hash exchanges
+    in the plan must be on the (small) changes side."""
+    events = load(spark, "events", SF_DIR)
+    first = events.filter(F.col("event_type") != "purchase")
+    second = events.filter(F.col("event_type") == "purchase")
+    hist = scd2_build(first, "user_id", "ts", ("event_id",))
+    merged = scd2_apply(hist, second, "user_id", "ts", ("event_id",))
+    pi.assert_broadcast_join(merged)
+
+
+def test_whole_stage_codegen_on_hot_paths(spark):
+    for name in ("q1_pricing_summary", "route_insert", "agg_events_by_type"):
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        assert pi.has_wholestage_codegen(df), f"{name} fell out of codegen"
