@@ -864,6 +864,147 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multi-dimensional aggregation + function-surface floor (SURVEY.md §2.7
+# category matrix: grouping sets / rollup / cube, string fns, date fns,
+# percentiles — all absent in the reference, table stakes for the engine)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_events",
+    """
+SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY ROLLUP(event_type, CAST(date_trunc('day', ts) AS TIMESTAMP))
+""",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(event_type, day): subtotal per type and grand total —
+    one pass, one shuffle (Spark expands grouping ids internally)."""
+    events = load(spark, "events", sf_dir).withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    return events.rollup("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "cube_events",
+    """
+SELECT event_type, user_id % 10 AS user_bucket,
+       count(*) AS n_events
+FROM events
+GROUP BY CUBE(event_type, user_id % 10)
+""",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, "events", sf_dir).withColumn(
+        "user_bucket", F.col("user_id") % 10
+    )
+    return events.cube("event_type", "user_bucket").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+@register(
+    "grouping_sets_events",
+    """
+SELECT event_type, user_id % 10 AS user_bucket,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY GROUPING SETS ((event_type), (user_id % 10))
+""",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, "events", sf_dir).withColumn(
+        "user_bucket", F.col("user_id") % 10
+    )
+    return events.groupingSets(
+        [["event_type"], ["user_bucket"]], "event_type", "user_bucket"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "string_functions",
+    """
+SELECT doc_id,
+       upper(substr(text, 1, 12)) AS head_upper,
+       length(text) AS n_chars,
+       replace(lower(substr(text, 1, 40)), ' ', '_') AS slug,
+       concat(lang, ':', source) AS lang_source
+FROM documents
+""",
+)
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function floor (§2.7: reference has only regex capture)."""
+    docs = load(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 12)).alias("head_upper"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.replace(
+            F.lower(F.substring("text", 1, 40)), F.lit(" "), F.lit("_")
+        ).alias("slug"),
+        F.concat(F.col("lang"), F.lit(":"), F.col("source")).alias("lang_source"),
+    )
+
+
+@register(
+    "datetime_functions",
+    """
+SELECT event_id,
+       CAST(year(ts) AS INT) AS y,
+       CAST(month(ts) AS INT) AS m,
+       CAST(day(ts) AS INT) AS d,
+       CAST(date_trunc('month', ts) AS TIMESTAMP) AS month_start,
+       ts + INTERVAL 7 DAY AS ts_plus_week,
+       epoch_ms(ts) AS ts_ms
+FROM events
+""",
+)
+def q_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time floor beyond the reference's now()/format/toNumber."""
+    events = load(spark, "events", sf_dir)
+    return events.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.date_trunc("month", F.col("ts")).alias("month_start"),
+        (F.col("ts") + F.expr("INTERVAL 7 DAYS")).alias("ts_plus_week"),
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+    )
+
+
+@register(
+    "percentiles_by_type",
+    """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type
+""",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`); the sketch path (approx_percentile/t-digest) is
+    the 100 TB variant — exact here so the oracle can check values."""
+    events = load(spark, "events", sf_dir)
+    return events.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Temporal joins / sessionization (extension ops the reference lacks;
 # operators/temporal.py — as-of join, binned range join, gap sessions)
 # ---------------------------------------------------------------------------
