@@ -138,6 +138,121 @@ def lsh_bucket(
     return df.withColumn(out_col, bucket)
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    seed: int = 42,
+    max_iter: int = 5,
+):
+    """Train the IVF coarse quantizer: JVM-side distributed k-means
+    (``pyspark.ml.clustering.KMeans``) over the corpus vectors. Returns
+    the nlist×dim centroid matrix as a plain list-of-lists (small —
+    nlist is O(sqrt(N)) even at 100 TB, it rides in a broadcast) plus
+    the fitted model for corpus-side list assignment.
+
+    Deterministic for a fixed (data, seed, nlist)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        array_to_vector(_as_double(F.col(vec_col))).alias("features")
+    )
+    model = KMeans(k=nlist, seed=seed, maxIter=max_iter, initMode="k-means||").fit(
+        train
+    )
+    return [list(map(float, c)) for c in model.clusterCenters()], model
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index:
+
+    1. k-means partitions the corpus into ``nlist`` cells (the coarse
+       quantizer, trained distributed via Spark ML);
+    2. each corpus vector is assigned to its nearest centroid's list —
+       one ``model.transform`` pass, no shuffle beyond k-means itself;
+    3. each query probes only its ``nprobe`` nearest cells, so the
+       scored fraction is ~nprobe/nlist of the corpus instead of 100%.
+
+    The candidate join broadcasts the (tiny) exploded query side, so the
+    corpus is scanned once, partition-parallel, with no corpus shuffle —
+    the same scale shape as ``lsh_topk`` but with data-adaptive cells
+    (k-means tracks the embedding distribution; random hyperplanes
+    don't). Recall vs brute force is asserted in tests."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.ml.functions import array_to_vector
+
+    cents, model = ivf_centroids(corpus, vec_col, nlist, seed)
+    C = np.array(cents, dtype=np.float64)
+
+    assigned = (
+        model.transform(
+            corpus.select(
+                id_col, vec_col,
+                array_to_vector(_as_double(F.col(vec_col))).alias("features"),
+            )
+        )
+        .select(
+            F.col(id_col),
+            F.col("prediction").alias("list_id"),
+            _as_double(F.col(vec_col)).alias("__cv"),
+        )
+        .withColumn("__cn", l2_norm(F.col("__cv")))
+    )
+
+    def probe(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.stack(pdf["__qv"].to_numpy()).astype(np.float64)
+            # squared L2 to every centroid; nprobe nearest cells each
+            d2 = (Q * Q).sum(1)[:, None] - 2 * Q @ C.T + (C * C).sum(1)[None, :]
+            near = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+            yield pd.DataFrame(
+                {
+                    query_id_col: pdf[query_id_col].to_numpy().repeat(nprobe),
+                    "probe": near.reshape(-1).astype(np.int32),
+                    "__qv": [list(v) for v in Q for _ in range(nprobe)],
+                }
+            )
+
+    qprobes = (
+        queries.select(
+            query_id_col, _as_double(F.col(vec_col)).alias("__qv")
+        )
+        .mapInPandas(probe, f"{query_id_col} long, probe int, __qv array<double>")
+        .withColumn("__qn", l2_norm(F.col("__qv")))
+    )
+
+    scored = assigned.join(
+        F.broadcast(qprobes),
+        (assigned.list_id == qprobes.probe)
+        & (F.col(id_col) != F.col(query_id_col)),
+    ).withColumn(
+        "cosine", dot(F.col("__cv"), F.col("__qv")) / (F.col("__cn") * F.col("__qn"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"), "cosine", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -829,6 +829,19 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_topk(emb, queries, k=_TOP_K)
 
 
+@register("ann_topk_ivf", None)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer (Spark ML,
+    distributed) + nprobe-cell candidate scan. The data-adaptive scale
+    path beside the hyperplane-LSH one; recall vs brute force measured
+    in tests/test_similarity.py."""
+    emb = load(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.ivf_topk(emb, queries, k=_TOP_K, nlist=16, nprobe=4)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal (extension, SURVEY.md §2.9)
 # ---------------------------------------------------------------------------
@@ -1116,6 +1129,153 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations, semi/anti joins, window-function floor, approx sketches
+# (SURVEY.md §2.7 matrix rows: set ops / semi-anti / window fns; sketches
+# are the 100 TB path for exact aggregates — exact twins are oracled)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "intersect_click_purchase_users",
+    """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+""",
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT = left-semi join + distinct under the hood; one shuffle
+    on the key either way."""
+    events = load(spark, "events", sf_dir)
+    clicks = events.filter(F.col("event_type") == "click").select("user_id")
+    buys = events.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)
+
+
+@register(
+    "except_click_days_without_purchase",
+    """
+SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP)
+FROM events WHERE event_type = 'purchase'
+""",
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user, day) pairs that clicked but did not purchase that day —
+    EXCEPT with set semantics (`subtract`, not `exceptAll`)."""
+    events = load(spark, "events", sf_dir).withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", "day")
+    buys = events.filter(F.col("event_type") == "purchase").select("user_id", "day")
+    return clicks.subtract(buys)
+
+
+@register(
+    "semi_join_customers_with_urgent_orders",
+    """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+""",
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as an explicit left_semi join (TPC-H q4 shape). The filter
+    on orders is pushed below the join; semi join never duplicates the
+    left side, so no post-join distinct is needed."""
+    customer = load(spark, "customer", sf_dir)
+    orders = load(spark, "orders", sf_dir).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "anti_join_customers_no_urgent_orders",
+    """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+""",
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as left_anti — the TPC-H q22 shape, and the engine's
+    `unmatched` route (SURVEY.md §2.4) in batch form. The priority
+    filter is pushed below the join on the build side."""
+    customer = load(spark, "customer", sf_dir)
+    orders = load(spark, "orders", sf_dir).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "window_running_spend",
+    """
+SELECT event_id, user_id, ts,
+       round(sum(value) OVER w, 2) AS running_spend,
+       round(value - lag(value) OVER w, 4) AS delta_vs_prev,
+       CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT)
+           AS ts_quartile
+FROM events
+WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum + lag delta + ntile in ONE window spec — one sort,
+    one shuffle on user_id serves all three functions."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_row = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events = load(spark, "events", sf_dir).filter(F.col("event_type") == "purchase")
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum("value").over(w), 2).alias("running_spend"),
+        F.round(F.col("value") - F.lag("value").over(w_row), 4).alias(
+            "delta_vs_prev"
+        ),
+        F.ntile(4).over(w_row).alias("ts_quartile"),
+    )
+
+
+@register("sketch_distinct_users", None)
+def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count per event type beside the exact
+    count — the 100 TB path (fixed-size sketch, no distinct shuffle of
+    the values, partial-mergeable map-side). Approximate, so no value
+    oracle; tests/test_functions.py bounds the relative error."""
+    events = load(spark, "events", sf_dir)
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+@register("sketch_percentile_value", None)
+def q_sketch_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (GK sketch): mergeable, bounded-memory — the
+    scale twin of the exact `percentiles_by_type` oracle query."""
+    events = load(spark, "events", sf_dir)
+    return events.groupBy("event_type").agg(
+        F.approx_percentile("value", F.array(F.lit(0.5), F.lit(0.99)), 10000)
+        .alias("approx_p50_p99"),
     )
 
 

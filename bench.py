@@ -40,6 +40,9 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "neardup_cosine",
     "ann_topk_bruteforce",
+    "ann_topk_ivf",
+    "window_running_spend",
+    "rollup_events",
 ]
 
 

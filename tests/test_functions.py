@@ -69,3 +69,39 @@ def test_jolt_shift_pivot(spark):
         df, "columns", ["ProductID", "Price"], types={"ProductID": "int", "Price": "double"}
     ).collect()[0]
     assert out.ProductID == 7 and out.Price == 9.5
+
+
+def test_sketch_distinct_error_bound(spark):
+    """HLL++ at rsd=0.02 must land within 10% of the exact distinct
+    count on the test data (the sketch query has no SQL oracle — this
+    bounds its error instead)."""
+    from architrave_project_apache_nifi_spark.queries import REGISTRY
+
+    rows = REGISTRY["sketch_distinct_users"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r.exact_users > 0
+        assert abs(r.approx_users - r.exact_users) / r.exact_users <= 0.10
+
+
+def test_sketch_percentile_brackets_exact(spark):
+    """approx_percentile's [p50, p99] must bracket sanely: within the
+    observed min/max and ordered."""
+    from architrave_project_apache_nifi_spark.queries import REGISTRY
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.event_type: r.approx_p50_p99
+        for r in REGISTRY["sketch_percentile_value"].fn(spark, sf).collect()
+    }
+    bounds = {
+        r.event_type: (r.lo, r.hi)
+        for r in spark.read.parquet(f"{sf}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    for et, (p50, p99) in got.items():
+        lo, hi = bounds[et]
+        assert lo <= p50 <= p99 <= hi

@@ -89,3 +89,35 @@ def test_lsh_topk_subset_of_corpus_with_sane_recall(spark):
             assert abs(r.cosine - brute_pairs[(r.query_id, r.neighbor_id)]) < 1e-6
     hits = sum(1 for p in {(r.query_id, r.neighbor_id) for r in lsh} if p in brute_pairs)
     assert hits >= 1, "LSH found none of the true top-k — buckets degenerate"
+
+
+def test_ivf_topk_recall_and_score_exactness(spark):
+    """IVF with nprobe/nlist = 1/4 of the cells scanned must still
+    recover most of the true top-k (k-means cells track the embedding
+    clusters), and every (query, neighbor) cosine it reports must equal
+    the brute-force cosine for the same pair — IVF prunes candidates,
+    it never alters scores."""
+    emb = _emb(spark)
+    brute = sim.brute_force_topk(emb, _queries(emb), k=K).collect()
+    ivf = sim.ivf_topk(emb, _queries(emb), k=K, nlist=8, nprobe=2).collect()
+    brute_pairs = {(r.query_id, r.neighbor_id): r.cosine for r in brute}
+    for r in ivf:
+        assert r.neighbor_id != r.query_id
+        if (r.query_id, r.neighbor_id) in brute_pairs:
+            assert abs(r.cosine - brute_pairs[(r.query_id, r.neighbor_id)]) < 1e-9
+    got_pairs = {(r.query_id, r.neighbor_id) for r in ivf}
+    recall = sum(1 for p in brute_pairs if p in got_pairs) / len(brute_pairs)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} below floor"
+
+
+def test_ivf_deterministic_across_runs(spark):
+    emb = _emb(spark)
+    a = sorted(
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in sim.ivf_topk(emb, _queries(emb), k=K, nlist=8, nprobe=2).collect()
+    )
+    b = sorted(
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in sim.ivf_topk(emb, _queries(emb), k=K, nlist=8, nprobe=2).collect()
+    )
+    assert a == b
