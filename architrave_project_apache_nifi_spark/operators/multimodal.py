@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     IntegerType,
     LongType,
@@ -93,6 +94,111 @@ def decode_stub_features(
             )
 
     return picked.mapInPandas(run, DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def resize_stub(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """Image-resize plumbing over ``mapInPandas``: batch iteration,
+    payload access, output schema carrying the new dimensions and the
+    re-encoded payload. The pixel work is a deterministic stand-in
+    (payload truncated/cycled to ``target_w*target_h`` bytes — a real
+    implementation swaps in ``PIL.Image.resize`` inside the closure and
+    a binary output column; plumbing and batch shape are identical)."""
+    picked = df.select(
+        F.col(id_col).alias("doc_id"), F.col(f"{media_col}.payload").alias("payload")
+    )
+    n_out = target_w * target_h
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                bytes(buf[i % len(buf)] for i in range(n_out)) if len(buf) else b""
+                for buf in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": target_w,
+                    "height": target_h,
+                    "payload": out,
+                }
+            )
+
+    return picked.mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_ms", LongType()),
+        StructField("frame_hash", LongType()),
+    ]
+)
+
+
+def frame_sample_stub(
+    df: DataFrame,
+    every_ms: int = 1000,
+    max_frames: int = 8,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """Video frame-sampling plumbing: one input row fans out to N frame
+    rows (the 1→N generator shape a real ``pyav`` sampler has). Frame
+    count derives from the metadata duration (fallback: payload length);
+    the per-frame 'content' is a deterministic hash of (payload slice,
+    frame index) standing in for the decoded frame tensor."""
+    picked = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(f"{media_col}.payload").alias("payload"),
+        F.coalesce(
+            F.col(f"{media_col}.meta.duration_ms"),
+            F.octet_length(F.col(f"{media_col}.payload")).cast("long"),
+        ).alias("duration_ms"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, mss, hashes = [], [], [], []
+            for doc_id, buf, dur in zip(
+                pdf["doc_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                n = max(1, min(max_frames, int(dur // every_ms) + 1))
+                for i in range(n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    mss.append(i * every_ms)
+                    chunk = buf[i :: max(1, n)]
+                    h = 1469598103934665603
+                    for b in chunk[:64]:
+                        h = ((h ^ b) * 1099511628211) & 0x7FFFFFFFFFFFFFFF
+                    hashes.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_ms": pd.Series(mss, dtype="int64"),
+                    "frame_hash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return picked.mapInPandas(run, FRAME_SCHEMA)
 
 
 def decode_real(df: DataFrame, **_: object) -> DataFrame:

@@ -867,6 +867,27 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_frame_sample",
+    """
+SELECT doc_id, CAST(i AS INT) AS frame_idx, CAST(i * 100 AS BIGINT) AS frame_ms
+FROM (SELECT doc_id,
+             greatest(1, least(5, octet_length(encode(text)) // 100 + 1)) AS n
+      FROM documents) d,
+     LATERAL unnest(range(0, d.n)) AS t(i)
+""",
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out (1 row → N frame rows via mapInPandas);
+    the oracle checks the generator shape — per-doc frame count from
+    payload length, frame timestamps on the sampling grid."""
+    docs = load(spark, "documents", sf_dir)
+    media = mm.attach_media(docs, "text", "video/mp4")
+    return mm.frame_sample_stub(media, every_ms=100, max_frames=5).select(
+        "doc_id", "frame_idx", "frame_ms"
+    )
+
+
 @register("multimodal_decode_stub", None)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode plumbing over mapInPandas (codec stubbed —
@@ -1129,6 +1150,154 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "q10_returned_items",
+    """
+SELECT c.c_custkey, c.c_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+""",
+)
+def q_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: fact filter → 3 joins (two broadcast dims) →
+    agg → top-20. lineitem is filtered before any join, shuffles once
+    (for the orders join); customer and nation broadcast."""
+    c = load(spark, "customer", sf_dir)
+    o = load(spark, "orders", sf_dir)
+    l = load(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
+    n = load(spark, "nation", sf_dir)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    """
+SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1997-02-01 00:00:00'
+""",
+)
+def q_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregate ratio over a broadcast
+    part join; the shipdate range prunes the fact scan (PushedFilters)."""
+    l = load(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
+    )
+    p = load(spark, "part", sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    """
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       round(sum(l.l_quantity), 2) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
+""",
+)
+def q_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: agg-derived semi-join filter (IN over a HAVING
+    subquery) feeding a second aggregation. The qualifying-keys set is
+    tiny → broadcast left_semi; lineitem aggregates once per stage."""
+    c = load(spark, "customer", sf_dir)
+    o = load(spark, "orders", sf_dir)
+    l = load(spark, "lineitem", sf_dir)
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        l.join(F.broadcast(big.withColumnRenamed("l_orderkey", "big_key")),
+               F.col("l_orderkey") == F.col("big_key"), "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "q19_discounted_revenue",
+    """
+SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 10 AND 35)
+""",
+)
+def q_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive multi-column predicates straddling
+    the join. Expressed as one OR filter over the joined relation —
+    Catalyst extracts the per-side conjuncts (p_brand IN (...),
+    l_quantity <= 35) below the join itself."""
+    l = load(spark, "lineitem", sf_dir)
+    p = load(spark, "part", sf_dir)
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    cond = (
+        (F.col("p_brand") == "Brand#11")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#22")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 35)
+    )
+    return j.filter(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
     )
 
 

@@ -47,3 +47,32 @@ def test_decode_stub_deterministic_and_shaped(spark):
 def test_decode_real_is_explicit_stub(spark):
     with pytest.raises(NotImplementedError):
         mm.decode_real(_df(spark))
+
+
+def test_resize_stub_shapes_and_determinism(spark):
+    media = mm.attach_media(_df(spark), "text", "image/png")
+    out = {r.doc_id: r for r in mm.resize_stub(media, 4, 3).collect()}
+    assert set(out) == {1, 2, 3}
+    for r in out.values():
+        assert (r.width, r.height) == (4, 3)
+    assert len(out[1].payload) == 12  # target_w * target_h bytes
+    assert out[2].payload == b""  # empty payload passes through empty
+    again = {r.doc_id: r.payload for r in mm.resize_stub(media, 4, 3).collect()}
+    assert {k: v.payload for k, v in out.items()} == again
+
+
+def test_frame_sample_fanout_and_bounds(spark):
+    media = mm.attach_media(_df(spark), "text", "video/mp4")
+    out = mm.frame_sample_stub(media, every_ms=2, max_frames=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # len("hello world")=11 → min(4, 11//2+1)=4 frames; empty → 1 frame
+    assert len(by_doc[1]) == 4
+    assert len(by_doc[2]) == 1
+    for doc_id, frames in by_doc.items():
+        idxs = sorted(f.frame_idx for f in frames)
+        assert idxs == list(range(len(frames)))
+        for f in frames:
+            assert f.frame_ms == f.frame_idx * 2
+            assert f.frame_hash >= 0
