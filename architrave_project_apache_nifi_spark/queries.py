@@ -1448,6 +1448,54 @@ def q_sketch_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "salted_agg_user_stats",
+    """
+SELECT user_id, count(event_id) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY user_id
+""",
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/skew.py) — identical
+    results to the plain GROUP BY the oracle runs; the salt only spreads
+    hot keys across reducers."""
+    from .operators.skew import salted_agg
+
+    events = load(spark, "events", sf_dir)
+    out = salted_agg(
+        events,
+        ["user_id"],
+        {"n_events": ("count", "event_id"), "sum_value": ("sum", "value")},
+        n_salts=8,
+    )
+    return out.withColumn("sum_value", F.round("sum_value", 2))
+
+
+@register(
+    "salted_join_order_volume_by_nation",
+    """
+SELECT c.c_nationkey, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS volume
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_nationkey
+""",
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted shuffle join (small side replicated ×salts) feeding an
+    aggregation — for when the dim outgrows broadcast and the fact key
+    is skewed. Same rows as the plain join."""
+    from .operators.skew import salted_join
+
+    orders = load(spark, "orders", sf_dir)
+    customer = load(spark, "customer", sf_dir).withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    joined = salted_join(orders, customer.select("o_custkey", "c_nationkey"), "o_custkey", n_salts=8)
+    return joined.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("volume"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -86,6 +86,29 @@ def jdbc_append(
     )
 
 
+def execute_sql(spark: SparkSession, url: str, sql: str,
+                properties: dict[str, str] | None = None) -> int:
+    """Run one DDL/DML statement on the target database from the driver
+    JVM (java.sql over py4j — works with any driver jar on the Spark
+    classpath). Returns the update count."""
+    jvm = spark._jvm  # type: ignore[attr-defined]
+    props = properties or {}
+    if "user" in props:
+        conn = jvm.java.sql.DriverManager.getConnection(
+            url, props["user"], props.get("password", "")
+        )
+    else:
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        stmt = conn.createStatement()
+        try:
+            return stmt.executeUpdate(sql)
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
+
+
 def jdbc_update(
     df: DataFrame,
     url: str,
@@ -93,29 +116,40 @@ def jdbc_update(
     key_cols: Sequence[str],
     set_cols: Sequence[str],
     properties: dict[str, str],
-    batchsize: int = 1000,
-) -> None:
+    staging_table: str | None = None,
+) -> int:
     """PutDatabaseRecord UPDATE path (statement-type=UPDATE, update-keys
     ProductID, max batch 1000 — FT:4699/4736/4764). Spark's JDBC sink has
-    no UPDATE mode, so this issues ``executeBatch`` per partition.
+    no UPDATE mode; the reference's per-row ``executeBatch`` shape would
+    serialize 100 TB of updates through row-at-a-time JDBC. Instead:
+
+    1. executors write ``df`` to a **staging table** in parallel
+       (``df.write.jdbc`` — batched INSERTs, one connection per
+       partition);
+    2. the driver issues ONE set-based ``UPDATE … WHERE EXISTS`` joining
+       staging onto the target — the database applies it as a join, not
+       N statements;
+    3. staging is dropped.
 
     Unlike the reference (which UPDATEs every history row of the key —
     Bug 1, README.md:186), callers pass the full intended key, e.g.
-    ``("ProductID", "valid_from")``.
-    """
-    sets = ", ".join(f"{c} = ?" for c in set_cols)
-    wheres = " AND ".join(f"{c} = ?" for c in key_cols)
-    sql = f"UPDATE {table} SET {sets} WHERE {wheres}"  # noqa: S608 — identifiers from caller
-    cols = [*set_cols, *key_cols]
-    picked = df.select(*cols)
-
-    def _write(rows) -> None:
-        import jaydebeapi  # noqa: F401  # pragma: no cover — driver-gated
-
-        raise NotImplementedError(
-            "JDBC UPDATE sink requires a JDBC driver jar on the executor "
-            "classpath; wire DriverManager.getConnection(url) + "
-            f"prepareStatement({sql!r}) + executeBatch every {batchsize} rows."
-        )
-
-    picked.foreachPartition(_write)
+    ``("ProductID", "valid_from")``. Returns rows updated."""
+    spark = df.sparkSession
+    staging = staging_table or f"{table}_stage"
+    df.select(*set_cols, *key_cols).write.mode("overwrite").jdbc(
+        url, staging, properties=properties
+    )
+    # Spark's JDBC writer quotes the staging columns (case-sensitive);
+    # target-table identifiers are used verbatim as the caller wrote them
+    on = " AND ".join(f's."{k}" = t.{k}' for k in key_cols)
+    sets = ", ".join(
+        f'{c} = (SELECT s."{c}" FROM {staging} s WHERE {on})' for c in set_cols
+    )
+    sql = (  # noqa: S608 — identifiers come from the caller, not user data
+        f"UPDATE {table} t SET {sets} "
+        f"WHERE EXISTS (SELECT 1 FROM {staging} s WHERE {on})"
+    )
+    try:
+        return execute_sql(spark, url, sql, properties)
+    finally:
+        execute_sql(spark, url, f"DROP TABLE {staging}", properties)

@@ -1,0 +1,97 @@
+"""Sink tests (sources/sinks.py): JDBC append + stage-and-merge UPDATE
+run against the embedded Derby that ships in Spark's jars (in-memory DB,
+shared across local-mode executor threads); failure side-channel and
+bounded retry are covered without a database."""
+
+from __future__ import annotations
+
+import pytest
+
+from architrave_project_apache_nifi_spark.sources import sinks
+
+DERBY_PROPS = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+
+def _url(name: str) -> str:
+    return f"jdbc:derby:memory:{name};create=true"
+
+
+def test_jdbc_append_roundtrip(spark):
+    url = _url("appenddb")
+    sinks.execute_sql(
+        spark, url, "CREATE TABLE hist (pid INT, price DOUBLE, flag VARCHAR(1))"
+    )
+    df = spark.createDataFrame(
+        [(1, 10.0, "Y"), (2, 20.0, "Y")], "pid INT, price DOUBLE, flag STRING"
+    )
+    sinks.jdbc_append(df, url, "hist", DERBY_PROPS, batchsize=1)
+    back = spark.read.jdbc(url, "hist", properties=DERBY_PROPS)
+    assert sorted((r.PID, r.PRICE, r.FLAG) for r in back.collect()) == [
+        (1, 10.0, "Y"),
+        (2, 20.0, "Y"),
+    ]
+
+
+def test_jdbc_update_stage_and_merge(spark):
+    """The PutDatabaseRecord-UPDATE equivalent: only the keyed rows
+    change, others are untouched — including a second history row for
+    the same ProductID (the reference's Bug 1 scenario)."""
+    url = _url("updatedb")
+    sinks.execute_sql(
+        spark,
+        url,
+        "CREATE TABLE hist (pid INT, vfrom INT, price DOUBLE, flag VARCHAR(1))",
+    )
+    seed = spark.createDataFrame(
+        [(1, 100, 10.0, "N"), (1, 200, 12.0, "Y"), (2, 100, 20.0, "Y")],
+        "pid INT, vfrom INT, price DOUBLE, flag STRING",
+    )
+    sinks.jdbc_append(seed, url, "hist", DERBY_PROPS)
+
+    changes = spark.createDataFrame(
+        [(99.0, "N", 1, 200)], "price DOUBLE, flag STRING, pid INT, vfrom INT"
+    )
+    n = sinks.jdbc_update(
+        changes, url, "hist",
+        key_cols=("pid", "vfrom"), set_cols=("price", "flag"),
+        properties=DERBY_PROPS,
+    )
+    assert n == 1
+    back = {
+        (r.PID, r.VFROM): (r.PRICE, r.FLAG)
+        for r in spark.read.jdbc(url, "hist", properties=DERBY_PROPS).collect()
+    }
+    assert back[(1, 200)] == (99.0, "N")  # updated
+    assert back[(1, 100)] == (10.0, "N")  # same pid, other version: untouched
+    assert back[(2, 100)] == (20.0, "Y")  # other key untouched
+    # staging table dropped
+    with pytest.raises(Exception, match="HIST_STAGE|not exist|does not exist"):
+        spark.read.jdbc(url, "hist_stage", properties=DERBY_PROPS).collect()
+
+
+def test_write_failures_side_channel(spark, tmp_path):
+    bad = spark.createDataFrame([(7, "boom")], "ProductID INT, payload STRING")
+    sinks.write_failures(bad, str(tmp_path / "failures"), reason="sink_error")
+    back = spark.read.parquet(str(tmp_path / "failures")).collect()
+    assert len(back) == 1
+    assert back[0].ProductID == 7
+    assert back[0].failure_reason == "sink_error"
+    assert back[0].failed_at is not None
+
+
+def test_with_retry_bounded(spark):
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient")
+
+    sinks.with_retry(flaky, attempts=3, backoff_s=0.01)
+    assert calls["n"] == 3
+
+    def always_fails():
+        raise RuntimeError("poison batch")
+
+    with pytest.raises(RuntimeError, match="poison batch"):
+        sinks.with_retry(always_fails, attempts=2, backoff_s=0.01)
