@@ -1,0 +1,42 @@
+"""Bucketed tables: co-located, shuffle-free joins (100 TB design
+surface; SURVEY.md §4.1 "Partitioning / shuffle").
+
+The reference is single-node and serial — every lookup is a remote
+point SELECT. At cluster scale the equivalent repeated join (facts ⋈
+current-rows, events ⋈ user dim) must not re-shuffle 100 TB per query:
+writing both sides bucketed by the join key makes Spark plan a
+sort-merge join over the EXISTING bucket layout — zero Exchange on
+either side (asserted in tests/test_bucketing.py). The bucket count is
+the write-time parallelism contract; pick it for target-cluster cores
+(e.g. 4× executor count) — it cannot be changed without a rewrite, so
+it is the one physical knob worth over-provisioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 32,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` as a parquet table bucketed (and bucket-sorted) by
+    ``key``. Sorting inside buckets lets the sort-merge join skip its
+    sort too — the join degenerates to a zip of pre-sorted bucket files."""
+    w = df.write.format("parquet").mode("overwrite").bucketBy(n_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: str, how: str = "inner"
+) -> DataFrame:
+    """Join two same-bucketed tables on their bucket key. Catalyst sees
+    matching ``HashPartitioning(key, n)`` output partitionings and drops
+    both Exchanges; with sorted buckets, both Sorts too."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)

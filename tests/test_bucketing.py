@@ -1,0 +1,60 @@
+"""Bucketed co-located joins (operators/bucketing.py): the join over two
+same-bucketed tables must plan with ZERO Exchange operators — the scale
+property the module exists for — and return the same rows as the plain
+join."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from architrave_project_apache_nifi_spark.operators import bucketing as bk
+from architrave_project_apache_nifi_spark.plans.inspect import formatted_plan
+from architrave_project_apache_nifi_spark.tables import load
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_no_exchange_and_correct(spark, no_broadcast):
+    events = load(spark, "events", SF_DIR)
+    users = (
+        events.groupBy("user_id").agg(F.round(F.sum("value"), 2).alias("total"))
+    )
+    bk.write_bucketed(events.select("user_id", "event_id", "value"),
+                      "ev_bucketed", "user_id", n_buckets=4)
+    bk.write_bucketed(users, "usr_bucketed", "user_id", n_buckets=4)
+    try:
+        joined = bk.bucketed_join(spark, "ev_bucketed", "usr_bucketed", "user_id")
+        plan = formatted_plan(joined)
+        assert "Exchange" not in plan, plan  # co-located: no shuffle either side
+        assert "SortMergeJoin" in plan, plan
+
+        plain = (
+            events.select("user_id", "event_id", "value")
+            .join(users, "user_id")
+            .count()
+        )
+        assert joined.count() == plain
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ev_bucketed")
+        spark.sql("DROP TABLE IF EXISTS usr_bucketed")
+
+
+def test_bucketed_agg_skips_shuffle(spark, no_broadcast):
+    """A groupBy on the bucket key also rides the existing layout —
+    no Exchange before the aggregate."""
+    events = load(spark, "events", SF_DIR)
+    bk.write_bucketed(events.select("user_id", "value"), "ev_b2", "user_id", 4)
+    try:
+        agg = spark.table("ev_b2").groupBy("user_id").agg(F.sum("value"))
+        assert "Exchange" not in formatted_plan(agg)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ev_b2")

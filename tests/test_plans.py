@@ -82,3 +82,35 @@ def test_whole_stage_codegen_on_hot_paths(spark):
     for name in ("q1_pricing_summary", "route_insert", "agg_events_by_type"):
         df = REGISTRY[name].fn(spark, SF_DIR)
         assert pi.has_wholestage_codegen(df), f"{name} fell out of codegen"
+
+
+def test_q10_broadcasts_dims_and_pushes_returnflag(spark):
+    df = REGISTRY["q10_returned_items"].fn(spark, SF_DIR)
+    plan = pi.formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan  # customer + nation
+    pi.assert_pushed_filter(df, "l_returnflag")
+
+
+def test_q14_pushes_shipdate_range(spark):
+    df = REGISTRY["q14_promo_revenue"].fn(spark, SF_DIR)
+    pi.assert_pushed_filter(df, "l_shipdate")
+    pi.assert_broadcast_join(df)
+
+
+def test_q19_extracts_per_side_conjuncts(spark):
+    """The disjunctive predicate must not block pushdown entirely:
+    Catalyst extracts brand/size/quantity conjuncts below the join."""
+    df = REGISTRY["q19_discounted_revenue"].fn(spark, SF_DIR)
+    plan = pi.formatted_plan(df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    # the OR of quantity ranges reaches the lineitem scan, the OR of
+    # brand/size conjuncts reaches the part scan
+    assert any("l_quantity" in ln for ln in pushed), plan
+    assert any("p_brand" in ln for ln in pushed), plan
+
+
+def test_salted_join_has_no_salt_in_output_and_spreads(spark):
+    from architrave_project_apache_nifi_spark.operators.skew import SALT
+
+    df = REGISTRY["salted_join_order_volume_by_nation"].fn(spark, SF_DIR)
+    assert SALT not in df.columns
