@@ -84,6 +84,35 @@ def parse_envelope(raw: DataFrame, json_col: str = "value") -> DataFrame:
     ).select("e.*")
 
 
+def parse_envelope_with_errors(
+    raw: DataFrame, json_col: str = "value"
+) -> tuple[DataFrame, DataFrame]:
+    """Like :func:`parse_envelope`, but routes malformed input to a bad
+    -records DataFrame instead of silently nulling it. Parsing runs
+    PERMISSIVE with a ``_corrupt_record`` column — the Spark-native
+    corrupt-row channel — so even partially-parseable garbage is
+    flagged, not absorbed as an all-null struct. Returns ``(good,
+    bad)``; feed ``bad`` to ``sinks.write_failures`` — the LogMessage
+    failure route (final_template.xml:738, :4031-4099) made queryable."""
+    schema_with_corrupt = StructType(
+        [*CDC_ENVELOPE_SCHEMA.fields, StructField("_corrupt_record", StringType())]
+    )
+    parsed = raw.select(
+        F.col(json_col).alias("_raw"),
+        F.from_json(
+            F.col(json_col),
+            schema_with_corrupt,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("e"),
+    )
+    ok = F.col("e").isNotNull() & F.col("e._corrupt_record").isNull()
+    good = parsed.filter(ok).select("e.*").drop("_corrupt_record")
+    bad = parsed.filter(~ok & F.col("_raw").isNotNull()).select(
+        F.col("_raw").alias("raw_payload")
+    )
+    return good, bad
+
+
 def flatten_events(events: DataFrame, keep: tuple[str, ...] = ("type", "timestamp", "cdc_sequence_id")) -> DataFrame:
     """The reference's first transform: pivot the ``columns`` array into
     flat, typed product columns ("Transform to Flat JSON",

@@ -82,6 +82,22 @@ def running_user_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps a key's fingerprint only
+    until the watermark passes its event time, then frees it — the
+    at-least-once CDC replay guard (reference replays binlog events
+    after restart, SURVEY.md §4.1 retry row) whose state does not grow
+    with the stream. Contrast ``streaming_first_seen`` below: exact
+    forever-dedup, state O(distinct keys)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 FIRST_SEEN_STATE = StructType([StructField("seen", LongType())])
 
 FIRST_SEEN_OUTPUT = StructType(

@@ -104,3 +104,26 @@ def test_align_to_schema_reconciles_case_and_extras(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_parse_envelope_with_errors_routes_bad_records(spark, tmp_path):
+    """Malformed envelope JSON goes to the bad side-channel (LogMessage
+    failure route), never silently nulls into the good stream."""
+    from architrave_project_apache_nifi_spark.sources import sinks
+    from architrave_project_apache_nifi_spark.sources.cdc import (
+        golden_scenario_events,
+        parse_envelope_with_errors,
+    )
+
+    good_json = json.dumps(golden_scenario_events()[0])
+    raw = spark.createDataFrame(
+        [(good_json,), ("{not json at all",), (None,)], "value STRING"
+    )
+    good, bad = parse_envelope_with_errors(raw)
+    assert good.count() == 1
+    assert good.first().table_name == "products_catalog"
+    bad_rows = bad.collect()
+    assert [r.raw_payload for r in bad_rows] == ["{not json at all"]
+    sinks.write_failures(bad, str(tmp_path / "bad"), reason="envelope_parse_error")
+    back = spark.read.parquet(str(tmp_path / "bad")).collect()
+    assert back[0].failure_reason == "envelope_parse_error"

@@ -95,3 +95,24 @@ def test_with_retry_bounded(spark):
 
     with pytest.raises(RuntimeError, match="poison batch"):
         sinks.with_retry(always_fails, attempts=2, backoff_s=0.01)
+
+
+def test_history_current_read_prunes_partitions(spark, tmp_path):
+    """write_history partitions by is_current, so the hot 'give me
+    current rows' read (the reference's Is_current='Y' lookup subquery,
+    FT:1439) must plan as a partition-pruned scan, not a full scan +
+    filter."""
+    from pyspark.sql import functions as F
+
+    from architrave_project_apache_nifi_spark.plans.inspect import formatted_plan
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "Y"), (1, 9.0, "N"), (2, 20.0, "Y")],
+        "pid INT, price DOUBLE, is_current STRING",
+    )
+    path = str(tmp_path / "hist")
+    sinks.write_history(df, path)
+    current = sinks.read_history(spark, path).filter(F.col("is_current") == "Y")
+    plan = formatted_plan(current)
+    assert "PartitionFilters: [isnotnull(is_current" in plan, plan
+    assert current.count() == 2

@@ -105,3 +105,31 @@ def test_first_seen_emits_each_key_once(spark, tmp_path):
     # batch's event (id=9) is suppressed by state
     assert by_user[7].event_id == 2
     assert by_user[8].event_id == 1
+
+
+def test_dedup_within_watermark_across_batches(spark, tmp_path):
+    """The same (user_id, event_id) replayed in a later micro-batch
+    within the watermark is suppressed; distinct events all pass."""
+    from architrave_project_apache_nifi_spark.streaming.stateful import (
+        dedup_within_watermark,
+    )
+
+    src = str(tmp_path / "in")
+    _write_batch(src, "b0", [
+        (10, "2026-01-01T10:00:00", 1, 1.0),
+        (20, "2026-01-01T10:01:00", 2, 2.0),
+    ])
+    _write_batch(src, "b1", [
+        (10, "2026-01-01T10:00:00", 1, 1.0),  # replayed duplicate
+        (11, "2026-01-01T10:05:00", 1, 3.0),
+    ])
+    out: list = []
+    _run(
+        spark,
+        dedup_within_watermark(_stream(spark, src), ["user_id", "event_id"]),
+        str(tmp_path / "ck"),
+        out,
+        mode="append",
+    )
+    got = sorted((r.user_id, r.event_id) for r in out)
+    assert got == [(1, 10), (1, 11), (2, 20)]
