@@ -1449,6 +1449,36 @@ def q_sketch_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pivot_user_event_matrix",
+    """
+SELECT user_id,
+       sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
+       sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+       sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup,
+       sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view
+FROM events GROUP BY user_id
+""",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic pivot (the dynamic form of the reference's Jolt shift,
+    SURVEY.md §2.3 #11): user × event-type count matrix. Pivot values
+    are pinned so the plan is one pass / one shuffle (unpinned pivot
+    costs an extra distinct-values job)."""
+    events = load(spark, "events", sf_dir)
+    out = (
+        events.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c)
+          for c in ("click", "error", "purchase", "signup", "view")],
+    )
+
+
+@register(
     "salted_agg_user_stats",
     """
 SELECT user_id, count(event_id) AS n_events, round(sum(value), 2) AS sum_value
