@@ -1,0 +1,114 @@
+"""Property-based SCD2 tests (hypothesis): for ARBITRARY change streams
+and ARBITRARY micro-batch boundaries,
+
+1. the incremental merge chain (`scd2_apply` per batch) equals the
+   one-shot batch build (`scd2_build`) — micro-batch boundaries cannot
+   change the result (the determinism the reference lacks, SURVEY.md
+   §2.8 Bugs 1-3);
+2. the SCD2 invariants hold: exactly one current row per key,
+   half-open interval chaining, NULL valid_until only on current rows.
+
+Examples are kept small (Spark round-trip per example) but the event
+shapes — duplicate timestamps, many versions of one key, single-event
+keys — are exactly the corners the golden fixture cannot enumerate.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from architrave_project_apache_nifi_spark.operators.scd2 import (
+    scd2_apply,
+    scd2_build,
+)
+
+# an event = (key ∈ 4 values, ts-minute ∈ 0..9, price); seq = list index
+# breaks ties deterministically, like the reference's cdc.sequence.id
+_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),
+        st.integers(min_value=0, max_value=9),
+        st.sampled_from([10.0, 20.0, 30.0]),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _df(spark, events):
+    rows = [
+        (k, p, dt.datetime(2026, 1, 1, 8, m), i)
+        for i, (k, m, p) in enumerate(events)
+    ]
+    return spark.createDataFrame(
+        rows, "ProductID INT, Price DOUBLE, change_ts TIMESTAMP, seq LONG"
+    )
+
+
+def _norm(df):
+    return sorted(
+        (r.ProductID, r.Price, r.valid_from, r.valid_until, r.is_current, r.seq)
+        for r in df.collect()
+    )
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(events=_EVENTS, cut=st.integers(min_value=0, max_value=11), data=st.data())
+def test_apply_chain_equals_rebuild(spark, events, cut, data):
+    # batches must arrive in event-time order (the engine orders within
+    # a batch by (ts, seq); cross-batch late data is the watermark's
+    # job) — so cut the (ts, seq)-sorted stream, not the raw list
+    events = sorted(events, key=lambda e: e[1])
+    rows = [
+        (k, p, dt.datetime(2026, 1, 1, 8, m), i)
+        for i, (k, m, p) in enumerate(events)
+    ]
+    schema = "ProductID INT, Price DOUBLE, change_ts TIMESTAMP, seq LONG"
+    cut = min(cut, len(rows))
+    cut2 = data.draw(st.integers(min_value=cut, max_value=len(rows)))
+    parts = [rows[:cut], rows[cut:cut2], rows[cut2:]]
+
+    rebuilt = scd2_build(
+        spark.createDataFrame(rows, schema), "ProductID", "change_ts", ("seq",)
+    )
+
+    hist = None
+    for part in parts:
+        if not part:
+            continue
+        batch = spark.createDataFrame(part, schema)
+        if hist is None:
+            hist = scd2_build(batch, "ProductID", "change_ts", ("seq",))
+        else:
+            hist = scd2_apply(hist, batch, "ProductID", "change_ts", ("seq",))
+    assert hist is not None
+    assert _norm(hist) == _norm(rebuilt)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(events=_EVENTS)
+def test_build_invariants(spark, events):
+    hist = scd2_build(_df(spark, events), "ProductID", "change_ts", ("seq",))
+    rows = hist.collect()
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r.ProductID, []).append(r)
+    for k, versions in by_key.items():
+        current = [r for r in versions if r.is_current == "Y"]
+        assert len(current) == 1, f"key {k}: {len(current)} current rows"
+        assert current[0].valid_until is None
+        chain = sorted(versions, key=lambda r: (r.valid_from, r.seq))
+        for a, b in zip(chain, chain[1:]):
+            assert a.valid_until == b.valid_from, f"key {k}: broken chain"
+            assert a.is_current == "N"
