@@ -1449,6 +1449,54 @@ def q_sketch_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "wordcount_top100",
+    """
+SELECT tok, count(*) AS n
+FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents)
+WHERE tok <> ''
+GROUP BY tok
+ORDER BY n DESC, tok
+LIMIT 100
+""",
+)
+def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generator shape (explode → agg → top-k): corpus token
+    frequencies. Partial aggregation absorbs the explosion map-side —
+    the shuffle carries one row per distinct token per task, not one
+    per token occurrence."""
+    docs = spread(load(spark, "documents", sf_dir), "doc_id")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(100)
+    )
+
+
+@register(
+    "array_agg_user_events",
+    """
+SELECT user_id, list_sort(list(event_id)) AS event_ids,
+       CAST(len(list(event_id)) AS INT) AS n_events
+FROM events WHERE event_type = 'signup' GROUP BY user_id
+""",
+)
+def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation with a deterministic order: ``collect_list``
+    order is partition-dependent, so ``sort_array`` pins it (the oracle
+    pins with ``list_sort``)."""
+    events = load(spark, "events", sf_dir).filter(F.col("event_type") == "signup")
+    return events.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("event_id")).alias("event_ids"),
+        F.count(F.lit(1)).cast("int").alias("n_events"),
+    )
+
+
+@register(
     "pivot_user_event_matrix",
     """
 SELECT user_id,

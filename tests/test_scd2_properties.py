@@ -49,9 +49,13 @@ def _df(spark, events):
 
 
 def _norm(df):
-    return sorted(
+    rows = [
         (r.ProductID, r.Price, r.valid_from, r.valid_until, r.is_current, r.seq)
         for r in df.collect()
+    ]
+    # None valid_until (current rows) sorts first; equality stays exact
+    return sorted(
+        rows, key=lambda t: (t[0], t[1], t[2], t[3] is not None, t[3] or dt.datetime.min, t[4], t[5])
     )
 
 
