@@ -174,6 +174,7 @@ def ivf_topk(
     nlist: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    max_iter: int = 5,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index:
 
@@ -194,7 +195,7 @@ def ivf_topk(
 
     from pyspark.ml.functions import array_to_vector
 
-    cents, model = ivf_centroids(corpus, vec_col, nlist, seed)
+    cents, model = ivf_centroids(corpus, vec_col, nlist, seed, max_iter)
     C = np.array(cents, dtype=np.float64)
 
     assigned = (

@@ -839,7 +839,10 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return sim.ivf_topk(emb, queries, k=_TOP_K, nlist=16, nprobe=4)
+    # nprobe/nlist = 1/2 on the clustered test embeddings: recall 0.86
+    # vs brute force (0.66 at 4/16); at 100 TB drop the ratio and raise
+    # nlist — cells shrink, the scan fraction falls with it
+    return sim.ivf_topk(emb, queries, k=_TOP_K, nlist=16, nprobe=8)
 
 
 # ---------------------------------------------------------------------------
