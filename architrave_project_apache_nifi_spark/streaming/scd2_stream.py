@@ -66,6 +66,41 @@ def _merge_batch(
     write_history(final, history_path, mode="overwrite")
 
 
+def run_scd2_stream_from(
+    spark: SparkSession,
+    stream: DataFrame,
+    history_path: str,
+    checkpoint_path: str,
+    key: str = "ProductID",
+    ts_col: str = "change_ts",
+    await_termination_s: float | None = None,
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """Wire ANY envelope-shaped streaming DataFrame (file source, Kafka,
+    the custom ``cdc_replay`` Python DataSource) into the SCD2 merge
+    sink — the source is pluggable, the merge is one code path.
+
+    ``processing_time``: use a continuous micro-batch trigger instead of
+    availableNow (Python DataSources don't implement availableNow; the
+    caller stops the query — the reference's always-on 200 ms poll)."""
+    os.makedirs(checkpoint_path, exist_ok=True)
+
+    def sink(batch: DataFrame, _batch_id: int) -> None:
+        _merge_batch(spark, batch, history_path, key, ts_col)
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if processing_time is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    query = writer.start()
+    if await_termination_s is not None:
+        query.awaitTermination(await_termination_s)
+    return query
+
+
 def run_scd2_stream(
     spark: SparkSession,
     input_path: str,
@@ -77,18 +112,8 @@ def run_scd2_stream(
     await_termination_s: float | None = None,
 ) -> StreamingQuery:
     """Wire the CDC file stream into the SCD2 merge sink."""
-    os.makedirs(checkpoint_path, exist_ok=True)
     stream = cdc.read_envelope_stream(spark, input_path, max_files_per_trigger)
-
-    def sink(batch: DataFrame, _batch_id: int) -> None:
-        _merge_batch(spark, batch, history_path, key, ts_col)
-
-    query = (
-        stream.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_path)
-        .trigger(availableNow=True)
-        .start()
+    return run_scd2_stream_from(
+        spark, stream, history_path, checkpoint_path, key, ts_col,
+        await_termination_s,
     )
-    if await_termination_s is not None:
-        query.awaitTermination(await_termination_s)
-    return query

@@ -1,0 +1,74 @@
+"""Full-engine integration: custom Python DataSource SOURCE (rate-
+limited CDC replay) → streaming SCD2 merge (foreachBatch) → parquet
+history store → custom Python DataSource SINK (transactional JSON
+audit). Every hop of the reference DAG (SURVEY.md §2.6) through this
+engine's own custom endpoints in one test."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from architrave_project_apache_nifi_spark.sources import cdc, pyds, pyds_sink
+from architrave_project_apache_nifi_spark.sources.sinks import read_history
+from architrave_project_apache_nifi_spark.streaming.scd2_stream import (
+    run_scd2_stream_from,
+)
+
+
+def test_custom_source_to_scd2_to_custom_sink(spark, tmp_path):
+    src = str(tmp_path / "in")
+    cdc.write_golden_scenario(src, files=2)
+
+    pyds.register(spark)
+    pyds_sink.register(spark)
+
+    # rate-limited custom source: 3 events per micro-batch → the golden
+    # scenario's 7 events span multiple batches, like the 200 ms poll
+    stream = (
+        spark.readStream.format("cdc_replay")
+        .option("path", src)
+        .option("maxEventsPerBatch", 3)
+        .load()
+    )
+    hist_path = str(tmp_path / "hist")
+    q = run_scd2_stream_from(
+        spark, stream, hist_path, str(tmp_path / "ckpt"),
+        processing_time="50 milliseconds",  # Python sources lack availableNow
+    )
+
+    def _done() -> bool:
+        try:
+            return read_history(spark, hist_path).count() == 5
+        except Exception:
+            return False
+
+    deadline = time.monotonic() + 120
+    try:
+        while time.monotonic() < deadline and not _done():
+            time.sleep(0.3)
+    finally:
+        q.stop()
+    assert _done(), "stream did not converge to the golden history"
+
+    hist = read_history(spark, hist_path)
+    rows = hist.collect()
+    assert len(rows) == 5
+    v9014 = sorted(
+        (r for r in rows if r.ProductID == 9014), key=lambda r: r.valid_from
+    )
+    assert [r.Price for r in v9014] == [56.0, 100.0, 120.0]
+    assert [r.is_current for r in v9014] == ["N", "N", "Y"]
+    assert v9014[0].valid_until == v9014[1].valid_from
+
+    # audit the final history through the custom transactional sink
+    audit = str(tmp_path / "audit")
+    hist.withColumn("audited_at", F.lit("r1")).write.format("json_audit").option(
+        "path", audit
+    ).mode("overwrite").save()
+    back = pyds_sink.read_committed(spark, audit)
+    assert back.count() == 5
+    assert sorted(r.Price for r in back.filter(F.col("ProductID") == 9014).collect()) == [
+        56.0, 100.0, 120.0,
+    ]
