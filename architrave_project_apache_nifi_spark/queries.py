@@ -1157,6 +1157,64 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q7_nation_volume",
+    """
+SELECT supp_nation, cust_nation, l_year,
+       round(sum(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l.l_shipdate) AS INT) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def q_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: 5-way join with a cross-side disjunctive nation
+    predicate. lineitem shuffles once (orders join); supplier, customer,
+    and both nation legs broadcast; the nation-pair filter applies after
+    the cheap broadcast joins, before aggregation."""
+    s = load(spark, "supplier", sf_dir)
+    l = load(spark, "lineitem", sf_dir)
+    o = load(spark, "orders", sf_dir)
+    c = load(spark, "customer", sf_dir)
+    n = load(spark, "nation", sf_dir)
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
     "q10_returned_items",
     """
 SELECT c.c_custkey, c.c_name,
