@@ -1157,6 +1157,32 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q4_order_priority",
+    """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00')
+GROUP BY o_orderpriority
+""",
+)
+def q_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS (left_semi on the filtered fact) feeding
+    an aggregation. The semi join deduplicates by construction — no
+    distinct needed before the count."""
+    orders = load(spark, "orders", sf_dir)
+    li = load(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") > F.lit("1997-06-01").cast("timestamp")
+    )
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
     "q7_nation_volume",
     """
 SELECT supp_nation, cust_nation, l_year,
