@@ -214,6 +214,47 @@ def ngram_jaccard_pairs(
     )
 
 
+def verify_candidate_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard on a given candidate-pair set — the
+    verification stage of the composed LSH pipeline (candidates come
+    from ``minhash_lsh_candidates``; false positives are filtered here,
+    so only LSH recall matters).
+
+    ``candidates`` must have columns (id_a, id_b). Each side's deduped
+    shingle array is joined onto the pair row, then the intersection is
+    computed per pair with ``array_intersect`` — no shingle explosion,
+    no quadratic self-join: cost is O(|candidates| · shingles-per-doc),
+    and the two joins shuffle only the candidate pairs plus one
+    shingle-array row per referenced doc. At 100 TB this is the scale
+    path: LSH bounds |candidates|, verification stays linear in it."""
+    shs = _shingle_sets(df, id_col, text_col, shingle_n)
+    a = shs.select(
+        F.col("__id").alias("id_a"), F.col("__shs").alias("__shs_a")
+    )
+    b = shs.select(
+        F.col("__id").alias("id_b"), F.col("__shs").alias("__shs_b")
+    )
+    paired = (
+        candidates.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+    )
+    n_common = F.size(F.array_intersect(F.col("__shs_a"), F.col("__shs_b")))
+    jaccard = n_common / (
+        F.size("__shs_a") + F.size("__shs_b") - n_common
+    )
+    return (
+        paired.select("id_a", "id_b", jaccard.alias("__j"))
+        .filter(F.col("__j") >= threshold)
+        .select("id_a", "id_b", F.round("__j", 6).alias("jaccard"))
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
     """SimHash fingerprint: per-token 64-bit hash, per-bit majority vote.
 

@@ -17,6 +17,8 @@ the pruned candidate set.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -164,40 +166,39 @@ def ivf_centroids(
     return [list(map(float, c)) for c in model.clusterCenters()], model
 
 
-def ivf_topk(
+@dataclass
+class IvfIndex:
+    """A built IVF index: the (tiny, nlist×dim) centroid matrix plus the
+    list-assigned corpus — the reusable artifact the probe path reads.
+    ``assigned`` columns: (id_col, list_id, __cv array<double>, __cn)."""
+
+    centroids: list[list[float]]
+    assigned: DataFrame
+    id_col: str
+    nlist: int
+
+
+def ivf_build(
     corpus: DataFrame,
-    queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    query_id_col: str = "query_id",
-    k: int = 10,
-    nlist: int = 16,
-    nprobe: int = 4,
+    nlist: int = 32,
     seed: int = 42,
     max_iter: int = 5,
-) -> DataFrame:
-    """Approximate top-k via an IVF (inverted-file) index:
+    materialize: bool = True,
+) -> IvfIndex:
+    """Build the IVF index ONCE, separate from any query: train the
+    coarse quantizer (distributed k-means), assign every corpus vector
+    to its nearest centroid's inverted list, and materialize the result
+    (``persist`` + count) so probes never re-trigger training.
 
-    1. k-means partitions the corpus into ``nlist`` cells (the coarse
-       quantizer, trained distributed via Spark ML);
-    2. each corpus vector is assigned to its nearest centroid's list —
-       one ``model.transform`` pass, no shuffle beyond k-means itself;
-    3. each query probes only its ``nprobe`` nearest cells, so the
-       scored fraction is ~nprobe/nlist of the corpus instead of 100%.
-
-    The candidate join broadcasts the (tiny) exploded query side, so the
-    corpus is scanned once, partition-parallel, with no corpus shuffle —
-    the same scale shape as ``lsh_topk`` but with data-adaptive cells
-    (k-means tracks the embedding distribution; random hyperplanes
-    don't). Recall vs brute force is asserted in tests."""
-    import numpy as np
-    import pandas as pd
-
+    At 100 TB the index is a persisted table, not a cached DataFrame —
+    ``ivf_save``/``ivf_load`` write/read exactly this shape
+    (lists partitioned by ``list_id`` so a probe's cell filter becomes
+    partition pruning). nlist should grow ~√N so cells stay bounded."""
     from pyspark.ml.functions import array_to_vector
 
     cents, model = ivf_centroids(corpus, vec_col, nlist, seed, max_iter)
-    C = np.array(cents, dtype=np.float64)
-
     assigned = (
         model.transform(
             corpus.select(
@@ -212,6 +213,61 @@ def ivf_topk(
         )
         .withColumn("__cn", l2_norm(F.col("__cv")))
     )
+    if materialize:
+        assigned = assigned.persist()
+        assigned.count()
+    return IvfIndex(centroids=cents, assigned=assigned, id_col=id_col, nlist=nlist)
+
+
+def ivf_save(index: IvfIndex, path: str) -> None:
+    """Persist the index as the on-disk artifact: inverted lists as
+    parquet partitioned by ``list_id`` (probe-time cell filters prune
+    whole directories), centroids as a single-row parquet sidecar."""
+    index.assigned.write.partitionBy("list_id").mode("overwrite").parquet(
+        f"{path}/lists"
+    )
+    spark = index.assigned.sparkSession
+    spark.createDataFrame(
+        [(index.id_col, index.nlist, index.centroids)],
+        "id_col string, nlist int, centroids array<array<double>>",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def ivf_load(spark, path: str) -> IvfIndex:
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    assigned = spark.read.parquet(f"{path}/lists")
+    return IvfIndex(
+        centroids=[list(c) for c in meta.centroids],
+        assigned=assigned,
+        id_col=meta.id_col,
+        nlist=meta.nlist,
+    )
+
+
+def ivf_probe(
+    index: IvfIndex,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe an already-built IVF index: each query scores only its
+    ``nprobe`` nearest cells — a ~nprobe/nlist fraction of the corpus
+    instead of 100%, with NO training on the query path.
+
+    The probed cell set (≤ n_queries × nprobe ints) is collected and
+    pushed as an ``isin`` filter BEFORE the join, so a disk-resident
+    index (ivf_load of list_id-partitioned parquet) scans only the
+    probed partitions; the exploded query side broadcasts, the corpus
+    never shuffles — same scale shape as ``lsh_topk`` but with
+    data-adaptive cells."""
+    import numpy as np
+    import pandas as pd
+
+    id_col = index.id_col
+    C = np.array(index.centroids, dtype=np.float64)
+    nprobe = min(nprobe, index.nlist)
 
     def probe(batches):
         for pdf in batches:
@@ -235,11 +291,17 @@ def ivf_topk(
         )
         .mapInPandas(probe, f"{query_id_col} long, probe int, __qv array<double>")
         .withColumn("__qn", l2_norm(F.col("__qv")))
+        .persist()
     )
+    # Tiny by construction (n_queries × nprobe): safe to collect; the
+    # isin filter below is what turns a partitioned on-disk index into
+    # a partition-pruned scan.
+    probed_cells = [r.probe for r in qprobes.select("probe").distinct().collect()]
 
-    scored = assigned.join(
+    pruned = index.assigned.filter(F.col("list_id").isin(probed_cells))
+    scored = pruned.join(
         F.broadcast(qprobes),
-        (assigned.list_id == qprobes.probe)
+        (pruned.list_id == qprobes.probe)
         & (F.col(id_col) != F.col(query_id_col)),
     ).withColumn(
         "cosine", dot(F.col("__cv"), F.col("__qv")) / (F.col("__cn") * F.col("__qn"))
@@ -252,6 +314,50 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, F.col(id_col).alias("neighbor_id"), "cosine", "rank")
     )
+
+
+_IVF_INDEX_CACHE: dict[tuple, IvfIndex] = {}
+
+
+def ivf_index_for(
+    corpus: DataFrame,
+    cache_key: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 32,
+    seed: int = 42,
+) -> IvfIndex:
+    """Memoized ``ivf_build`` — the 'index is a separate persisted
+    artifact' contract for callers that address corpora by path
+    (e.g. the query registry keyed by sf_dir): first call builds and
+    persists, every later call reuses the cached index."""
+    key = (cache_key, id_col, vec_col, nlist, seed)
+    if key not in _IVF_INDEX_CACHE:
+        _IVF_INDEX_CACHE[key] = ivf_build(
+            corpus, id_col, vec_col, nlist=nlist, seed=seed
+        )
+    return _IVF_INDEX_CACHE[key]
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    nlist: int = 32,
+    nprobe: int = 4,
+    seed: int = 42,
+    max_iter: int = 5,
+) -> DataFrame:
+    """Build-then-probe convenience wrapper (one-shot use; repeated
+    querying should ``ivf_build``/``ivf_save`` once and probe many)."""
+    index = ivf_build(
+        corpus, id_col, vec_col, nlist=nlist, seed=seed, max_iter=max_iter,
+        materialize=False,
+    )
+    return ivf_probe(index, queries, vec_col, query_id_col, k=k, nprobe=nprobe)
 
 
 def lsh_topk(

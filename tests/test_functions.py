@@ -77,7 +77,7 @@ def test_sketch_distinct_error_bound(spark):
     bounds its error instead)."""
     from architrave_project_apache_nifi_spark.queries import REGISTRY
 
-    rows = REGISTRY["sketch_distinct_users"].fn(spark, "/root/testdata/sf0.001").collect()
+    rows = REGISTRY["sketch_approx_aggs"].fn(spark, "/root/testdata/sf0.001").collect()
     assert rows
     for r in rows:
         assert r.exact_users > 0
@@ -93,7 +93,7 @@ def test_sketch_percentile_brackets_exact(spark):
     sf = "/root/testdata/sf0.001"
     got = {
         r.event_type: r.approx_p50_p99
-        for r in REGISTRY["sketch_percentile_value"].fn(spark, sf).collect()
+        for r in REGISTRY["sketch_approx_aggs"].fn(spark, sf).collect()
     }
     bounds = {
         r.event_type: (r.lo, r.hi)

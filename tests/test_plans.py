@@ -79,7 +79,7 @@ def test_scd2_apply_never_shuffles_history(spark):
 
 
 def test_whole_stage_codegen_on_hot_paths(spark):
-    for name in ("q1_pricing_summary", "route_insert", "agg_events_by_type"):
+    for name in ("q1_pricing_summary", "route_events", "agg_percentiles_by_type"):
         df = REGISTRY[name].fn(spark, SF_DIR)
         assert pi.has_wholestage_codegen(df), f"{name} fell out of codegen"
 
