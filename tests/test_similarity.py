@@ -110,6 +110,38 @@ def test_ivf_topk_recall_and_score_exactness(spark):
     assert recall >= 0.5, f"IVF recall {recall:.2f} below floor"
 
 
+def test_ivf_split_build_probe_and_save_load(spark, tmp_path):
+    """The index is a reusable artifact: build once, probe many; a
+    save/load round-trip through the partitioned parquet layout must
+    return the identical result. At the registered operating point
+    (nlist=32, nprobe=12 — ~38% of this isotropic corpus scanned)
+    recall against brute force clears 0.85."""
+    emb = _emb(spark)
+    brute_pairs = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.brute_force_topk(emb, _queries(emb), k=K).collect()
+    }
+    index = sim.ivf_build(emb, nlist=32)
+    probed = sorted(
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in sim.ivf_probe(index, _queries(emb), k=K, nprobe=12).collect()
+    )
+    got_pairs = {(q, n) for q, _, n in probed}
+    recall = sum(1 for p in brute_pairs if p in got_pairs) / len(brute_pairs)
+    assert recall >= 0.85, f"IVF recall {recall:.2f} below floor"
+
+    path = str(tmp_path / "ivf_index")
+    sim.ivf_save(index, path)
+    loaded = sim.ivf_load(spark, path)
+    assert loaded.nlist == index.nlist
+    reprobed = sorted(
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in sim.ivf_probe(loaded, _queries(emb), k=K, nprobe=12).collect()
+    )
+    assert reprobed == probed
+    index.assigned.unpersist()
+
+
 def test_ivf_deterministic_across_runs(spark):
     emb = _emb(spark)
     a = sorted(
