@@ -37,6 +37,15 @@ def write_history(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 
 def read_history(spark: SparkSession, path: str) -> DataFrame:
+    """Read a history table: either the incremental manifest-committed
+    store the streaming sink writes (streaming/history_store.py) or a
+    plain (optionally partitioned) parquet directory from
+    ``write_history``."""
+    from ..streaming.history_store import Scd2Store
+
+    store = Scd2Store(path)
+    if store.exists():
+        return store.read_all(spark)
     return spark.read.parquet(path)
 
 

@@ -5,9 +5,12 @@ Reference DAG (SURVEY.md §2.6): CaptureChangeMySQL → RouteOnAttribute →
 insert new) + (Task 2 lookup old current → expire UPDATE)].
 
 Engine: one ``foreachBatch`` running the deterministic batch merge
-(operators/scd2.scd2_apply) against the parquet history store. This
-collapses the reference's two racing sinks into one atomic
-rewrite-per-micro-batch, fixing Bugs 1-3 (SURVEY.md §2.8):
+(operators/scd2.scd2_apply) against the incremental manifest-committed
+history store (history_store.Scd2Store: immutable per-batch closed-row
+directories + a replaced current-rows snapshot — O(|current|+|batch|)
+I/O per micro-batch, never O(|history|)). This collapses the
+reference's two racing sinks into one atomic commit-per-micro-batch,
+fixing Bugs 1-3 (SURVEY.md §2.8):
 
 - within-batch multi-updates to one key chain correctly (window lead);
 - expire-then-insert is one plan — no race;
@@ -36,12 +39,38 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.scd2 import scd2_apply, scd2_build
 from ..sources import cdc
-from ..sources.sinks import read_history, write_history
+from .history_store import Scd2Store
 
 
 def _merge_batch(
-    spark: SparkSession, batch: DataFrame, history_path: str, key: str, ts_col: str
+    spark: SparkSession,
+    batch: DataFrame,
+    history_path: str,
+    key: str,
+    ts_col: str,
+    batch_id: int,
 ) -> None:
+    """Merge one micro-batch into the incremental history store.
+
+    Closed SCD2 rows are immutable, so the merge runs against the
+    CURRENT-rows snapshot only (``scd2_apply`` never modifies
+    ``is_current='N'`` rows — they would pass through verbatim), and the
+    commit writes O(|current| + |batch|) bytes: the closed delta is
+    appended as an immutable per-batch directory, the current snapshot
+    is replaced. Accumulated history is never rewritten (the round-1
+    full-store double rewrite is gone).
+
+    Exactly-once: the store records the committed batch id; a replayed
+    micro-batch (crash between store commit and checkpoint commit) is
+    detected by ``version >= batch_id`` and skipped — the store and the
+    checkpoint form a pair (wiping one requires wiping the other).
+    A missing store is detected EXPLICITLY via the manifest; a corrupt
+    or unreadable store raises and fails the batch instead of being
+    silently rebuilt from one micro-batch.
+    """
+    store = Scd2Store(history_path)
+    if store.exists() and store.manifest()["version"] >= batch_id:
+        return  # replayed, already committed — idempotent no-op
     changes = (
         cdc.flatten_events(
             batch.filter(F.col("type").isin("insert", "update")),
@@ -51,19 +80,22 @@ def _merge_batch(
     )
     if not changes.head(1):
         return
-    try:
-        history = read_history(spark, history_path)
-        merged = scd2_apply(history, changes, key, ts_col, order_cols=("cdc_sequence_id",))
-    except Exception:  # first batch — no store yet
+    if store.exists():
+        current = store.read_current(spark)
+        merged = scd2_apply(
+            current, changes, key, ts_col, order_cols=("cdc_sequence_id",)
+        )
+    else:
         merged = scd2_build(changes, key, ts_col, order_cols=("cdc_sequence_id",))
-    # Write-then-swap: parquet overwrite of a path we're reading needs a
-    # staging hop (same-path read/write is undefined). At scale this
-    # becomes a transactional table format commit (Delta/Iceberg) or a
-    # partition-scoped overwrite of only touched is_current partitions.
-    staging = history_path.rstrip("/") + ".staging"
-    write_history(merged, staging, mode="overwrite")
-    final = read_history(spark, staging)
-    write_history(final, history_path, mode="overwrite")
+    merged = merged.persist()  # one evaluation feeds both commit writes
+    try:
+        store.commit(
+            new_current=merged.filter(F.col("is_current") == "Y"),
+            closed_delta=merged.filter(F.col("is_current") == "N"),
+            batch_id=batch_id,
+        )
+    finally:
+        merged.unpersist()
 
 
 def run_scd2_stream_from(
@@ -85,8 +117,8 @@ def run_scd2_stream_from(
     caller stops the query — the reference's always-on 200 ms poll)."""
     os.makedirs(checkpoint_path, exist_ok=True)
 
-    def sink(batch: DataFrame, _batch_id: int) -> None:
-        _merge_batch(spark, batch, history_path, key, ts_col)
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        _merge_batch(spark, batch, history_path, key, ts_col, batch_id)
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_path

@@ -54,3 +54,82 @@ def test_stream_multi_microbatch_and_restart(spark, tmp_path):
     q2 = run_scd2_stream(spark, str(src), hist_path, ckpt, max_files_per_trigger=1)
     q2.awaitTermination()
     assert read_history(spark, hist_path).count() == 5
+
+
+def _snapshot_files(root):
+    out = {}
+    for dirpath, _dirs, files in __import__("os").walk(root):
+        for f in files:
+            p = __import__("os").path.join(dirpath, f)
+            st = __import__("os").stat(p)
+            out[p] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def test_stream_incremental_store_never_rewrites_closed_batches(spark, tmp_path):
+    """The scale contract of the incremental store: committed closed-row
+    directories are immutable — later micro-batches must not rewrite
+    (or even touch) them, and per-batch I/O is O(current + delta)."""
+    import json
+    import os
+
+    from architrave_project_apache_nifi_spark.sources.cdc import (
+        _envelope,
+    )
+
+    src = tmp_path / "in"
+    cdc.write_golden_scenario(str(src), files=4)
+    hist_path, ckpt = str(tmp_path / "hist"), str(tmp_path / "ckpt")
+    q = run_scd2_stream(spark, str(src), hist_path, ckpt, max_files_per_trigger=1)
+    q.awaitTermination()
+    closed_root = os.path.join(hist_path, "closed")
+    before = _snapshot_files(closed_root)
+    assert before, "expected committed closed batches after the golden run"
+
+    # a new event arrives (another price update to 9014) → one more batch
+    with open(src / "events_9999.json", "w") as fh:
+        fh.write(json.dumps(_envelope(9, "update", 9014, price=140.0)) + "\n")
+    q2 = run_scd2_stream(spark, str(src), hist_path, ckpt, max_files_per_trigger=1)
+    q2.awaitTermination()
+
+    after = _snapshot_files(closed_root)
+    for path, sig in before.items():
+        assert after.get(path) == sig, f"closed file rewritten: {path}"
+    assert len(after) > len(before)  # the new batch added its own closed dir
+
+    hist = read_history(spark, hist_path).collect()
+    v = sorted((r for r in hist if r.ProductID == 9014), key=lambda r: r.valid_from)
+    assert [x.Price for x in v] == [56.0, 100.0, 120.0, 140.0]
+    assert [x.is_current for x in v] == ["N", "N", "N", "Y"]
+    assert v[2].valid_until == v[3].valid_from
+
+
+def test_stream_corrupt_store_fails_batch_instead_of_rebuilding(spark, tmp_path):
+    """A store whose manifest points at unreadable data must FAIL the
+    micro-batch (error propagates out of the streaming query) — never
+    silently rebuild history from the current batch alone."""
+    import json
+    import os
+    import shutil
+
+    import pytest
+
+    src = tmp_path / "in"
+    cdc.write_golden_scenario(str(src), files=1)
+    hist_path, ckpt = str(tmp_path / "hist"), str(tmp_path / "ckpt")
+    q = run_scd2_stream(spark, str(src), hist_path, ckpt)
+    q.awaitTermination()
+    assert read_history(spark, hist_path).count() == 5
+
+    # corrupt: delete the current snapshot the manifest references
+    with open(os.path.join(hist_path, "_MANIFEST.json")) as fh:
+        version = json.load(fh)["version"]
+    shutil.rmtree(os.path.join(hist_path, "current", f"v={version}"))
+
+    with open(src / "events_9999.json", "w") as fh:
+        from architrave_project_apache_nifi_spark.sources.cdc import _envelope
+
+        fh.write(json.dumps(_envelope(9, "update", 9014, price=140.0)) + "\n")
+    q2 = run_scd2_stream(spark, str(src), hist_path, str(tmp_path / "ckpt"))
+    with pytest.raises(Exception, match="(?i)path does not exist|PATH_NOT_FOUND"):
+        q2.awaitTermination()
