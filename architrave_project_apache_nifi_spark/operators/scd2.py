@@ -194,8 +194,11 @@ def scd2_invariants(
     chain = (
         history.withColumn("__next_from", F.lead("valid_from").over(w))
         .filter(
+            # null-safe: a non-current row with NULL valid_until that has
+            # a successor is broken too — plain != would return NULL and
+            # silently drop it from the check
             F.col("__next_from").isNotNull()
-            & (F.col("valid_until") != F.col("__next_from"))
+            & ~F.col("valid_until").eqNullSafe(F.col("__next_from"))
         )
         .select(*keys, F.lit("broken_interval_chain").alias("violation"))
     )

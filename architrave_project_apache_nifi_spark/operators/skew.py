@@ -31,6 +31,24 @@ from pyspark.sql import functions as F
 SALT = "__salt"
 
 
+# joins where an unmatched SMALL-side row can never reach the output —
+# the only modes salting is correct for: the small side is replicated
+# ×n_salts, so right/full/outer would emit every unmatched small row
+# once per replica.
+_SAFE_HOW = {
+    "inner": "inner",
+    "left": "left",
+    "leftouter": "left",
+    "left_outer": "left",
+    "semi": "left_semi",
+    "leftsemi": "left_semi",
+    "left_semi": "left_semi",
+    "anti": "left_anti",
+    "leftanti": "left_anti",
+    "left_anti": "left_anti",
+}
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -41,14 +59,28 @@ def salted_join(
     """Equi-join with the big side salted and the small side replicated
     ``n_salts``×. Use when the small side is too big to broadcast and
     the key histogram is skewed. Output columns = big ∪ small minus the
-    duplicate key (like ``join(..., on=str)``)."""
+    duplicate key (like ``join(..., on=str)``; semi/anti keep only the
+    big side's columns).
+
+    Only ``inner``/``left``/``left_semi``/``left_anti`` are accepted:
+    these never emit unmatched small-side rows, so the ×``n_salts``
+    replication cannot surface duplicates. ``right``/``full`` would —
+    salt the other input (swap the arguments) instead."""
+    resolved = _SAFE_HOW.get(how.lower())
+    if resolved is None:
+        raise ValueError(
+            f"salted_join(how={how!r}) is not replication-safe: unmatched "
+            "small-side rows would appear once per salt replica. Allowed: "
+            "inner, left, left_semi, left_anti (salt the other side for "
+            "right/full semantics)."
+        )
     big_s = big.withColumn(
         SALT, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
     )
     small_r = small.withColumn(
         SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
-    out = big_s.join(small_r, [on, SALT], how)
+    out = big_s.join(small_r, [on, SALT], resolved)
     return out.drop(SALT)
 
 
@@ -76,7 +108,7 @@ def salted_agg(
     alone, moving only ``n_salts`` rows per key. Results are identical
     to a single-phase agg. Non-algebraic aggregates (median,
     collect_list) cannot be salted — use the sketch path
-    (queries.py `sketch_percentile_value`) instead."""
+    (queries.py `sketch_approx_aggs`) instead."""
     for name, (fn, _) in aggs.items():
         if fn not in _PARTIAL:
             raise ValueError(

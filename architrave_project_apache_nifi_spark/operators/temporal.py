@@ -98,9 +98,18 @@ def range_join_binned(
     columns + right columns suffixed ``_r`` on collision."""
     assert upper_s > lower_s
     keys = _as_list(key_cols)
-    width_us = int((upper_s - lower_s) * 1_000_000)
-    lo_us = int(lower_s * 1_000_000)
-    hi_us = int(upper_s * 1_000_000)
+    # round, don't truncate, and enforce microsecond granularity: a span
+    # under 1 µs would yield width_us == 0 (division by zero in the bin
+    # expressions), and truncation would skew bins for non-integral-µs
+    # spans.
+    width_us = round((upper_s - lower_s) * 1_000_000)
+    if width_us < 1:
+        raise ValueError(
+            f"range_join_binned span {upper_s - lower_s}s is below the "
+            "1-microsecond timestamp granularity"
+        )
+    lo_us = round(lower_s * 1_000_000)
+    hi_us = round(upper_s * 1_000_000)
 
     lts = F.unix_micros(F.col(left_ts))
     rts = F.unix_micros(F.col(right_ts))

@@ -65,24 +65,39 @@ class _AuditWriter(DataSourceWriter):
         return _FileCommit(tmp_name=tmp_name, final_name=final_name, n_rows=n)
 
     def commit(self, messages: list[_FileCommit]) -> None:
-        previous = []
+        """Crash-safe commit order: (1) finalize temp files — invisible
+        to manifest readers until the flip; (2) ATOMICALLY replace the
+        manifest (tmp + ``os.replace``); (3) only then delete files the
+        new manifest no longer references. A crash at any point leaves
+        the currently-installed manifest referencing only intact files —
+        at worst orphan data files exist, which manifest-honoring
+        readers never see."""
         manifest_path = os.path.join(self.path, MANIFEST)
-        if not self.overwrite and os.path.exists(manifest_path):
+        previous = []
+        if os.path.exists(manifest_path):
             with open(manifest_path) as fh:
                 previous = json.load(fh)["files"]
-        if self.overwrite:
-            for entry in os.listdir(self.path):
-                if entry.endswith(".json") and entry != MANIFEST:
-                    os.remove(os.path.join(self.path, entry))
-        committed = list(previous)
+        new_entries = []
         for m in messages:
             os.rename(
                 os.path.join(self.path, m.tmp_name),
                 os.path.join(self.path, m.final_name),
             )
-            committed.append({"file": m.final_name, "n_rows": m.n_rows})
-        with open(manifest_path, "w") as fh:
+            new_entries.append({"file": m.final_name, "n_rows": m.n_rows})
+        committed = new_entries if self.overwrite else previous + new_entries
+        tmp_manifest = manifest_path + ".tmp"
+        with open(tmp_manifest, "w") as fh:
             json.dump({"files": committed}, fh)
+        os.replace(tmp_manifest, manifest_path)
+        if self.overwrite:
+            keep = {e["file"] for e in committed}
+            for entry in os.listdir(self.path):
+                if (
+                    entry.endswith(".json")
+                    and entry != MANIFEST
+                    and entry not in keep
+                ):
+                    os.remove(os.path.join(self.path, entry))
 
     def abort(self, messages: list[_FileCommit]) -> None:
         for m in messages:

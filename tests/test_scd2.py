@@ -82,6 +82,24 @@ def test_scd2_apply_multiple_batches_invariants(spark):
     assert cur == {9012: 106.0, 9013: 77.0, 9014: 120.0}
 
 
+def test_scd2_invariants_flags_null_until_with_successor(spark):
+    """A non-current row whose valid_until is NULL but that HAS a later
+    version is a broken chain — the null-safe comparison must flag it
+    (a plain != yields NULL and silently passes such histories)."""
+    t = dt.datetime(2023, 9, 27, 10, 0)
+    rows = [
+        (1, 10.0, t, None, "N"),  # buggy writer forgot to close the interval
+        (1, 20.0, t.replace(minute=5), None, "Y"),
+    ]
+    hist = spark.createDataFrame(
+        rows,
+        "ProductID INT, Price DOUBLE, valid_from TIMESTAMP, "
+        "valid_until TIMESTAMP, is_current STRING",
+    )
+    violations = {r.violation for r in scd2_invariants(hist, "ProductID").collect()}
+    assert "broken_interval_chain" in violations
+
+
 def test_scd2_stamp_new_matches_reference_defaults(spark):
     df = spark.createDataFrame([(1, 10.0)], "ProductID INT, Price DOUBLE")
     out = scd2_stamp_new(df).collect()[0]

@@ -39,6 +39,30 @@ def test_salted_join_left_outer(spark):
     assert salted == plain
 
 
+def test_salted_join_semi_anti_parity(spark):
+    """left_semi / left_anti never emit small-side rows, so salting is
+    safe — results must equal the unsalted joins."""
+    big = _skewed(spark)
+    dim = spark.range(5).select(F.col("id").alias("k"), F.lit("x").alias("d"))
+    for how in ("left_semi", "left_anti"):
+        plain = sorted((r.k, r.v) for r in big.join(dim, "k", how).collect())
+        salted = sorted(
+            (r.k, r.v)
+            for r in skew.salted_join(big, dim, "k", how=how).collect()
+        )
+        assert salted == plain, how
+
+
+def test_salted_join_rejects_replication_unsafe_how(spark):
+    """right/full would emit each unmatched small-side row once per salt
+    replica — the join must refuse them."""
+    big = _skewed(spark)
+    dim = spark.range(5).select(F.col("id").alias("k"), F.lit("x").alias("d"))
+    for how in ("right", "full", "outer", "full_outer", "cross"):
+        with pytest.raises(ValueError, match="replication-safe"):
+            skew.salted_join(big, dim, "k", how=how)
+
+
 def test_salted_agg_matches_plain_agg(spark):
     events = load(spark, "events", SF_DIR)
     plain = {

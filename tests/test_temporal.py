@@ -74,6 +74,18 @@ def test_range_join_no_duplicate_pairs_across_bins(spark):
         assert {rid for l, rid in pairs if l == lid} == expect
 
 
+def test_range_join_rejects_sub_microsecond_span(spark):
+    import pytest
+
+    from architrave_project_apache_nifi_spark.operators.temporal import (
+        range_join_binned,
+    )
+
+    df = spark.createDataFrame([(1, None)], "k INT, ts TIMESTAMP")
+    with pytest.raises(ValueError, match="microsecond"):
+        range_join_binned(df, df, "k", "ts", "ts", 0.0, 5e-7)
+
+
 def test_sessionize_gap_splits(spark):
     df = spark.createDataFrame(
         [
