@@ -114,7 +114,8 @@ def scd2_apply(
     key_cols: str | Sequence[str],
     ts_col: str,
     order_cols: Sequence[str] = (),
-    broadcast_changes: bool = True,
+    broadcast_changes: bool | None = None,
+    max_broadcast_keys: int = 1_000_000,
 ) -> DataFrame:
     """Merge a batch of changes into an existing SCD2 history.
 
@@ -129,15 +130,23 @@ def scd2_apply(
        alone (final_template.xml:4736, README.md:186);
     3. untouched rows pass through unchanged.
 
-    ``broadcast_changes=True`` broadcasts the per-key first-change
-    summary (one row per touched key) so the history table — the huge
-    side at scale — is never shuffled. Set False if a single batch
-    touches more keys than fit in a broadcast; Catalyst then picks a
-    shuffle join and AQE re-plans at runtime.
+    Broadcasting the per-key first-change summary (one row per touched
+    key) keeps the history table — the huge side at scale — from ever
+    shuffling. The default ``broadcast_changes=None`` AUTO-SIZES the
+    decision from the batch itself: the summary's key count is measured
+    (one cheap map-side-combined agg over the micro-batch) and the
+    broadcast hint applied only under ``max_broadcast_keys``; a batch
+    touching more keys than fit in a driver broadcast falls back to a
+    shuffle join, where AQE re-plans at runtime. Pass True/False to
+    override the heuristic.
     """
     keys = _as_list(key_cols)
 
     first_change = changes.groupBy(*keys).agg(F.min(ts_col).alias("__first_change_ts"))
+    if broadcast_changes is None:
+        # measured, not guessed: the count re-runs only the small summary
+        # aggregation (partial-agg'd map-side), never the history scan
+        broadcast_changes = first_change.count() <= max_broadcast_keys
     if broadcast_changes:
         first_change = F.broadcast(first_change)
 

@@ -95,6 +95,52 @@ def jdbc_append(
     )
 
 
+def jdbc_append_transactional(
+    df: DataFrame,
+    url: str,
+    table: str,
+    properties: dict[str, str],
+    staging_table: str | None = None,
+    batchsize: int = 100,
+) -> int:
+    """All-or-nothing JDBC append — PutSQL's ``Support Fragmented
+    Transactions = true`` (final_template.xml:2284 block), which plain
+    ``jdbc_append`` lacks: Spark's JDBC writer commits per partition, so
+    a mid-job failure can leave the target with SOME partitions' rows.
+
+    Two-phase, same protocol as the ``json_audit`` custom sink
+    (pyds_sink.py) with the staging table playing the temp-files role
+    and one atomic SQL statement playing the manifest flip:
+
+    1. executors write ``df`` to a staging table in parallel (partial
+       staging data after a crash is invisible to readers of the target
+       and is overwritten by the next attempt);
+    2. the driver finalizes with ONE ``INSERT INTO target SELECT … FROM
+       staging`` — a single statement, atomic in any SQL database: the
+       target gains all rows or none;
+    3. staging is dropped.
+
+    Returns rows appended."""
+    staging = staging_table or f"{table}_stage_append"
+    cols = df.columns
+    (
+        df.write.mode("overwrite")
+        .option("batchsize", str(batchsize))
+        .jdbc(url, staging, properties=properties)
+    )
+    # Spark's JDBC writer quotes staging identifiers (case-sensitive);
+    # target identifiers are used verbatim as the caller wrote them.
+    quoted = ", ".join(f'"{c}"' for c in cols)
+    sql = (  # noqa: S608 — identifiers come from the caller, not user data
+        f"INSERT INTO {table} ({', '.join(cols)}) SELECT {quoted} FROM {staging}"
+    )
+    spark = df.sparkSession
+    try:
+        return execute_sql(spark, url, sql, properties)
+    finally:
+        execute_sql(spark, url, f"DROP TABLE {staging}", properties)
+
+
 def execute_sql(spark: SparkSession, url: str, sql: str,
                 properties: dict[str, str] | None = None) -> int:
     """Run one DDL/DML statement on the target database from the driver

@@ -82,6 +82,40 @@ def test_scd2_apply_multiple_batches_invariants(spark):
     assert cur == {9012: 106.0, 9013: 77.0, 9014: 120.0}
 
 
+def test_scd2_apply_broadcast_auto_both_paths_identical(spark):
+    """The auto-sized broadcast decision may only change the physical
+    plan: forcing the shuffle path (max_broadcast_keys=0) must produce
+    the identical history, and the auto path on a small batch must
+    actually broadcast (history never shuffles)."""
+    from architrave_project_apache_nifi_spark.plans import inspect as pi
+
+    changes = _changes(spark)
+    first = changes.filter(F.col("seq") <= 3)
+    second = changes.filter(F.col("seq") > 3)
+    hist = scd2_build(first, "ProductID", "change_ts", ("seq",))
+
+    auto = scd2_apply(hist, second, "ProductID", "change_ts", ("seq",))
+    key = lambda r: (r.ProductID, r.valid_from, r.Price)  # noqa: E731
+    a = sorted(((key(r), r.valid_until, r.is_current) for r in auto.collect()))
+    pi.assert_broadcast_join(auto)
+
+    # force the over-threshold path AND keep Catalyst from silently
+    # re-broadcasting the tiny summary on its own
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        forced_shuffle = scd2_apply(
+            hist, second, "ProductID", "change_ts", ("seq",), max_broadcast_keys=0
+        )
+        b = sorted(
+            ((key(r), r.valid_until, r.is_current) for r in forced_shuffle.collect())
+        )
+        assert "BroadcastHashJoin" not in pi.formatted_plan(forced_shuffle)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert a == b
+
+
 def test_scd2_invariants_flags_null_until_with_successor(spark):
     """A non-current row whose valid_until is NULL but that HAS a later
     version is a broken chain — the null-safe comparison must flag it

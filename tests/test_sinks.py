@@ -69,6 +69,40 @@ def test_jdbc_update_stage_and_merge(spark):
         spark.read.jdbc(url, "hist_stage", properties=DERBY_PROPS).collect()
 
 
+def test_jdbc_append_transactional_all_or_nothing(spark):
+    """The fragmented-transactions guarantee: a job that dies after
+    staging (before the finalize statement) leaves the TARGET untouched;
+    the finalize is one atomic INSERT..SELECT. Simulated by staging the
+    batch without finalizing (what a crash between the phases leaves
+    behind), asserting the target is empty, then running the full
+    two-phase append and asserting every row landed exactly once."""
+    url = _url("txnappenddb")
+    sinks.execute_sql(
+        spark, url, "CREATE TABLE hist (pid INT, price DOUBLE, flag VARCHAR(1))"
+    )
+    df = spark.createDataFrame(
+        [(1, 10.0, "Y"), (2, 20.0, "Y"), (3, 30.0, "N")],
+        "pid INT, price DOUBLE, flag STRING",
+    )
+
+    # phase 1 only — the post-crash state: staging written, target clean
+    df.write.mode("overwrite").jdbc(url, "hist_stage_append", properties=DERBY_PROPS)
+    assert spark.read.jdbc(url, "hist", properties=DERBY_PROPS).count() == 0
+
+    # a retried job re-runs both phases; staging overwrite absorbs the orphan
+    n = sinks.jdbc_append_transactional(df, url, "hist", DERBY_PROPS)
+    assert n == 3
+    back = spark.read.jdbc(url, "hist", properties=DERBY_PROPS)
+    assert sorted((r.PID, r.PRICE, r.FLAG) for r in back.collect()) == [
+        (1, 10.0, "Y"),
+        (2, 20.0, "Y"),
+        (3, 30.0, "N"),
+    ]
+    # staging dropped after finalize
+    with pytest.raises(Exception, match="(?i)not exist|does not exist"):
+        spark.read.jdbc(url, "hist_stage_append", properties=DERBY_PROPS).collect()
+
+
 def test_write_failures_side_channel(spark, tmp_path):
     bad = spark.createDataFrame([(7, "boom")], "ProductID INT, payload STRING")
     sinks.write_failures(bad, str(tmp_path / "failures"), reason="sink_error")
