@@ -147,6 +147,28 @@ def read_envelope_batch(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(CDC_ENVELOPE_SCHEMA).json(path)
 
 
+def read_envelope_socket_stream(
+    spark: SparkSession, host: str, port: int
+) -> DataFrame:
+    """Network CDC stream: one envelope JSON per line over a TCP socket —
+    the live-connector shape of ``CaptureChangeMySQL`` (a push feed from
+    the binlog endpoint, final_template.xml:4110-4382, host/port at
+    :4277) without a database in the loop. Everything downstream is the
+    same pluggable merge (``run_scd2_stream_from``); swapping in a Kafka
+    topic is ``format("kafka")`` + the same ``parse_envelope`` on the
+    value column. Spark's socket source is dev-grade (no offset replay)
+    — production uses the replayable file/Kafka/custom-DataSource
+    variants; this proves the source-agnostic contract over a real
+    network boundary."""
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    return parse_envelope(raw, "value")
+
+
 # ---------------------------------------------------------------------------
 # Deterministic fixture generator — FIXTURES.md F4 golden scenario
 # (the reference's manual README.md:271-307 test as data).

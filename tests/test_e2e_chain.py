@@ -72,3 +72,65 @@ def test_custom_source_to_scd2_to_custom_sink(spark, tmp_path):
     assert sorted(r.Price for r in back.filter(F.col("ProductID") == 9014).collect()) == [
         56.0, 100.0, 120.0,
     ]
+
+
+def test_socket_source_to_scd2_merge(spark, tmp_path):
+    """Live-connector shape (CaptureChangeMySQL's push feed,
+    final_template.xml:4110-4382): envelope JSON over a real TCP socket
+    → the SAME pluggable merge. Proves nothing downstream assumes a
+    file-backed source."""
+    import json
+    import socket
+    import threading
+
+    from architrave_project_apache_nifi_spark.operators.scd2 import scd2_invariants
+
+    events = cdc.golden_scenario_events()
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    stop = threading.Event()
+
+    def serve() -> None:
+        conn, _ = srv.accept()
+        with conn:
+            for e in events:
+                conn.sendall((json.dumps(e) + "\n").encode())
+            stop.wait(120)  # hold the connection open while Spark drains
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    stream = cdc.read_envelope_socket_stream(spark, "127.0.0.1", port)
+    hist_path = str(tmp_path / "hist")
+    q = run_scd2_stream_from(
+        spark, stream, hist_path, str(tmp_path / "ckpt"),
+        processing_time="100 milliseconds",  # socket source lacks availableNow
+    )
+
+    def _done() -> bool:
+        try:
+            return read_history(spark, hist_path).count() == 5
+        except Exception:
+            return False
+
+    deadline = time.monotonic() + 120
+    try:
+        while time.monotonic() < deadline and not _done():
+            time.sleep(0.3)
+    finally:
+        q.stop()
+        stop.set()
+        srv.close()
+    assert _done(), "socket stream did not converge to the golden history"
+
+    hist = read_history(spark, hist_path)
+    assert scd2_invariants(hist, "ProductID").count() == 0
+    v9014 = sorted(
+        (r for r in hist.collect() if r.ProductID == 9014),
+        key=lambda r: r.valid_from,
+    )
+    assert [r.Price for r in v9014] == [56.0, 100.0, 120.0]
+    assert [r.is_current for r in v9014] == ["N", "N", "Y"]
