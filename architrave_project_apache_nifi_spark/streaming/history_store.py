@@ -1,34 +1,38 @@
-"""Incremental SCD2 history store: manifest-committed, append-only.
+"""Incremental SCD2 history store: manifest-committed, append-only,
+bucket-scoped current snapshots.
 
 The round-1 streaming sink rewrote the ENTIRE history store twice per
 micro-batch (merge → staging → final) — O(|history|) I/O per batch, a
 scale-killer at 100 TB. This store exploits the SCD2 write pattern:
 
 - closed rows (``is_current='N'``) are IMMUTABLE — once an interval has
-  a ``valid_until`` it never changes again;
-- only the current-rows set (``is_current='Y'``, one row per live key)
-  is replaced by a merge.
+  a ``valid_until`` it never changes again → appended as per-batch
+  directories that are never touched again;
+- the current-rows set (one row per live key) is hash-BUCKETED by key;
+  a micro-batch rewrites ONLY the buckets containing its touched keys,
+  and every untouched bucket is carried forward in the manifest BY
+  REFERENCE — zero I/O. Per-batch write cost is
+  O(|current rows in touched buckets| + |closed delta|), independent of
+  both accumulated history size and total live-key count.
 
 Layout (a minimal Delta/Iceberg-style commit protocol on plain parquet —
-on a cluster with a transactional table format, ``commit`` maps 1:1 to a
+on a cluster with a transactional table format ``commit`` maps 1:1 to a
 MERGE/commit; the protocol here is what those formats do internally):
 
-    <path>/_MANIFEST.json          {"version": b, "closed_batches": [...]}
-    <path>/current/v=<b>/          snapshot of current rows after batch b
-    <path>/closed/batch=<b>/       rows CLOSED by batch b (immutable)
-
-Per micro-batch I/O: write the (small) closed delta + rewrite the
-current snapshot — O(|current| + |delta|), independent of accumulated
-history size. Historical batches are never touched again
-(``test_streaming.py`` asserts their files stay byte-identical).
+    <path>/_MANIFEST.json
+        {"version": b, "n_buckets": n, "closed_batches": [...],
+         "current_buckets": {"<bucket>": <version that last wrote it>}}
+    <path>/current/v=<b>/__bucket=<i>/   current rows of bucket i as of b
+    <path>/closed/batch=<b>/             rows CLOSED by batch b (immutable)
 
 Crash safety / effectively-exactly-once: both data writes go to
 batch-id-addressed directories (idempotent overwrite on replay of the
 same micro-batch); the manifest is flipped LAST via atomic
-``os.replace``. A crash anywhere leaves the previous manifest — and
-therefore the previous committed state — fully readable; Structured
-Streaming replays the batch, the writes land in the same directories,
-and the flip happens once. Readers never observe a half-written store.
+``os.replace``; reference-based GC runs only after the flip. A crash
+anywhere leaves the previous manifest — and therefore the previous
+committed state — fully readable; Structured Streaming replays the
+batch, the writes land in the same directories, and the flip happens
+once. Readers never observe a half-written store.
 """
 
 from __future__ import annotations
@@ -37,21 +41,49 @@ import json
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 MANIFEST = "_MANIFEST.json"
+BUCKET = "__bucket"
 
 
 class Scd2Store:
-    """Manifest-gated SCD2 history store (see module docstring)."""
+    """Manifest-gated SCD2 history store (see module docstring).
 
-    def __init__(self, path: str) -> None:
+    ``key_col``/``n_buckets`` are required on the write path; read-only
+    users may omit ``key_col``. ``n_buckets`` is fixed at store creation
+    (the manifest's value wins thereafter) — at 100 TB size it so a
+    bucket's current rows fit one task comfortably (thousands+).
+    """
+
+    def __init__(
+        self, path: str, key_col: str | None = None, n_buckets: int = 16
+    ) -> None:
         self.path = path.rstrip("/")
+        self.key_col = key_col
+        self.n_buckets = n_buckets
 
-    # -- read side ----------------------------------------------------------
+    # -- layout -------------------------------------------------------------
 
     def _manifest_path(self) -> str:
         return os.path.join(self.path, MANIFEST)
+
+    def _bucket_dir(self, version: int, bucket: int) -> str:
+        return os.path.join(
+            self.path, "current", f"v={version}", f"{BUCKET}={bucket}"
+        )
+
+    def _closed_dir(self, batch_id: int) -> str:
+        return os.path.join(self.path, "closed", f"batch={batch_id}")
+
+    def bucket_expr(self, key_col: str | None = None) -> Column:
+        key = key_col or self.key_col
+        if key is None:
+            raise ValueError("Scd2Store needs key_col for bucket computation")
+        return F.pmod(F.xxhash64(F.col(key)), F.lit(self.n_buckets))
+
+    # -- read side ----------------------------------------------------------
 
     def exists(self) -> bool:
         """True iff a committed manifest exists. This is the EXPLICIT
@@ -64,29 +96,47 @@ class Scd2Store:
     def manifest(self) -> dict:
         with open(self._manifest_path()) as fh:
             m = json.load(fh)
-        if "version" not in m or "closed_batches" not in m:
+        if not {"version", "n_buckets", "closed_batches", "current_buckets"} <= set(m):
             raise ValueError(
                 f"corrupt SCD2 store manifest at {self._manifest_path()}: {m!r}"
             )
+        self.n_buckets = m["n_buckets"]
         return m
 
-    def _current_dir(self, version: int) -> str:
-        return os.path.join(self.path, "current", f"v={version}")
+    def _current_paths(self, m: dict, buckets: list[int] | None = None) -> list[str]:
+        refs = m["current_buckets"]
+        if buckets is None:
+            wanted = sorted(refs.items(), key=lambda kv: int(kv[0]))
+        else:
+            wanted = [(str(b), refs[str(b)]) for b in buckets if str(b) in refs]
+        return [self._bucket_dir(v, int(b)) for b, v in wanted]
 
-    def _closed_dir(self, batch_id: int) -> str:
-        return os.path.join(self.path, "closed", f"batch={batch_id}")
+    def has_buckets(self, buckets: list[int]) -> bool:
+        """True iff ANY of the given key-hash buckets has committed
+        current rows (all-new-key batches may touch only virgin
+        buckets — the merge then has no current rows to read)."""
+        refs = self.manifest()["current_buckets"]
+        return any(str(b) in refs for b in buckets)
 
-    def read_current(self, spark: SparkSession) -> DataFrame:
-        """Current rows only — the reference's ``Is_current='Y'`` lookup
-        dimension (final_template.xml:1439) as a single-directory scan."""
-        return spark.read.parquet(self._current_dir(self.manifest()["version"]))
+    def read_current(
+        self, spark: SparkSession, buckets: list[int] | None = None
+    ) -> DataFrame:
+        """Current rows — the reference's ``Is_current='Y'`` lookup
+        dimension (final_template.xml:1439). ``buckets`` restricts the
+        scan to the named key-hash buckets (the merge's pruned read:
+        only directories holding touched keys are listed; buckets with
+        no committed rows yet are simply absent from the listing)."""
+        paths = self._current_paths(self.manifest(), buckets)
+        if not paths:
+            raise ValueError(f"SCD2 store at {self.path} has no current buckets")
+        return spark.read.parquet(*paths)
 
     def read_all(self, spark: SparkSession) -> DataFrame:
-        """Full history: committed closed batches + the current snapshot.
+        """Full history: committed closed batches + all current buckets.
         One multi-path parquet scan (no partition discovery needed)."""
         m = self.manifest()
         paths = [self._closed_dir(b) for b in m["closed_batches"]]
-        paths.append(self._current_dir(m["version"]))
+        paths.extend(self._current_paths(m))
         return spark.read.parquet(*paths)
 
     # -- write side ---------------------------------------------------------
@@ -106,44 +156,81 @@ class Scd2Store:
         new_current: DataFrame,
         closed_delta: DataFrame,
         batch_id: int,
-        keep_snapshots: int = 2,
     ) -> None:
         """Commit one merged micro-batch.
 
-        Write order (each step idempotent under replay of ``batch_id``):
-        1. closed delta  → closed/batch=<id>   (overwrite)
-        2. current rows  → current/v=<id>      (overwrite; the snapshot
-           it was DERIVED from lives in a different directory, so there
-           is no same-path read/write hazard and no staging double-write)
-        3. manifest flip (tmp file + atomic ``os.replace``)
-        4. GC of superseded snapshots (keep the previous one so a crash
-           during GC can never touch the newly committed state)
+        ``new_current`` holds the post-merge current rows of the TOUCHED
+        buckets only (the merge read exactly those buckets); closed rows
+        of the batch land in their own immutable directory. Write order
+        (each step idempotent under replay of ``batch_id``):
+
+        1. closed delta → closed/batch=<id> (overwrite)
+        2. touched current buckets → current/v=<id>/__bucket=<i>
+           (partitioned write; the snapshots they were DERIVED from live
+           in other directories, so there is no same-path read/write
+           hazard and no staging double-write)
+        3. manifest flip: touched buckets point at <id>, untouched
+           buckets KEEP their old references (carry-forward, zero I/O)
+        4. reference-based GC (after the flip, so a crash mid-GC can
+           only leave orphans, never dangling references)
         """
-        prev = self.manifest()["closed_batches"] if self.exists() else []
+        m = self.manifest() if self.exists() else None
+        prev_closed = m["closed_batches"] if m else []
+        prev_refs: dict[str, int] = dict(m["current_buckets"]) if m else {}
+
         closed_dir = self._closed_dir(batch_id)
         closed_delta.write.mode("overwrite").parquet(closed_dir)
-        new_current.write.mode("overwrite").parquet(self._current_dir(batch_id))
 
-        closed_batches = [b for b in prev if b != batch_id]
+        version_dir = os.path.join(self.path, "current", f"v={batch_id}")
+        bucketed = new_current.withColumn(BUCKET, self.bucket_expr())
+        bucketed.write.mode("overwrite").partitionBy(BUCKET).parquet(version_dir)
+        touched = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(version_dir)
+            if d.startswith(f"{BUCKET}=")
+        ]
+
+        refs = dict(prev_refs)
+        for b in touched:
+            refs[str(b)] = batch_id
+        closed_batches = [b for b in prev_closed if b != batch_id]
         if self._has_data(closed_dir):
             closed_batches.append(batch_id)
-        manifest = {"version": batch_id, "closed_batches": sorted(closed_batches)}
+        manifest = {
+            "version": batch_id,
+            "n_buckets": self.n_buckets,
+            "closed_batches": sorted(closed_batches),
+            "current_buckets": refs,
+        }
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
         os.replace(tmp, self._manifest_path())
 
-        self._gc_snapshots(keep=keep_snapshots)
+        self._gc_unreferenced(manifest)
 
-    def _gc_snapshots(self, keep: int) -> None:
+    def _gc_unreferenced(self, manifest: dict) -> None:
+        """Delete current-bucket directories no manifest reference keeps
+        alive. Untouched buckets may legitimately point at arbitrarily
+        old versions forever, so GC is reference-based, not age-based."""
+        live = {
+            (v, int(b)) for b, v in manifest["current_buckets"].items()
+        }
         cur_root = os.path.join(self.path, "current")
         try:
-            versions = sorted(
-                int(d.split("=", 1)[1])
-                for d in os.listdir(cur_root)
-                if d.startswith("v=")
-            )
-        except (FileNotFoundError, ValueError):
+            version_dirs = os.listdir(cur_root)
+        except FileNotFoundError:
             return
-        for v in versions[:-keep]:
-            shutil.rmtree(self._current_dir(v), ignore_errors=True)
+        for vd in version_dirs:
+            if not vd.startswith("v="):
+                continue
+            version = int(vd.split("=", 1)[1])
+            vpath = os.path.join(cur_root, vd)
+            for bd in os.listdir(vpath):
+                if not bd.startswith(f"{BUCKET}="):
+                    continue
+                bucket = int(bd.split("=", 1)[1])
+                if (version, bucket) not in live:
+                    shutil.rmtree(os.path.join(vpath, bd), ignore_errors=True)
+            if not any(d.startswith(f"{BUCKET}=") for d in os.listdir(vpath)):
+                shutil.rmtree(vpath, ignore_errors=True)

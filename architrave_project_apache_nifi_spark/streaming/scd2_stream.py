@@ -49,16 +49,20 @@ def _merge_batch(
     key: str,
     ts_col: str,
     batch_id: int,
+    n_buckets: int = 16,
 ) -> None:
     """Merge one micro-batch into the incremental history store.
 
     Closed SCD2 rows are immutable, so the merge runs against the
-    CURRENT-rows snapshot only (``scd2_apply`` never modifies
-    ``is_current='N'`` rows — they would pass through verbatim), and the
-    commit writes O(|current| + |batch|) bytes: the closed delta is
-    appended as an immutable per-batch directory, the current snapshot
-    is replaced. Accumulated history is never rewritten (the round-1
-    full-store double rewrite is gone).
+    current-rows snapshot only (``scd2_apply`` never modifies
+    ``is_current='N'`` rows — they would pass through verbatim) — and
+    only against the key-hash BUCKETS the batch actually touches: the
+    touched-bucket set (≤ n_buckets ints) is computed from the batch's
+    keys, the store scans exactly those bucket directories, and the
+    commit rewrites exactly those buckets while untouched buckets carry
+    forward by manifest reference. Per-batch I/O is
+    O(|touched-bucket current rows| + |batch|) — independent of both
+    accumulated history and total live-key count.
 
     Exactly-once: the store records the committed batch id; a replayed
     micro-batch (crash between store commit and checkpoint commit) is
@@ -68,7 +72,7 @@ def _merge_batch(
     or unreadable store raises and fails the batch instead of being
     silently rebuilt from one micro-batch.
     """
-    store = Scd2Store(history_path)
+    store = Scd2Store(history_path, key_col=key, n_buckets=n_buckets)
     if store.exists() and store.manifest()["version"] >= batch_id:
         return  # replayed, already committed — idempotent no-op
     changes = (
@@ -80,12 +84,24 @@ def _merge_batch(
     )
     if not changes.head(1):
         return
+    touched: list[int] = []
     if store.exists():
-        current = store.read_current(spark)
+        # tiny by construction (≤ n_buckets values): the collect is what
+        # turns the current-rows read into a pruned directory listing
+        touched = [
+            r.b
+            for r in changes.select(store.bucket_expr().alias("b"))
+            .distinct()
+            .collect()
+        ]
+    if touched and store.has_buckets(touched):
+        current = store.read_current(spark, buckets=touched)
         merged = scd2_apply(
             current, changes, key, ts_col, order_cols=("cdc_sequence_id",)
         )
     else:
+        # first batch, or every touched bucket is virgin (all-new keys):
+        # there are no current rows to merge against
         merged = scd2_build(changes, key, ts_col, order_cols=("cdc_sequence_id",))
     merged = merged.persist()  # one evaluation feeds both commit writes
     try:
@@ -107,18 +123,21 @@ def run_scd2_stream_from(
     ts_col: str = "change_ts",
     await_termination_s: float | None = None,
     processing_time: str | None = None,
+    n_buckets: int = 16,
 ) -> StreamingQuery:
     """Wire ANY envelope-shaped streaming DataFrame (file source, Kafka,
-    the custom ``cdc_replay`` Python DataSource) into the SCD2 merge
-    sink — the source is pluggable, the merge is one code path.
+    socket, the custom ``cdc_replay`` Python DataSource) into the SCD2
+    merge sink — the source is pluggable, the merge is one code path.
 
     ``processing_time``: use a continuous micro-batch trigger instead of
     availableNow (Python DataSources don't implement availableNow; the
-    caller stops the query — the reference's always-on 200 ms poll)."""
+    caller stops the query — the reference's always-on 200 ms poll).
+    ``n_buckets``: current-snapshot bucket count, fixed at store
+    creation (size so one bucket's current rows fit one task)."""
     os.makedirs(checkpoint_path, exist_ok=True)
 
     def sink(batch: DataFrame, batch_id: int) -> None:
-        _merge_batch(spark, batch, history_path, key, ts_col, batch_id)
+        _merge_batch(spark, batch, history_path, key, ts_col, batch_id, n_buckets)
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_path

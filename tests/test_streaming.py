@@ -57,9 +57,13 @@ def test_stream_multi_microbatch_and_restart(spark, tmp_path):
 
 
 def _snapshot_files(root):
+    """(path → (size, mtime)) for DATA files under root; _SUCCESS/.crc
+    markers are bookkeeping the store may GC with their directory."""
     out = {}
     for dirpath, _dirs, files in __import__("os").walk(root):
         for f in files:
+            if not f.startswith("part-") or f.endswith(".crc"):
+                continue
             p = __import__("os").path.join(dirpath, f)
             st = __import__("os").stat(p)
             out[p] = (st.st_size, st.st_mtime_ns)
@@ -83,8 +87,18 @@ def test_stream_incremental_store_never_rewrites_closed_batches(spark, tmp_path)
     q = run_scd2_stream(spark, str(src), hist_path, ckpt, max_files_per_trigger=1)
     q.awaitTermination()
     closed_root = os.path.join(hist_path, "closed")
+    current_root = os.path.join(hist_path, "current")
     before = _snapshot_files(closed_root)
     assert before, "expected committed closed batches after the golden run"
+    # keys 9012/9013/9014 hash to distinct buckets (2/4/14 of 16), so the
+    # next batch (touching only 9014) must carry 9012's and 9013's
+    # current-bucket files forward BY REFERENCE — byte-identical
+    current_before = {
+        p: sig
+        for p, sig in _snapshot_files(current_root).items()
+        if "__bucket=14" not in p
+    }
+    assert current_before, "expected untouched current buckets to exist"
 
     # a new event arrives (another price update to 9014) → one more batch
     with open(src / "events_9999.json", "w") as fh:
@@ -96,6 +110,10 @@ def test_stream_incremental_store_never_rewrites_closed_batches(spark, tmp_path)
     for path, sig in before.items():
         assert after.get(path) == sig, f"closed file rewritten: {path}"
     assert len(after) > len(before)  # the new batch added its own closed dir
+
+    current_after = _snapshot_files(current_root)
+    for path, sig in current_before.items():
+        assert current_after.get(path) == sig, f"untouched bucket rewritten: {path}"
 
     hist = read_history(spark, hist_path).collect()
     v = sorted((r for r in hist if r.ProductID == 9014), key=lambda r: r.valid_from)
