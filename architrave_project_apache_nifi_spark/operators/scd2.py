@@ -47,6 +47,7 @@ def scd2_build(
     key_cols: str | Sequence[str],
     ts_col: str,
     order_cols: Sequence[str] = (),
+    tombstone_col: str | None = None,
 ) -> DataFrame:
     """Build a full SCD2 history from a change stream (batch formulation).
 
@@ -59,6 +60,15 @@ def scd2_build(
     sequence id, FlowFile attr ``cdc.sequence.id`` in the reference) so
     the result is deterministic.
 
+    ``tombstone_col`` (soft deletes — BEYOND the reference, which drops
+    delete events on the floor, README.md:28 / router FT:1950-1955):
+    rows where this boolean column is true are DELETE markers. They
+    participate in the per-key chain — closing their predecessor's
+    interval at the delete timestamp — but are filtered from the
+    output, so a deleted key correctly ends with NO current row, and a
+    later re-insert starts a fresh version. Zero extra shuffles: the
+    tombstones ride the same window.
+
     One shuffle: the window partition on the key. At 100 TB this is the
     unavoidable shuffle of any per-key versioning; AQE handles skewed
     keys.
@@ -68,13 +78,16 @@ def scd2_build(
         *[F.col(c).asc() for c in [ts_col, *order_cols]]
     )
     nxt = F.lead(F.col(ts_col)).over(w)
-    return (
+    out = (
         changes.withColumn("valid_from", F.col(ts_col))
         .withColumn("valid_until", nxt)
         .withColumn(
             "is_current", F.when(nxt.isNull(), F.lit("Y")).otherwise(F.lit("N"))
         )
     )
+    if tombstone_col is not None:
+        out = out.filter(~F.col(tombstone_col)).drop(tombstone_col)
+    return out
 
 
 def scd2_stamp_new(changes: DataFrame, ts_col: str | None = None) -> DataFrame:
@@ -116,6 +129,7 @@ def scd2_apply(
     order_cols: Sequence[str] = (),
     broadcast_changes: bool | None = None,
     max_broadcast_keys: int = 1_000_000,
+    tombstone_col: str | None = None,
 ) -> DataFrame:
     """Merge a batch of changes into an existing SCD2 history.
 
@@ -139,6 +153,11 @@ def scd2_apply(
     touching more keys than fit in a driver broadcast falls back to a
     shuffle join, where AQE re-plans at runtime. Pass True/False to
     override the heuristic.
+
+    ``tombstone_col`` marks delete events (see :func:`scd2_build`): a
+    tombstone expires the key's previously-current row (it contributes
+    the key's first-change timestamp like any change) and terminates
+    the within-batch chain without emitting a row of its own.
     """
     keys = _as_list(key_cols)
 
@@ -163,9 +182,9 @@ def scd2_apply(
         .drop("__first_change_ts")
     )
 
-    new_versions = scd2_build(changes, keys, ts_col, order_cols).select(
-        *updated_history.columns
-    )
+    new_versions = scd2_build(
+        changes, keys, ts_col, order_cols, tombstone_col=tombstone_col
+    ).select(*updated_history.columns)
     return updated_history.unionByName(new_versions)
 
 

@@ -109,6 +109,37 @@ def q_scd2_current(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scd2_build_with_deletes",
+    """
+SELECT user_id, event_id, value, valid_from, valid_until, is_current
+FROM (
+  SELECT user_id, event_id, value, event_type,
+         ts AS valid_from,
+         lead(ts) OVER w AS valid_until,
+         CASE WHEN lead(ts) OVER w IS NULL THEN 'Y' ELSE 'N' END AS is_current
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+WHERE event_type <> 'error'
+""",
+)
+def q_scd2_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-delete SCD2 (BEYOND the reference, which drops delete events
+    — README.md:28): tombstone rows ('error' events stand in for CDC
+    deletes) close their predecessor's interval at the delete timestamp
+    and emit no row; a key whose last event is a tombstone correctly
+    ends with no current row. Same single key-window shuffle as the
+    plain build."""
+    events = load(spark, "events", sf_dir).withColumn(
+        "__tomb", F.col("event_type") == "error"
+    )
+    hist = scd2_build(events, "user_id", "ts", ("event_id",), tombstone_col="__tomb")
+    return hist.select(
+        "user_id", "event_id", "value", "valid_from", "valid_until", "is_current"
+    )
+
+
+@register(
     "scd2_invariant_violations",
     """
 SELECT CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS VARCHAR) AS violation
@@ -188,18 +219,25 @@ def q_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "el_functions",
+    "el_datetime_functions",
     """
 SELECT event_id,
        strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
        epoch_ms(ts) AS ts_ms,
-       event_type = 'signup' AS is_insert
+       event_type = 'signup' AS is_insert,
+       CAST(year(ts) AS INT) AS y,
+       CAST(month(ts) AS INT) AS m,
+       CAST(day(ts) AS INT) AS d,
+       CAST(date_trunc('month', ts) AS TIMESTAMP) AS month_start,
+       ts + INTERVAL 7 DAY AS ts_plus_week
 FROM events
 """,
 )
 def q_el(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's EL function floor: format / toNumber / equals
-    (final_template.xml:2408, 2538, 1950)."""
+    """The reference's EL function floor — format / toNumber / equals
+    (final_template.xml:2408, 2538, 1950) — plus the date/time function
+    surface beyond it (extract, truncate, interval arithmetic), one
+    map-only projection."""
     from .functions import el
 
     events = load(spark, "events", sf_dir)
@@ -208,6 +246,11 @@ def q_el(spark: SparkSession, sf_dir: str) -> DataFrame:
         el.format(F.col("ts")).alias("ts_str"),
         el.to_number(F.col("ts")).alias("ts_ms"),
         el.equals(F.col("event_type"), "signup").alias("is_insert"),
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.date_trunc("month", F.col("ts")).alias("month_start"),
+        (F.col("ts") + F.expr("INTERVAL 7 DAYS")).alias("ts_plus_week"),
     )
 
 
@@ -899,33 +942,6 @@ def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lower(F.substring("text", 1, 40)), F.lit(" "), F.lit("_")
         ).alias("slug"),
         F.concat(F.col("lang"), F.lit(":"), F.col("source")).alias("lang_source"),
-    )
-
-
-@register(
-    "datetime_functions",
-    """
-SELECT event_id,
-       CAST(year(ts) AS INT) AS y,
-       CAST(month(ts) AS INT) AS m,
-       CAST(day(ts) AS INT) AS d,
-       CAST(date_trunc('month', ts) AS TIMESTAMP) AS month_start,
-       ts + INTERVAL 7 DAY AS ts_plus_week,
-       epoch_ms(ts) AS ts_ms
-FROM events
-""",
-)
-def q_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date/time floor beyond the reference's now()/format/toNumber."""
-    events = load(spark, "events", sf_dir)
-    return events.select(
-        "event_id",
-        F.year("ts").alias("y"),
-        F.month("ts").alias("m"),
-        F.dayofmonth("ts").alias("d"),
-        F.date_trunc("month", F.col("ts")).alias("month_start"),
-        (F.col("ts") + F.expr("INTERVAL 7 DAYS")).alias("ts_plus_week"),
-        F.unix_millis(F.col("ts")).alias("ts_ms"),
     )
 
 

@@ -156,21 +156,30 @@ class Scd2Store:
         new_current: DataFrame,
         closed_delta: DataFrame,
         batch_id: int,
+        touched_buckets: list[int] | None = None,
     ) -> None:
         """Commit one merged micro-batch.
 
         ``new_current`` holds the post-merge current rows of the TOUCHED
         buckets only (the merge read exactly those buckets); closed rows
-        of the batch land in their own immutable directory. Write order
-        (each step idempotent under replay of ``batch_id``):
+        of the batch land in their own immutable directory.
+        ``touched_buckets`` is the merge's touched set: a touched bucket
+        that ends with NO current rows (every key in it soft-deleted)
+        writes no directory, and its manifest reference must be DROPPED
+        — deriving touched-ness from written directories alone would
+        silently resurrect the stale pre-merge rows. ``None`` (the
+        first-batch build path) means "exactly the buckets written".
+
+        Write order (each step idempotent under replay of ``batch_id``):
 
         1. closed delta → closed/batch=<id> (overwrite)
         2. touched current buckets → current/v=<id>/__bucket=<i>
            (partitioned write; the snapshots they were DERIVED from live
            in other directories, so there is no same-path read/write
            hazard and no staging double-write)
-        3. manifest flip: touched buckets point at <id>, untouched
-           buckets KEEP their old references (carry-forward, zero I/O)
+        3. manifest flip: touched buckets point at <id> (or lose their
+           reference if emptied), untouched buckets KEEP their old
+           references (carry-forward, zero I/O)
         4. reference-based GC (after the flip, so a crash mid-GC can
            only leave orphans, never dangling references)
         """
@@ -184,15 +193,19 @@ class Scd2Store:
         version_dir = os.path.join(self.path, "current", f"v={batch_id}")
         bucketed = new_current.withColumn(BUCKET, self.bucket_expr())
         bucketed.write.mode("overwrite").partitionBy(BUCKET).parquet(version_dir)
-        touched = [
+        written = {
             int(d.split("=", 1)[1])
             for d in os.listdir(version_dir)
             if d.startswith(f"{BUCKET}=")
-        ]
+        }
+        touched = set(touched_buckets) | written if touched_buckets else written
 
         refs = dict(prev_refs)
         for b in touched:
-            refs[str(b)] = batch_id
+            if b in written:
+                refs[str(b)] = batch_id
+            else:
+                refs.pop(str(b), None)  # bucket emptied by soft deletes
         closed_batches = [b for b in prev_closed if b != batch_id]
         if self._has_data(closed_dir):
             closed_batches.append(batch_id)

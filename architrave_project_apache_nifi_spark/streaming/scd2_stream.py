@@ -50,6 +50,7 @@ def _merge_batch(
     ts_col: str,
     batch_id: int,
     n_buckets: int = 16,
+    handle_deletes: bool = False,
 ) -> None:
     """Merge one micro-batch into the incremental history store.
 
@@ -75,13 +76,21 @@ def _merge_batch(
     store = Scd2Store(history_path, key_col=key, n_buckets=n_buckets)
     if store.exists() and store.manifest()["version"] >= batch_id:
         return  # replayed, already committed — idempotent no-op
+    wanted = ("insert", "update", "delete") if handle_deletes else (
+        "insert", "update"
+    )
     changes = (
         cdc.flatten_events(
-            batch.filter(F.col("type").isin("insert", "update")),
+            batch.filter(F.col("type").isin(*wanted)),
+            keep=("type", "timestamp", "cdc_sequence_id"),
         )
         .withColumn(ts_col, F.timestamp_millis(F.col("timestamp")))
+        .withColumn("__tomb", F.col("type") == "delete")
         .drop("type", "timestamp")
     )
+    tombstone_col = "__tomb" if handle_deletes else None
+    if not handle_deletes:
+        changes = changes.drop("__tomb")
     if not changes.head(1):
         return
     touched: list[int] = []
@@ -97,18 +106,23 @@ def _merge_batch(
     if touched and store.has_buckets(touched):
         current = store.read_current(spark, buckets=touched)
         merged = scd2_apply(
-            current, changes, key, ts_col, order_cols=("cdc_sequence_id",)
+            current, changes, key, ts_col, order_cols=("cdc_sequence_id",),
+            tombstone_col=tombstone_col,
         )
     else:
         # first batch, or every touched bucket is virgin (all-new keys):
         # there are no current rows to merge against
-        merged = scd2_build(changes, key, ts_col, order_cols=("cdc_sequence_id",))
+        merged = scd2_build(
+            changes, key, ts_col, order_cols=("cdc_sequence_id",),
+            tombstone_col=tombstone_col,
+        )
     merged = merged.persist()  # one evaluation feeds both commit writes
     try:
         store.commit(
             new_current=merged.filter(F.col("is_current") == "Y"),
             closed_delta=merged.filter(F.col("is_current") == "N"),
             batch_id=batch_id,
+            touched_buckets=touched or None,
         )
     finally:
         merged.unpersist()
@@ -124,6 +138,7 @@ def run_scd2_stream_from(
     await_termination_s: float | None = None,
     processing_time: str | None = None,
     n_buckets: int = 16,
+    handle_deletes: bool = False,
 ) -> StreamingQuery:
     """Wire ANY envelope-shaped streaming DataFrame (file source, Kafka,
     socket, the custom ``cdc_replay`` Python DataSource) into the SCD2
@@ -133,11 +148,17 @@ def run_scd2_stream_from(
     availableNow (Python DataSources don't implement availableNow; the
     caller stops the query — the reference's always-on 200 ms poll).
     ``n_buckets``: current-snapshot bucket count, fixed at store
-    creation (size so one bucket's current rows fit one task)."""
+    creation (size so one bucket's current rows fit one task).
+    ``handle_deletes=False`` matches the reference (delete events are
+    dropped, README.md:28); True soft-closes the deleted key's current
+    row at the delete timestamp (scd2 tombstones) — beyond-reference."""
     os.makedirs(checkpoint_path, exist_ok=True)
 
     def sink(batch: DataFrame, batch_id: int) -> None:
-        _merge_batch(spark, batch, history_path, key, ts_col, batch_id, n_buckets)
+        _merge_batch(
+            spark, batch, history_path, key, ts_col, batch_id, n_buckets,
+            handle_deletes,
+        )
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_path
@@ -161,10 +182,11 @@ def run_scd2_stream(
     ts_col: str = "change_ts",
     max_files_per_trigger: int | None = 1,
     await_termination_s: float | None = None,
+    handle_deletes: bool = False,
 ) -> StreamingQuery:
     """Wire the CDC file stream into the SCD2 merge sink."""
     stream = cdc.read_envelope_stream(spark, input_path, max_files_per_trigger)
     return run_scd2_stream_from(
         spark, stream, history_path, checkpoint_path, key, ts_col,
-        await_termination_s,
+        await_termination_s, handle_deletes=handle_deletes,
     )

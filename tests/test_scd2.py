@@ -82,6 +82,65 @@ def test_scd2_apply_multiple_batches_invariants(spark):
     assert cur == {9012: 106.0, 9013: 77.0, 9014: 120.0}
 
 
+def test_scd2_tombstones_close_without_successor(spark):
+    """Soft deletes: a tombstone closes the predecessor at the delete
+    timestamp and emits no row; delete-then-reinsert starts a fresh
+    version; a key whose last event is a tombstone has NO current row."""
+    t = lambda m: dt.datetime(2023, 9, 27, 10, m)  # noqa: E731
+    rows = [
+        # key 1: insert, delete, re-insert → two versions, gap at delete
+        (1, 10.0, t(1), 1, False),
+        (1, None, t(2), 2, True),
+        (1, 30.0, t(3), 3, False),
+        # key 2: insert, delete (last) → one closed version, no current
+        (2, 20.0, t(1), 4, False),
+        (2, None, t(4), 5, True),
+        # key 3: plain insert → current
+        (3, 5.0, t(1), 6, False),
+    ]
+    changes = spark.createDataFrame(
+        rows, "ProductID INT, Price DOUBLE, change_ts TIMESTAMP, seq LONG, tomb BOOLEAN"
+    )
+    hist = scd2_build(changes, "ProductID", "change_ts", ("seq",), tombstone_col="tomb")
+    got = {
+        (r.ProductID, r.Price): (r.valid_from, r.valid_until, r.is_current)
+        for r in hist.collect()
+    }
+    assert len(got) == 4  # tombstones emit nothing
+    assert got[(1, 10.0)] == (t(1), t(2), "N")  # closed AT the delete ts
+    assert got[(1, 30.0)] == (t(3), None, "Y")  # fresh chain after re-insert
+    assert got[(2, 20.0)] == (t(1), t(4), "N")  # deleted key: closed, no current
+    assert got[(3, 5.0)] == (t(1), None, "Y")
+    assert not [k for k, v in got.items() if k[0] == 2 and v[2] == "Y"]
+
+
+def test_scd2_apply_tombstones_incremental_matches_rebuild(spark):
+    """Applying a delete-carrying batch to an existing history equals
+    the full rebuild with the same tombstones."""
+    t = lambda m: dt.datetime(2023, 9, 27, 10, m)  # noqa: E731
+    all_rows = [
+        (1, 10.0, t(1), 1, False),
+        (2, 20.0, t(1), 2, False),
+        (1, None, t(5), 3, True),   # delete key 1 in batch 2
+        (2, 25.0, t(6), 4, False),  # update key 2 in batch 2
+        (1, 40.0, t(7), 5, False),  # re-insert key 1 in batch 2
+    ]
+    schema = "ProductID INT, Price DOUBLE, change_ts TIMESTAMP, seq LONG, tomb BOOLEAN"
+    full = spark.createDataFrame(all_rows, schema)
+    first = full.filter(F.col("seq") <= 2)
+    second = full.filter(F.col("seq") > 2)
+    hist = scd2_build(first, "ProductID", "change_ts", ("seq",), tombstone_col="tomb")
+    merged = scd2_apply(
+        hist, second, "ProductID", "change_ts", ("seq",), tombstone_col="tomb"
+    )
+    rebuilt = scd2_build(full, "ProductID", "change_ts", ("seq",), tombstone_col="tomb")
+    canon = lambda df: sorted(  # noqa: E731
+        (r.ProductID, r.Price, r.valid_from, r.valid_until, r.is_current)
+        for r in df.collect()
+    )
+    assert canon(merged) == canon(rebuilt)
+
+
 def test_scd2_apply_broadcast_auto_both_paths_identical(spark):
     """The auto-sized broadcast decision may only change the physical
     plan: forcing the shuffle path (max_broadcast_keys=0) must produce

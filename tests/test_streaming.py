@@ -122,6 +122,30 @@ def test_stream_incremental_store_never_rewrites_closed_batches(spark, tmp_path)
     assert v[2].valid_until == v[3].valid_from
 
 
+def test_stream_handle_deletes_closes_chain(spark, tmp_path):
+    """handle_deletes=True: the golden scenario's delete of 9013
+    (dropped by the reference, README.md:28) soft-closes its current
+    row at the delete timestamp; everything else is unchanged."""
+    src = tmp_path / "in"
+    cdc.write_golden_scenario(str(src), files=2)
+    q = run_scd2_stream(
+        spark, str(src), str(tmp_path / "hist"), str(tmp_path / "ckpt"),
+        handle_deletes=True,
+    )
+    q.awaitTermination()
+    hist = read_history(spark, str(tmp_path / "hist"))
+    rows = hist.collect()
+    assert len(rows) == 5
+    r9013 = [r for r in rows if r.ProductID == 9013]
+    assert len(r9013) == 1
+    assert r9013[0].is_current == "N"
+    assert r9013[0].valid_until is not None  # closed at the delete ts
+    v9014 = sorted((r for r in rows if r.ProductID == 9014), key=lambda r: r.valid_from)
+    assert [x.is_current for x in v9014] == ["N", "N", "Y"]
+    cur = {r.ProductID for r in rows if r.is_current == "Y"}
+    assert cur == {9012, 9014}
+
+
 def test_stream_corrupt_store_fails_batch_instead_of_rebuilding(spark, tmp_path):
     """A store whose manifest points at unreadable data must FAIL the
     micro-batch (error propagates out of the streaming query) — never
