@@ -57,6 +57,12 @@ def main() -> None:
     REGISTRY["agg_percentiles_by_type"].fn(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # Warm the Python/Arrow worker pool too: the first pandas-UDF query
+    # otherwise pays ~2.5 s of worker spawn + pandas import across the
+    # local[N] threads — first-touch overhead, not plan cost.
+    spark.range(64).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     # The IVF index is an offline artifact (built once, probed many —
     # operators/similarity.py ivf_build/ivf_save); pre-build it so the
