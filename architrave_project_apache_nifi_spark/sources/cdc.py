@@ -169,6 +169,37 @@ def read_envelope_socket_stream(
     return parse_envelope(raw, "value")
 
 
+def read_envelope_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka CDC stream: envelope JSON per record value — the production
+    shape of ``CaptureChangeMySQL``'s live feed (binlog →
+    Debezium-style producer → topic; reference host/port at
+    final_template.xml:4277, snapshot-then-stream at :4321). Offsets
+    live in the streaming checkpoint (the DistributedMapCache
+    equivalent, FT:1519), so a restarted query resumes exactly where it
+    stopped — including mid-topic.
+
+    Requires the ``spark-sql-kafka`` connector on the classpath (ship
+    ``--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark
+    version>``); without it Spark raises its standard missing-data-source
+    error at stream start. Key ordering note: the merge sorts on
+    (``timestamp``, ``cdc_sequence_id``) per key, so a topic partitioned
+    by primary key (the usual CDC layout) preserves correctness even
+    across partition rebalances."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return parse_envelope(raw.select(F.col("value").cast("string")), "value")
+
+
 # ---------------------------------------------------------------------------
 # Deterministic fixture generator — FIXTURES.md F4 golden scenario
 # (the reference's manual README.md:271-307 test as data).

@@ -127,3 +127,20 @@ def test_parse_envelope_with_errors_routes_bad_records(spark, tmp_path):
     sinks.write_failures(bad, str(tmp_path / "bad"), reason="envelope_parse_error")
     back = spark.read.parquet(str(tmp_path / "bad")).collect()
     assert back[0].failure_reason == "envelope_parse_error"
+
+
+def test_kafka_source_contract(spark):
+    """The Kafka CDC variant (production live-connector shape,
+    final_template.xml:4277): builds a streaming DataFrame with the
+    envelope schema when spark-sql-kafka is on the classpath; without
+    it, fails at stream construction with Spark's standard
+    missing-data-source error — never a silent fallback."""
+    import pytest
+
+    try:
+        stream = cdc.read_envelope_kafka_stream(spark, "localhost:9092", "cdc")
+    except Exception as exc:  # noqa: BLE001
+        assert "kafka" in str(exc).lower()
+        pytest.skip("spark-sql-kafka connector not on classpath")
+    assert stream.isStreaming
+    assert set(cdc.CDC_ENVELOPE_SCHEMA.fieldNames()) <= set(stream.columns)
