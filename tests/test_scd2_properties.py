@@ -116,3 +116,61 @@ def test_build_invariants(spark, events):
         for a, b in zip(chain, chain[1:]):
             assert a.valid_until == b.valid_from, f"key {k}: broken chain"
             assert a.is_current == "N"
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(events=_EVENTS, dels=st.lists(st.booleans(), min_size=12, max_size=12),
+       cut=st.integers(min_value=0, max_value=11))
+def test_tombstone_apply_chain_equals_rebuild(spark, events, dels, cut):
+    """Soft deletes at arbitrary positions: the incremental merge chain
+    with tombstone-carrying batches equals the one-shot rebuild, and a
+    key whose LAST event is a tombstone has no current row while one
+    that is re-inserted after a delete restarts a fresh chain."""
+    events = sorted(events, key=lambda e: e[1])
+    rows = [
+        (k, p, dt.datetime(2026, 1, 1, 8, m), i, dels[i])
+        for i, (k, m, p) in enumerate(events)
+    ]
+    schema = (
+        "ProductID INT, Price DOUBLE, change_ts TIMESTAMP, seq LONG, tomb BOOLEAN"
+    )
+    cut = min(cut, len(rows))
+    parts = [rows[:cut], rows[cut:]]
+
+    rebuilt = scd2_build(
+        spark.createDataFrame(rows, schema), "ProductID", "change_ts", ("seq",),
+        tombstone_col="tomb",
+    )
+    hist = None
+    for part in parts:
+        if not part:
+            continue
+        batch = spark.createDataFrame(part, schema)
+        if hist is None:
+            hist = scd2_build(
+                batch, "ProductID", "change_ts", ("seq",), tombstone_col="tomb"
+            )
+        else:
+            hist = scd2_apply(
+                hist, batch, "ProductID", "change_ts", ("seq",),
+                tombstone_col="tomb",
+            )
+    assert hist is not None
+    got, want = _norm(hist), _norm(rebuilt)
+    assert got == want
+
+    # semantic floor: last-event-tombstoned keys have no current row;
+    # every other key that appeared has exactly one
+    last_by_key: dict[int, tuple] = {}
+    for r in rows:
+        last_by_key[r[0]] = r
+    current_keys = {t[0] for t in got if t[4] == "Y"}
+    for k, last in last_by_key.items():
+        if last[4]:  # tombstone last
+            assert k not in current_keys
+        else:
+            assert k in current_keys
