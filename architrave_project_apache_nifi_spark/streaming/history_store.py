@@ -77,6 +77,9 @@ class Scd2Store:
     def _closed_dir(self, batch_id: int) -> str:
         return os.path.join(self.path, "closed", f"batch={batch_id}")
 
+    def _segment_dir(self, version: int) -> str:
+        return os.path.join(self.path, "closed", f"seg={version}")
+
     def bucket_expr(self, key_col: str | None = None) -> Column:
         key = key_col or self.key_col
         if key is None:
@@ -132,10 +135,12 @@ class Scd2Store:
         return spark.read.parquet(*paths)
 
     def read_all(self, spark: SparkSession) -> DataFrame:
-        """Full history: committed closed batches + all current buckets.
-        One multi-path parquet scan (no partition discovery needed)."""
+        """Full history: compacted closed segments + committed closed
+        batches + all current buckets. One multi-path parquet scan (no
+        partition discovery needed)."""
         m = self.manifest()
-        paths = [self._closed_dir(b) for b in m["closed_batches"]]
+        paths = [self._segment_dir(s) for s in m.get("closed_segments", [])]
+        paths.extend(self._closed_dir(b) for b in m["closed_batches"])
         paths.extend(self._current_paths(m))
         return spark.read.parquet(*paths)
 
@@ -213,6 +218,7 @@ class Scd2Store:
             "version": batch_id,
             "n_buckets": self.n_buckets,
             "closed_batches": sorted(closed_batches),
+            "closed_segments": (m or {}).get("closed_segments", []),
             "current_buckets": refs,
         }
         tmp = self._manifest_path() + ".tmp"
@@ -221,6 +227,79 @@ class Scd2Store:
         os.replace(tmp, self._manifest_path())
 
         self._gc_unreferenced(manifest)
+
+    def compact_closed(
+        self, spark: SparkSession, min_batches: int = 8
+    ) -> bool:
+        """Fold the accumulated per-micro-batch closed directories into
+        ONE consolidated segment — the small-files maintenance every
+        log-structured store needs (a 200 ms-trigger stream writes
+        ~432k closed dirs/day; readers would die on file listing long
+        before data volume matters). Size-tiered: each compaction folds
+        only the per-batch dirs written SINCE the last one into a new
+        segment, so compaction I/O is O(delta since last compaction),
+        never O(total history) — prior segments are immutable and are
+        not rewritten (Iceberg's rewrite-small-files semantics on plain
+        parquet).
+
+        Returns False (no-op) below ``min_batches`` pending dirs.
+        Crash-safe like ``commit``: the segment is addressed by the
+        manifest version (idempotent overwrite on retry), the manifest
+        flips atomically afterwards, and only then are the folded
+        per-batch dirs deleted — a crash anywhere leaves a readable
+        store, at worst with orphan directories no reference keeps
+        alive."""
+        m = self.manifest()
+        batches = m["closed_batches"]
+        seg_version = m["version"]
+        self._sweep_closed_orphans(m, keep_seg=seg_version)
+        if len(batches) < min_batches:
+            return False
+        seg_dir = self._segment_dir(seg_version)
+        spark.read.parquet(*[self._closed_dir(b) for b in batches]).coalesce(
+            max(1, len(batches) // 8)
+        ).write.mode("overwrite").parquet(seg_dir)
+
+        manifest = {
+            **m,
+            "closed_batches": [],
+            "closed_segments": sorted(
+                set(m.get("closed_segments", [])) | {seg_version}
+            ),
+        }
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, self._manifest_path())
+
+        for b in batches:
+            shutil.rmtree(self._closed_dir(b), ignore_errors=True)
+        return True
+
+    def _sweep_closed_orphans(self, m: dict, keep_seg: int) -> None:
+        """Remove closed dirs no manifest reference keeps alive —
+        leftovers of a compaction that crashed between the manifest flip
+        and the folded-dir deletes. Only dirs strictly OLDER than the
+        manifest version are swept: an in-flight commit's pre-flip
+        ``batch=`` dir always carries a batch id > version, so it is
+        never touched even if maintenance runs beside a live stream."""
+        root = os.path.join(self.path, "closed")
+        try:
+            entries = os.listdir(root)
+        except FileNotFoundError:
+            return
+        live_batches = set(m["closed_batches"])
+        live_segs = set(m.get("closed_segments", [])) | {keep_seg}
+        for d in entries:
+            kind, _, raw = d.partition("=")
+            if not raw or not raw.lstrip("-").isdigit():
+                continue
+            v = int(raw)
+            dead = (
+                kind == "batch" and v not in live_batches and v <= m["version"]
+            ) or (kind == "seg" and v not in live_segs)
+            if dead:
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
     def _gc_unreferenced(self, manifest: dict) -> None:
         """Delete current-bucket directories no manifest reference keeps

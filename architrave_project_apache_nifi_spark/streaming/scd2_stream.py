@@ -51,6 +51,7 @@ def _merge_batch(
     batch_id: int,
     n_buckets: int = 16,
     handle_deletes: bool = False,
+    compact_every: int | None = None,
 ) -> None:
     """Merge one micro-batch into the incremental history store.
 
@@ -126,6 +127,10 @@ def _merge_batch(
         )
     finally:
         merged.unpersist()
+    if compact_every:
+        # post-commit maintenance in the same single-writer thread:
+        # folds accumulated per-batch closed dirs once enough pile up
+        store.compact_closed(spark, min_batches=compact_every)
 
 
 def run_scd2_stream_from(
@@ -139,6 +144,7 @@ def run_scd2_stream_from(
     processing_time: str | None = None,
     n_buckets: int = 16,
     handle_deletes: bool = False,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Wire ANY envelope-shaped streaming DataFrame (file source, Kafka,
     socket, the custom ``cdc_replay`` Python DataSource) into the SCD2
@@ -151,13 +157,17 @@ def run_scd2_stream_from(
     creation (size so one bucket's current rows fit one task).
     ``handle_deletes=False`` matches the reference (delete events are
     dropped, README.md:28); True soft-closes the deleted key's current
-    row at the delete timestamp (scd2 tombstones) — beyond-reference."""
+    row at the delete timestamp (scd2 tombstones) — beyond-reference.
+    ``compact_every=N`` runs closed-batch compaction after any commit
+    that leaves ≥ N per-batch closed dirs pending (the small-files
+    maintenance a 200 ms-trigger stream needs; see
+    ``Scd2Store.compact_closed``)."""
     os.makedirs(checkpoint_path, exist_ok=True)
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         _merge_batch(
             spark, batch, history_path, key, ts_col, batch_id, n_buckets,
-            handle_deletes,
+            handle_deletes, compact_every,
         )
 
     writer = stream.writeStream.foreachBatch(sink).option(

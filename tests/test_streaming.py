@@ -175,3 +175,165 @@ def test_stream_corrupt_store_fails_batch_instead_of_rebuilding(spark, tmp_path)
     q2 = run_scd2_stream(spark, str(src), hist_path, str(tmp_path / "ckpt"))
     with pytest.raises(Exception, match="(?i)path does not exist|PATH_NOT_FOUND"):
         q2.awaitTermination()
+
+
+def test_store_compaction_folds_closed_batches(spark, tmp_path):
+    """compact_closed: per-micro-batch closed dirs fold into one
+    segment; rows are identical before and after; a later compaction
+    does NOT rewrite the first segment (size-tiered: I/O is O(delta
+    since last compaction)); and sub-threshold calls are no-ops."""
+    import json
+    import os
+
+    from architrave_project_apache_nifi_spark.sources.cdc import _envelope
+    from architrave_project_apache_nifi_spark.streaming.history_store import (
+        Scd2Store,
+    )
+
+    src = tmp_path / "in"
+    cdc.write_golden_scenario(str(src), files=4)
+    hist_path, ckpt = str(tmp_path / "hist"), str(tmp_path / "ckpt")
+    q = run_scd2_stream(spark, str(src), hist_path, ckpt, max_files_per_trigger=1)
+    q.awaitTermination()
+
+    store = Scd2Store(hist_path)
+    before_rows = sorted(map(tuple, read_history(spark, hist_path).collect()))
+    n_pending = len(store.manifest()["closed_batches"])
+    assert n_pending >= 2
+
+    assert store.compact_closed(spark, min_batches=n_pending + 1) is False  # no-op
+    assert store.compact_closed(spark, min_batches=2) is True
+
+    m = store.manifest()
+    assert m["closed_batches"] == []
+    assert len(m["closed_segments"]) == 1
+    closed_root = os.path.join(hist_path, "closed")
+    assert not [d for d in os.listdir(closed_root) if d.startswith("batch=")]
+    assert sorted(map(tuple, read_history(spark, hist_path).collect())) == before_rows
+
+    seg1_files = {
+        p: sig for p, sig in _snapshot_files(closed_root).items()
+    }
+    assert seg1_files
+
+    # more micro-batches, then a second compaction: segment 1 untouched.
+    # (strictly increasing mtimes: the file source orders discovery by
+    # modification time, and the engine's contract is in-order batches)
+    now = __import__("time").time()
+    for i, (seq, price) in enumerate(((9, 130.0), (10, 140.0))):
+        fp = src / f"events_99{seq:02d}.json"
+        with open(fp, "w") as fh:
+            fh.write(json.dumps(_envelope(seq, "update", 9014, price=price)) + "\n")
+        os.utime(fp, (now + i, now + i))
+    q2 = run_scd2_stream(spark, str(src), hist_path, ckpt, max_files_per_trigger=1)
+    q2.awaitTermination()
+    assert store.compact_closed(spark, min_batches=2) is True
+    m2 = store.manifest()
+    assert len(m2["closed_segments"]) == 2
+    after = _snapshot_files(closed_root)
+    for p, sig in seg1_files.items():
+        assert after.get(p) == sig, f"prior segment rewritten: {p}"
+
+    hist = read_history(spark, hist_path).collect()
+    v = sorted((r for r in hist if r.ProductID == 9014), key=lambda r: r.valid_from)
+    assert [x.Price for x in v] == [56.0, 100.0, 120.0, 130.0, 140.0]
+    assert [x.is_current for x in v] == ["N", "N", "N", "N", "Y"]
+
+
+def test_store_compaction_crash_between_flip_and_delete_is_safe(spark, tmp_path):
+    """A compaction that crashed after the manifest flip but before
+    deleting the folded per-batch dirs leaves orphans: the store reads
+    correctly (no duplicates — orphans are unreferenced) and the next
+    compaction sweeps them."""
+    import os
+
+    from architrave_project_apache_nifi_spark.streaming.history_store import (
+        Scd2Store,
+    )
+
+    src = tmp_path / "in"
+    cdc.write_golden_scenario(str(src), files=4)
+    hist_path, ckpt = str(tmp_path / "hist"), str(tmp_path / "ckpt")
+    q = run_scd2_stream(spark, str(src), hist_path, ckpt, max_files_per_trigger=1)
+    q.awaitTermination()
+    store = Scd2Store(hist_path)
+    before_rows = sorted(map(tuple, read_history(spark, hist_path).collect()))
+    folded = list(store.manifest()["closed_batches"])
+
+    # simulate the crash: run compaction, then resurrect one folded dir
+    # as if its delete never happened
+    orig_rmtree = __import__("shutil").rmtree
+    kept: list[str] = []
+
+    def fake_rmtree(p, ignore_errors=False):
+        if os.path.basename(p).startswith("batch="):
+            kept.append(p)
+            return  # "crash": deletes never ran
+        orig_rmtree(p, ignore_errors=ignore_errors)
+
+    import architrave_project_apache_nifi_spark.streaming.history_store as hs
+
+    hs.shutil.rmtree = fake_rmtree
+    try:
+        assert store.compact_closed(spark, min_batches=2) is True
+    finally:
+        hs.shutil.rmtree = orig_rmtree
+    assert kept, "expected folded dirs to be left behind by the fake crash"
+    for p in kept:
+        assert os.path.exists(p)
+
+    # unreferenced orphans do not duplicate rows
+    assert sorted(map(tuple, read_history(spark, hist_path).collect())) == before_rows
+    # the next maintenance call sweeps them (even below min_batches)
+    assert store.compact_closed(spark, min_batches=99) is False
+    for p in kept:
+        assert not os.path.exists(p), f"orphan not swept: {p}"
+    assert sorted(map(tuple, read_history(spark, hist_path).collect())) == before_rows
+
+
+def test_stream_auto_compaction(spark, tmp_path):
+    """compact_every wires maintenance into the sink: after the run the
+    closed side is segments (+ at most compact_every-1 pending dirs) and
+    the history is exact."""
+    import os
+
+    src = tmp_path / "in"
+    cdc.write_golden_scenario(str(src), files=4)
+    hist_path = str(tmp_path / "hist")
+    q = run_scd2_stream(
+        spark, str(src), hist_path, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    # run via the pluggable entry to pass compact_every
+    q.awaitTermination()
+    from architrave_project_apache_nifi_spark.sources.cdc import (
+        read_envelope_stream,
+    )
+    from architrave_project_apache_nifi_spark.streaming.scd2_stream import (
+        run_scd2_stream_from,
+    )
+    import json as _json
+    from architrave_project_apache_nifi_spark.sources.cdc import _envelope
+
+    now = __import__("time").time()
+    for i, (seq, price) in enumerate(((9, 130.0), (10, 140.0), (11, 150.0))):
+        fp = src / f"events_99{seq:02d}.json"
+        with open(fp, "w") as fh:
+            fh.write(_json.dumps(_envelope(seq, "update", 9014, price=price)) + "\n")
+        os.utime(fp, (now + i, now + i))
+    stream = read_envelope_stream(spark, str(src), max_files_per_trigger=1)
+    q2 = run_scd2_stream_from(
+        spark, stream, hist_path, str(tmp_path / "ckpt"), compact_every=2,
+    )
+    q2.awaitTermination()
+
+    from architrave_project_apache_nifi_spark.streaming.history_store import (
+        Scd2Store,
+    )
+
+    m = Scd2Store(hist_path).manifest()
+    assert m["closed_segments"], "auto-compaction never ran"
+    assert len(m["closed_batches"]) < 2
+    hist = read_history(spark, hist_path).collect()
+    v = sorted((r for r in hist if r.ProductID == 9014), key=lambda r: r.valid_from)
+    assert [x.Price for x in v] == [56.0, 100.0, 120.0, 130.0, 140.0, 150.0]
