@@ -52,9 +52,10 @@ class Scd2Store:
     """Manifest-gated SCD2 history store (see module docstring).
 
     ``key_col``/``n_buckets`` are required on the write path; read-only
-    users may omit ``key_col``. ``n_buckets`` is fixed at store creation
-    (the manifest's value wins thereafter) — at 100 TB size it so a
-    bucket's current rows fit one task comfortably (thousands+).
+    users may omit ``key_col``. ``n_buckets`` is set at store creation
+    (the manifest's value wins thereafter; :meth:`rebucket` rescales it
+    later) — at 100 TB size it so a bucket's current rows fit one task
+    comfortably (thousands+).
     """
 
     def __init__(
@@ -69,7 +70,10 @@ class Scd2Store:
     def _manifest_path(self) -> str:
         return os.path.join(self.path, MANIFEST)
 
-    def _bucket_dir(self, version: int, bucket: int) -> str:
+    def _bucket_dir(self, version: int | str, bucket: int) -> str:
+        # version is the committing batch id, or "<id>r<n>" for a
+        # rebucket rewrite (a distinct address space: batch commits
+        # never write the r-suffixed form, so the two cannot collide)
         return os.path.join(
             self.path, "current", f"v={version}", f"{BUCKET}={bucket}"
         )
@@ -276,6 +280,50 @@ class Scd2Store:
             shutil.rmtree(self._closed_dir(b), ignore_errors=True)
         return True
 
+    def rebucket(self, spark: SparkSession, new_n_buckets: int) -> None:
+        """Rescale the current-snapshot bucket count — the maintenance
+        op that keeps per-bucket size bounded as the live-key population
+        grows (at 100 TB you start with thousands of buckets and split
+        when the largest no longer fits one task comfortably).
+
+        One full rewrite of the CURRENT rows only (one row per live key
+        — closed history, the bulk of the store, is untouched). The
+        rewrite lands in a distinct address space
+        (``current/v=<version>r<new_n>/``) so it cannot collide with any
+        batch commit's directories; the manifest then flips atomically
+        to the new bucket count and references. Crash before the flip
+        leaves the old manifest fully readable (the half-written rewrite
+        is unreferenced and GC'd by the next commit); replay of the same
+        rebucket overwrites the same directories. Requires ``key_col``."""
+        m = self.manifest()
+        refs = m["current_buckets"]
+        tag = f"{m['version']}r{new_n_buckets}"
+        self.n_buckets = new_n_buckets
+        if refs:
+            cur = spark.read.parquet(*self._current_paths(m))
+            version_dir = os.path.join(self.path, "current", f"v={tag}")
+            bucketed = cur.withColumn(BUCKET, self.bucket_expr())
+            bucketed.write.mode("overwrite").partitionBy(BUCKET).parquet(
+                version_dir
+            )
+            new_refs = {
+                d.split("=", 1)[1]: tag
+                for d in os.listdir(version_dir)
+                if d.startswith(f"{BUCKET}=")
+            }
+        else:
+            new_refs = {}
+        manifest = {
+            **m,
+            "n_buckets": new_n_buckets,
+            "current_buckets": new_refs,
+        }
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, self._manifest_path())
+        self._gc_unreferenced(manifest)
+
     def _sweep_closed_orphans(self, m: dict, keep_seg: int) -> None:
         """Remove closed dirs no manifest reference keeps alive —
         leftovers of a compaction that crashed between the manifest flip
@@ -306,7 +354,7 @@ class Scd2Store:
         alive. Untouched buckets may legitimately point at arbitrarily
         old versions forever, so GC is reference-based, not age-based."""
         live = {
-            (v, int(b)) for b, v in manifest["current_buckets"].items()
+            (str(v), int(b)) for b, v in manifest["current_buckets"].items()
         }
         cur_root = os.path.join(self.path, "current")
         try:
@@ -316,7 +364,7 @@ class Scd2Store:
         for vd in version_dirs:
             if not vd.startswith("v="):
                 continue
-            version = int(vd.split("=", 1)[1])
+            version = vd.split("=", 1)[1]
             vpath = os.path.join(cur_root, vd)
             for bd in os.listdir(vpath):
                 if not bd.startswith(f"{BUCKET}="):

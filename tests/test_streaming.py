@@ -337,3 +337,51 @@ def test_stream_auto_compaction(spark, tmp_path):
     hist = read_history(spark, hist_path).collect()
     v = sorted((r for r in hist if r.ProductID == 9014), key=lambda r: r.valid_from)
     assert [x.Price for x in v] == [56.0, 100.0, 120.0, 130.0, 140.0, 150.0]
+
+
+def test_store_rebucket_rescales_and_keeps_merging(spark, tmp_path):
+    """rebucket: rows identical after the rescale, the manifest's bucket
+    count wins over the caller's, and later micro-batches merge
+    correctly against the re-bucketed snapshot (touched-bucket math uses
+    the new count)."""
+    import json
+    import os
+    import time as _time
+
+    from architrave_project_apache_nifi_spark.sources.cdc import _envelope
+    from architrave_project_apache_nifi_spark.streaming.history_store import (
+        Scd2Store,
+    )
+
+    src = tmp_path / "in"
+    cdc.write_golden_scenario(str(src), files=1)
+    hist_path, ckpt = str(tmp_path / "hist"), str(tmp_path / "ckpt")
+    q = run_scd2_stream(spark, str(src), hist_path, ckpt)
+    q.awaitTermination()
+
+    store = Scd2Store(hist_path, key_col="ProductID")
+    before = sorted(map(tuple, read_history(spark, hist_path).collect()))
+    store.rebucket(spark, 4)
+    m = store.manifest()
+    assert m["n_buckets"] == 4
+    assert all(str(v).endswith("r4") for v in m["current_buckets"].values())
+    assert sorted(map(tuple, read_history(spark, hist_path).collect())) == before
+    # all current rows live under the rebucket address space now
+    cur_root = os.path.join(hist_path, "current")
+    assert all("r4" in d for d in os.listdir(cur_root) if d.startswith("v="))
+
+    # a later batch merges against the re-bucketed snapshot even though
+    # the stream caller still passes the default n_buckets=16
+    now = _time.time()
+    fp = src / "events_9999.json"
+    with open(fp, "w") as fh:
+        fh.write(json.dumps(_envelope(9, "update", 9014, price=140.0)) + "\n")
+    os.utime(fp, (now + 1, now + 1))
+    q2 = run_scd2_stream(spark, str(src), hist_path, ckpt)
+    q2.awaitTermination()
+
+    hist = read_history(spark, hist_path).collect()
+    v = sorted((r for r in hist if r.ProductID == 9014), key=lambda r: r.valid_from)
+    assert [x.Price for x in v] == [56.0, 100.0, 120.0, 140.0]
+    assert [x.is_current for x in v] == ["N", "N", "N", "Y"]
+    assert Scd2Store(hist_path).manifest()["n_buckets"] == 4
