@@ -114,3 +114,13 @@ def test_salted_join_has_no_salt_in_output_and_spreads(spark):
 
     df = REGISTRY["salted_join_order_volume_by_nation"].fn(spark, SF_DIR)
     assert SALT not in df.columns
+
+
+def test_scd2_build_with_tombstones_single_shuffle(spark):
+    """Tombstones ride the same key window: the soft-delete filter adds
+    ZERO shuffles to the build plan."""
+    events = load(spark, "events", SF_DIR).withColumn(
+        "__tomb", F.col("event_type") == "error"
+    )
+    hist = scd2_build(events, "user_id", "ts", ("event_id",), tombstone_col="__tomb")
+    assert pi.count_shuffles(hist) == 1, pi.formatted_plan(hist)
