@@ -36,16 +36,23 @@ def write_history(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).partitionBy("is_current").parquet(path)
 
 
-def read_history(spark: SparkSession, path: str) -> DataFrame:
+def read_history(
+    spark: SparkSession, path: str, as_of: int | None = None
+) -> DataFrame:
     """Read a history table: either the incremental manifest-committed
     store the streaming sink writes (streaming/history_store.py) or a
     plain (optionally partitioned) parquet directory from
-    ``write_history``."""
+    ``write_history``. ``as_of`` time-travels to a retained snapshot
+    sequence number (store only; see ``Scd2Store.snapshots``)."""
     from ..streaming.history_store import Scd2Store
 
     store = Scd2Store(path)
     if store.exists():
+        if as_of is not None:
+            return store.read_snapshot(spark, as_of)
         return store.read_all(spark)
+    if as_of is not None:
+        raise ValueError(f"{path} is not a snapshot-retaining store")
     return spark.read.parquet(path)
 
 

@@ -20,10 +20,15 @@ on a cluster with a transactional table format ``commit`` maps 1:1 to a
 MERGE/commit; the protocol here is what those formats do internally):
 
     <path>/_MANIFEST.json
-        {"version": b, "n_buckets": n, "closed_batches": [...],
+        {"version": b, "seq": s, "n_buckets": n, "closed_batches": [...],
+         "closed_segments": [...], "retain_snapshots": k,
          "current_buckets": {"<bucket>": <version that last wrote it>}}
     <path>/current/v=<b>/__bucket=<i>/   current rows of bucket i as of b
+                                         (v=<b>r<n> for rebucket rewrites)
     <path>/closed/batch=<b>/             rows CLOSED by batch b (immutable)
+    <path>/closed/seg=<v>/               compacted closed segment (immutable)
+    <path>/_snapshots/<seq>.json         archived manifests (time travel,
+                                         retained for the last k flips)
 
 Crash safety / effectively-exactly-once: both data writes go to
 batch-id-addressed directories (idempotent overwrite on replay of the
@@ -59,16 +64,27 @@ class Scd2Store:
     """
 
     def __init__(
-        self, path: str, key_col: str | None = None, n_buckets: int = 16
+        self,
+        path: str,
+        key_col: str | None = None,
+        n_buckets: int = 16,
+        retain_snapshots: int = 1,
     ) -> None:
         self.path = path.rstrip("/")
         self.key_col = key_col
         self.n_buckets = n_buckets
+        # how many committed snapshots stay readable (time travel):
+        # 1 = latest only (no extra storage); K keeps the last K flips'
+        # manifests AND every data directory any of them references
+        self.retain_snapshots = max(1, retain_snapshots)
 
     # -- layout -------------------------------------------------------------
 
     def _manifest_path(self) -> str:
         return os.path.join(self.path, MANIFEST)
+
+    def _snapshots_dir(self) -> str:
+        return os.path.join(self.path, "_snapshots")
 
     def _bucket_dir(self, version: int | str, bucket: int) -> str:
         # version is the committing batch id, or "<id>r<n>" for a
@@ -142,13 +158,97 @@ class Scd2Store:
         """Full history: compacted closed segments + committed closed
         batches + all current buckets. One multi-path parquet scan (no
         partition discovery needed)."""
-        m = self.manifest()
+        return self._read_all_from(spark, self.manifest())
+
+    def _read_all_from(self, spark: SparkSession, m: dict) -> DataFrame:
         paths = [self._segment_dir(s) for s in m.get("closed_segments", [])]
         paths.extend(self._closed_dir(b) for b in m["closed_batches"])
         paths.extend(self._current_paths(m))
         return spark.read.parquet(*paths)
 
+    # -- snapshots / time travel --------------------------------------------
+
+    def snapshots(self) -> list[int]:
+        """Readable snapshot sequence numbers, oldest → latest. With
+        ``retain_snapshots=1`` (default) only the latest flip is
+        readable; K > 1 keeps the last K flips' manifests plus every
+        data directory any of them references."""
+        latest = self.manifest()
+        seqs = {latest.get("seq", 0)}
+        snaps = self._snapshots_dir()
+        if os.path.isdir(snaps):
+            keep_min = latest.get("seq", 0) - latest.get("retain_snapshots", 1) + 1
+            for f in os.listdir(snaps):
+                if f.endswith(".json") and f[:-5].isdigit():
+                    s = int(f[:-5])
+                    if keep_min <= s <= latest.get("seq", 0):
+                        seqs.add(s)
+        return sorted(seqs)
+
+    def read_snapshot(self, spark: SparkSession, seq: int) -> DataFrame:
+        """Time travel: the full history exactly as of flip ``seq``
+        (a commit, compaction, or rebucket — maintenance flips preserve
+        row content, so adjacent seqs may be row-identical). Raises
+        KeyError for a seq outside the retained window."""
+        latest = self.manifest()
+        if seq == latest.get("seq", 0):
+            return self._read_all_from(spark, latest)
+        if seq not in self.snapshots():
+            raise KeyError(
+                f"snapshot {seq} not retained (have {self.snapshots()})"
+            )
+        with open(os.path.join(self._snapshots_dir(), f"{seq}.json")) as fh:
+            return self._read_all_from(spark, json.load(fh))
+
+    def _retained_manifests(self, latest: dict) -> list[dict]:
+        """The manifests whose references must stay on disk: the latest
+        plus every archived snapshot inside the retention window."""
+        out = [latest]
+        snaps = self._snapshots_dir()
+        if not os.path.isdir(snaps):
+            return out
+        keep_min = latest.get("seq", 0) - latest.get("retain_snapshots", 1) + 1
+        for f in os.listdir(snaps):
+            if f.endswith(".json") and f[:-5].isdigit():
+                s = int(f[:-5])
+                if keep_min <= s < latest.get("seq", 0):
+                    with open(os.path.join(snaps, f)) as fh:
+                        out.append(json.load(fh))
+        return out
+
     # -- write side ---------------------------------------------------------
+
+    def _flip(self, manifest: dict, prev: dict | None) -> dict:
+        """Atomically publish a new manifest. Every flip gets a
+        monotonically increasing ``seq``; with retention > 1 the
+        manifest is also archived under ``_snapshots/<seq>.json``
+        BEFORE the pointer flip (a crash between the two leaves a
+        phantom snapshot that references existing data — harmless), and
+        snapshots that fall out of the window are pruned after.
+        Retention ratchets: the effective value is the max of this
+        writer's and the store's recorded one, so a maintenance job
+        with default settings cannot silently destroy time travel."""
+        retain = max(
+            self.retain_snapshots,
+            (prev or {}).get("retain_snapshots", 1),
+        )
+        manifest["seq"] = (prev or {}).get("seq", 0) + 1
+        manifest["retain_snapshots"] = retain
+        snaps = self._snapshots_dir()
+        if retain > 1:
+            os.makedirs(snaps, exist_ok=True)
+            with open(os.path.join(snaps, f"{manifest['seq']}.json"), "w") as fh:
+                json.dump(manifest, fh)
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, self._manifest_path())
+        if os.path.isdir(snaps):
+            keep_min = manifest["seq"] - retain + 1
+            for f in os.listdir(snaps):
+                if f.endswith(".json") and f[:-5].isdigit() and int(f[:-5]) < keep_min:
+                    os.remove(os.path.join(snaps, f))
+        return manifest
 
     @staticmethod
     def _has_data(directory: str) -> bool:
@@ -218,17 +318,16 @@ class Scd2Store:
         closed_batches = [b for b in prev_closed if b != batch_id]
         if self._has_data(closed_dir):
             closed_batches.append(batch_id)
-        manifest = {
-            "version": batch_id,
-            "n_buckets": self.n_buckets,
-            "closed_batches": sorted(closed_batches),
-            "closed_segments": (m or {}).get("closed_segments", []),
-            "current_buckets": refs,
-        }
-        tmp = self._manifest_path() + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
-        os.replace(tmp, self._manifest_path())
+        manifest = self._flip(
+            {
+                "version": batch_id,
+                "n_buckets": self.n_buckets,
+                "closed_batches": sorted(closed_batches),
+                "closed_segments": (m or {}).get("closed_segments", []),
+                "current_buckets": refs,
+            },
+            prev=m,
+        )
 
         self._gc_unreferenced(manifest)
 
@@ -264,20 +363,25 @@ class Scd2Store:
             max(1, len(batches) // 8)
         ).write.mode("overwrite").parquet(seg_dir)
 
-        manifest = {
-            **m,
-            "closed_batches": [],
-            "closed_segments": sorted(
-                set(m.get("closed_segments", [])) | {seg_version}
-            ),
-        }
-        tmp = self._manifest_path() + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
-        os.replace(tmp, self._manifest_path())
+        manifest = self._flip(
+            {
+                **m,
+                "closed_batches": [],
+                "closed_segments": sorted(
+                    set(m.get("closed_segments", [])) | {seg_version}
+                ),
+            },
+            prev=m,
+        )
 
+        still_live = {
+            b
+            for rm in self._retained_manifests(manifest)
+            for b in rm["closed_batches"]
+        }
         for b in batches:
-            shutil.rmtree(self._closed_dir(b), ignore_errors=True)
+            if b not in still_live:  # retained snapshots may still read it
+                shutil.rmtree(self._closed_dir(b), ignore_errors=True)
         return True
 
     def rebucket(self, spark: SparkSession, new_n_buckets: int) -> None:
@@ -313,15 +417,14 @@ class Scd2Store:
             }
         else:
             new_refs = {}
-        manifest = {
-            **m,
-            "n_buckets": new_n_buckets,
-            "current_buckets": new_refs,
-        }
-        tmp = self._manifest_path() + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
-        os.replace(tmp, self._manifest_path())
+        manifest = self._flip(
+            {
+                **m,
+                "n_buckets": new_n_buckets,
+                "current_buckets": new_refs,
+            },
+            prev=m,
+        )
         self._gc_unreferenced(manifest)
 
     def _sweep_closed_orphans(self, m: dict, keep_seg: int) -> None:
@@ -336,8 +439,11 @@ class Scd2Store:
             entries = os.listdir(root)
         except FileNotFoundError:
             return
-        live_batches = set(m["closed_batches"])
-        live_segs = set(m.get("closed_segments", [])) | {keep_seg}
+        retained = self._retained_manifests(m)
+        live_batches = {b for rm in retained for b in rm["closed_batches"]}
+        live_segs = {
+            s for rm in retained for s in rm.get("closed_segments", [])
+        } | {keep_seg}
         for d in entries:
             kind, _, raw = d.partition("=")
             if not raw or not raw.lstrip("-").isdigit():
@@ -350,11 +456,15 @@ class Scd2Store:
                 shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
     def _gc_unreferenced(self, manifest: dict) -> None:
-        """Delete current-bucket directories no manifest reference keeps
-        alive. Untouched buckets may legitimately point at arbitrarily
-        old versions forever, so GC is reference-based, not age-based."""
+        """Delete current-bucket directories no RETAINED manifest's
+        reference keeps alive. Untouched buckets may legitimately point
+        at arbitrarily old versions forever, so GC is reference-based,
+        not age-based; with snapshot retention > 1, directories stay
+        until every snapshot referencing them expires."""
         live = {
-            (str(v), int(b)) for b, v in manifest["current_buckets"].items()
+            (str(v), int(b))
+            for rm in self._retained_manifests(manifest)
+            for b, v in rm["current_buckets"].items()
         }
         cur_root = os.path.join(self.path, "current")
         try:

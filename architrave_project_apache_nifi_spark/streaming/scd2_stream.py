@@ -52,6 +52,7 @@ def _merge_batch(
     n_buckets: int = 16,
     handle_deletes: bool = False,
     compact_every: int | None = None,
+    retain_snapshots: int = 1,
 ) -> None:
     """Merge one micro-batch into the incremental history store.
 
@@ -74,7 +75,10 @@ def _merge_batch(
     or unreadable store raises and fails the batch instead of being
     silently rebuilt from one micro-batch.
     """
-    store = Scd2Store(history_path, key_col=key, n_buckets=n_buckets)
+    store = Scd2Store(
+        history_path, key_col=key, n_buckets=n_buckets,
+        retain_snapshots=retain_snapshots,
+    )
     if store.exists() and store.manifest()["version"] >= batch_id:
         return  # replayed, already committed — idempotent no-op
     wanted = ("insert", "update", "delete") if handle_deletes else (
@@ -145,6 +149,7 @@ def run_scd2_stream_from(
     n_buckets: int = 16,
     handle_deletes: bool = False,
     compact_every: int | None = None,
+    retain_snapshots: int = 1,
 ) -> StreamingQuery:
     """Wire ANY envelope-shaped streaming DataFrame (file source, Kafka,
     socket, the custom ``cdc_replay`` Python DataSource) into the SCD2
@@ -161,13 +166,15 @@ def run_scd2_stream_from(
     ``compact_every=N`` runs closed-batch compaction after any commit
     that leaves ≥ N per-batch closed dirs pending (the small-files
     maintenance a 200 ms-trigger stream needs; see
-    ``Scd2Store.compact_closed``)."""
+    ``Scd2Store.compact_closed``). ``retain_snapshots=K`` keeps the
+    last K committed snapshots readable (``Scd2Store.read_snapshot`` —
+    time travel); 1 = latest only."""
     os.makedirs(checkpoint_path, exist_ok=True)
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         _merge_batch(
             spark, batch, history_path, key, ts_col, batch_id, n_buckets,
-            handle_deletes, compact_every,
+            handle_deletes, compact_every, retain_snapshots,
         )
 
     writer = stream.writeStream.foreachBatch(sink).option(

@@ -385,3 +385,63 @@ def test_store_rebucket_rescales_and_keeps_merging(spark, tmp_path):
     assert [x.Price for x in v] == [56.0, 100.0, 120.0, 140.0]
     assert [x.is_current for x in v] == ["N", "N", "N", "Y"]
     assert Scd2Store(hist_path).manifest()["n_buckets"] == 4
+
+
+def test_store_time_travel_snapshots(spark, tmp_path):
+    """retain_snapshots=K: each retained flip stays readable exactly as
+    it was committed — including data directories a later batch
+    superseded; seqs outside the window raise; default retention (1)
+    keeps today's GC behavior."""
+    import json
+    import os
+    import time as _time
+
+    import pytest
+
+    from architrave_project_apache_nifi_spark.sources.cdc import _envelope
+    from architrave_project_apache_nifi_spark.streaming.history_store import (
+        Scd2Store,
+    )
+    from architrave_project_apache_nifi_spark.streaming.scd2_stream import (
+        run_scd2_stream_from,
+    )
+    from architrave_project_apache_nifi_spark.sources.cdc import (
+        read_envelope_stream,
+    )
+
+    src = tmp_path / "in"
+    cdc.write_golden_scenario(str(src), files=4)
+    hist_path, ckpt = str(tmp_path / "hist"), str(tmp_path / "ckpt")
+    stream = read_envelope_stream(spark, str(src), max_files_per_trigger=1)
+    q = run_scd2_stream_from(
+        spark, stream, hist_path, ckpt, retain_snapshots=4,
+    )
+    q.awaitTermination()
+
+    store = Scd2Store(hist_path)
+    seqs = store.snapshots()
+    assert len(seqs) >= 3  # several non-empty micro-batches committed
+    # snapshots grow monotonically in row count, and the latest equals
+    # the direct read
+    counts = [store.read_snapshot(spark, s).count() for s in seqs]
+    assert counts == sorted(counts)
+    assert counts[-1] == read_history(spark, hist_path).count() == 5
+    # an earlier snapshot shows 9014 BEFORE its second price update
+    mid = seqs[-2]
+    mid_rows = read_history(spark, hist_path, as_of=mid).collect()
+    assert len(mid_rows) < 5
+    # out-of-window seq raises
+    with pytest.raises(KeyError):
+        store.read_snapshot(spark, seqs[0] - 1)
+
+    # retention survives a maintenance flip by a default-retention writer
+    # (ratchet), and compaction keeps snapshot-referenced batch dirs
+    default_store = Scd2Store(hist_path, key_col="ProductID")
+    if len(default_store.manifest()["closed_batches"]) >= 2:
+        assert default_store.compact_closed(spark, min_batches=2) is True
+        assert default_store.manifest()["retain_snapshots"] == 4
+        # every retained snapshot still reads exactly (folded dirs kept)
+        store2 = Scd2Store(hist_path)
+        for s, c in zip(seqs, counts):
+            if s in store2.snapshots():
+                assert store2.read_snapshot(spark, s).count() == c
