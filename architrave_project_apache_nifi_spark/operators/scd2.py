@@ -196,6 +196,26 @@ def scd2_current(history: DataFrame) -> DataFrame:
     return history.filter(F.col("is_current") == "Y")
 
 
+def scd2_as_of(history: DataFrame, ts, ts_is_col: bool = False) -> DataFrame:
+    """Point-in-time dimension lookup — the canonical SCD2 read the
+    reference can only approximate by restoring a backup: each key's
+    version whose half-open validity interval contains ``ts``
+    (``valid_from <= ts < valid_until``, current rows open-ended).
+
+    ``ts`` is a Python datetime / ISO string literal (constant-folded
+    into the scan: both interval bounds become pushable parquet
+    predicates — zero shuffles, zero joins), or a Column when
+    ``ts_is_col`` (e.g. correlating each probe row's own timestamp
+    before an as-of join). A key deleted before ``ts`` (tombstoned
+    chain) simply has no containing interval and is absent — consistent
+    with :func:`scd2_build`'s soft-delete semantics."""
+    point = ts if ts_is_col else F.lit(ts).cast("timestamp")
+    return history.filter(
+        (F.col("valid_from") <= point)
+        & (F.col("valid_until").isNull() | (F.col("valid_until") > point))
+    )
+
+
 def scd2_invariants(
     history: DataFrame, key_cols: str | Sequence[str]
 ) -> DataFrame:

@@ -26,7 +26,13 @@ from .operators import similarity as sim
 from .operators import textanalysis as ta
 from .operators.lookup import lookup_matched, lookup_record, lookup_unmatched
 from .operators.routing import route_on_predicates
-from .operators.scd2 import scd2_apply, scd2_build, scd2_current, scd2_invariants
+from .operators.scd2 import (
+    scd2_apply,
+    scd2_as_of,
+    scd2_build,
+    scd2_current,
+    scd2_invariants,
+)
 from .tables import load, spread
 
 
@@ -92,20 +98,35 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scd2_current_rows",
-    """
-SELECT user_id, value AS current_value, ts AS valid_from
+    f"""
+SELECT 'current' AS at, user_id, value AS row_value, ts AS valid_from
 FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+UNION ALL
+SELECT 'asof' AS at, user_id, value AS row_value, ts AS valid_from
+FROM events
+WHERE ts <= TIMESTAMP '{_MERGE_CUTOFF}'
 QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
 """,
 )
 def q_scd2_current(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's lookup dimension: WHERE Is_current='Y'
-    (final_template.xml:1439)."""
+    """The reference's lookup dimension — WHERE Is_current='Y'
+    (final_template.xml:1439) — plus the point-in-time read the
+    reference cannot do (scd2_as_of: version containing a fixed
+    timestamp; constant-folded interval predicates, zero joins). The
+    as-of branch uses ``<=`` because SCD2 intervals are half-open:
+    the version live AT the cutoff instant began at-or-before it."""
     events = load(spark, "events", sf_dir)
     hist = scd2_build(events, "user_id", "ts", ("event_id",))
-    return scd2_current(hist).select(
-        "user_id", F.col("value").alias("current_value"), "valid_from"
+    cur = scd2_current(hist).select(
+        F.lit("current").alias("at"), "user_id",
+        F.col("value").alias("row_value"), "valid_from",
     )
+    asof = scd2_as_of(hist, _MERGE_CUTOFF).select(
+        F.lit("asof").alias("at"), "user_id",
+        F.col("value").alias("row_value"), "valid_from",
+    )
+    return cur.unionByName(asof)
 
 
 @register(

@@ -209,3 +209,43 @@ def test_scd2_build_on_events_table(spark):
     assert scd2_invariants(hist, "user_id").count() == 0
     n_users = events.select("user_id").distinct().count()
     assert scd2_current(hist).count() == n_users
+
+
+def test_scd2_as_of_point_in_time(spark):
+    """As-of lookup: version containing the instant; half-open bounds
+    (an event AT the instant wins); tombstone-deleted keys absent; a
+    Column timestamp correlates per row."""
+    from architrave_project_apache_nifi_spark.operators.scd2 import scd2_as_of
+
+    t = lambda m: dt.datetime(2023, 9, 27, 10, m)  # noqa: E731
+    rows = [
+        (1, 10.0, t(0), 1, False),
+        (1, 20.0, t(5), 2, False),   # exactly at the probe instant
+        (2, 30.0, t(1), 3, False),
+        (2, None, t(4), 4, True),    # deleted before the probe
+        (3, 40.0, t(8), 5, False),   # born after the probe
+    ]
+    hist = scd2_build(
+        spark.createDataFrame(
+            rows,
+            "ProductID INT, Price DOUBLE, change_ts TIMESTAMP, seq LONG, tomb BOOLEAN",
+        ),
+        "ProductID", "change_ts", ("seq",), tombstone_col="tomb",
+    )
+    got = {r.ProductID: r.Price for r in scd2_as_of(hist, t(5)).collect()}
+    assert got == {1: 20.0}  # key 2 deleted, key 3 not yet born, 1@t5 wins
+
+    earlier = {r.ProductID: r.Price for r in scd2_as_of(hist, t(2)).collect()}
+    assert earlier == {1: 10.0, 2: 30.0}
+
+    # column mode: each probe row carries its own instant — join first so
+    # the timestamp column is in scope, then the same interval predicate
+    probes = spark.createDataFrame(
+        [(1, t(2)), (1, t(6)), (3, t(9))], "pid INT, at TIMESTAMP"
+    )
+    joined = probes.join(hist, F.col("pid") == F.col("ProductID"), "left")
+    j2 = scd2_as_of(joined, F.col("at"), ts_is_col=True).select(
+        "pid", "at", "Price"
+    )
+    got2 = {(r.pid, r.at): r.Price for r in j2.collect()}
+    assert got2 == {(1, t(2)): 10.0, (1, t(6)): 20.0, (3, t(9)): 40.0}
