@@ -174,3 +174,73 @@ def test_tombstone_apply_chain_equals_rebuild(spark, events, dels, cut):
             assert k not in current_keys
         else:
             assert k in current_keys
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    events=_EVENTS,
+    cut=st.integers(min_value=0, max_value=11),
+    ops=st.lists(
+        st.sampled_from(["none", "compact", "rebucket2", "rebucket8"]),
+        min_size=3,
+        max_size=3,
+    ),
+)
+def test_store_random_batches_with_maintenance(spark, tmp_path_factory, events, cut, ops):
+    """The incremental store under ARBITRARY batch boundaries with
+    compaction / rebucketing interleaved after any commit: the final
+    read_all equals the one-shot scd2_build of all events, and every
+    retained snapshot stays readable."""
+    import pyspark.sql.functions as F
+
+    from architrave_project_apache_nifi_spark.streaming.history_store import (
+        Scd2Store,
+    )
+
+    path = str(tmp_path_factory.mktemp("store"))
+    events = sorted(events, key=lambda e: e[1])
+    rows = [
+        (k, p, dt.datetime(2026, 1, 1, 8, m), i)
+        for i, (k, m, p) in enumerate(events)
+    ]
+    schema = "ProductID INT, Price DOUBLE, change_ts TIMESTAMP, seq LONG"
+    cut = min(cut, len(rows))
+    parts = [p for p in (rows[:cut], rows[cut:]) if p]
+
+    store = Scd2Store(path, key_col="ProductID", n_buckets=4, retain_snapshots=2)
+    for batch_id, part in enumerate(parts):
+        changes = spark.createDataFrame(part, schema)
+        touched = [
+            r.b for r in changes.select(store.bucket_expr().alias("b")).distinct().collect()
+        ]
+        if store.exists() and store.has_buckets(touched):
+            merged = scd2_apply(
+                store.read_current(spark, buckets=touched),
+                changes, "ProductID", "change_ts", ("seq",),
+            )
+        else:
+            merged = scd2_build(changes, "ProductID", "change_ts", ("seq",))
+        store.commit(
+            new_current=merged.filter(F.col("is_current") == "Y"),
+            closed_delta=merged.filter(F.col("is_current") == "N"),
+            batch_id=batch_id,
+            touched_buckets=touched or None,
+        )
+        op = ops[batch_id % len(ops)]
+        if op == "compact":
+            store.compact_closed(spark, min_batches=1)
+        elif op == "rebucket2":
+            store.rebucket(spark, 2)
+        elif op == "rebucket8":
+            store.rebucket(spark, 8)
+
+    rebuilt = scd2_build(
+        spark.createDataFrame(rows, schema), "ProductID", "change_ts", ("seq",)
+    )
+    assert _norm(store.read_all(spark)) == _norm(rebuilt)
+    for s in store.snapshots():
+        store.read_snapshot(spark, s).count()  # every retained seq readable
