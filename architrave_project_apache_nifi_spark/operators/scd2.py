@@ -217,7 +217,9 @@ def scd2_as_of(history: DataFrame, ts, ts_is_col: bool = False) -> DataFrame:
 
 
 def scd2_invariants(
-    history: DataFrame, key_cols: str | Sequence[str]
+    history: DataFrame,
+    key_cols: str | Sequence[str],
+    allow_gaps: bool = False,
 ) -> DataFrame:
     """SCD2 invariant violations as rows (empty result == healthy).
 
@@ -225,6 +227,13 @@ def scd2_invariants(
     - at most one current row per key;
     - current rows have ``valid_until IS NULL``;
     - consecutive versions chain: ``valid_until[i] = valid_from[i+1]``.
+
+    ``allow_gaps=True`` is the health check for TOMBSTONED histories
+    (``scd2_build(tombstone_col=...)`` / ``handle_deletes=True``): a
+    delete-then-reinsert legitimately leaves a coverage gap
+    (``valid_until[i] < valid_from[i+1]``), so the chain check relaxes
+    to overlap-or-open only — ``valid_until[i] > valid_from[i+1]`` and
+    NULL-``valid_until``-with-successor stay violations.
     """
     keys = _as_list(key_cols)
     cur = (
@@ -239,15 +248,19 @@ def scd2_invariants(
         .select(*keys, F.lit("current_row_has_valid_until").alias("violation"))
     )
     w = Window.partitionBy(*keys).orderBy("valid_from")
+    if allow_gaps:
+        # tombstone gaps are legal; overlap or open-with-successor is not
+        bad_link = F.col("valid_until").isNull() | (
+            F.col("valid_until") > F.col("__next_from")
+        )
+    else:
+        # null-safe: a non-current row with NULL valid_until that has
+        # a successor is broken too — plain != would return NULL and
+        # silently drop it from the check
+        bad_link = ~F.col("valid_until").eqNullSafe(F.col("__next_from"))
     chain = (
         history.withColumn("__next_from", F.lead("valid_from").over(w))
-        .filter(
-            # null-safe: a non-current row with NULL valid_until that has
-            # a successor is broken too — plain != would return NULL and
-            # silently drop it from the check
-            F.col("__next_from").isNotNull()
-            & ~F.col("valid_until").eqNullSafe(F.col("__next_from"))
-        )
+        .filter(F.col("__next_from").isNotNull() & bad_link)
         .select(*keys, F.lit("broken_interval_chain").alias("violation"))
     )
     return cur.unionByName(open_expired).unionByName(chain)

@@ -28,10 +28,13 @@ def _as_double(vec: Column) -> Column:
 
 
 def _unit(vec: Column) -> Column:
-    """L2-normalized double vector (spherical-k-means input)."""
+    """L2-normalized double vector (spherical-k-means input). A
+    zero-norm vector (padding row, failed upstream encoder) stays the
+    zero vector instead of NaN-poisoning k-means training/assignment."""
     v = _as_double(vec)
     n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
-    return F.transform(v, lambda x: x / n)
+    safe = F.when(n == 0.0, F.lit(1.0)).otherwise(n)
+    return F.transform(v, lambda x: x / safe)
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -290,8 +293,10 @@ def ivf_probe(
             Q = np.stack(pdf["__qv"].to_numpy()).astype(np.float64)
             # centroids live on the unit sphere (spherical quantizer):
             # rank cells by L2 of the NORMALIZED query — identical order
-            # to cosine against the centroids
-            Qn = Q / np.sqrt((Q * Q).sum(1))[:, None]
+            # to cosine against the centroids. Zero-norm queries stay
+            # zero (deterministic cells) instead of NaN-ing the row.
+            nrm = np.sqrt((Q * Q).sum(1))
+            Qn = Q / np.where(nrm == 0, 1.0, nrm)[:, None]
             d2 = (Qn * Qn).sum(1)[:, None] - 2 * Qn @ C.T + (C * C).sum(1)[None, :]
             near = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
             yield pd.DataFrame(
@@ -302,18 +307,25 @@ def ivf_probe(
                 }
             )
 
-    qprobes = (
+    probe_schema = f"{query_id_col} long, probe int, __qv array<double>"
+    # Tiny by construction (n_queries × nprobe rows): collect ONCE and
+    # rebuild as a local DataFrame — the probe UDF runs exactly once,
+    # nothing is left cached (a serving loop calling ivf_probe
+    # repeatedly must not leak executor storage), and the collected
+    # cell set is what turns a partitioned on-disk index into a
+    # partition-pruned scan.
+    probed_rows = (
         queries.select(
             query_id_col, _as_double(F.col(vec_col)).alias("__qv")
         )
-        .mapInPandas(probe, f"{query_id_col} long, probe int, __qv array<double>")
-        .withColumn("__qn", l2_norm(F.col("__qv")))
-        .persist()
+        .mapInPandas(probe, probe_schema)
+        .collect()
     )
-    # Tiny by construction (n_queries × nprobe): safe to collect; the
-    # isin filter below is what turns a partitioned on-disk index into
-    # a partition-pruned scan.
-    probed_cells = [r.probe for r in qprobes.select("probe").distinct().collect()]
+    spark = index.assigned.sparkSession
+    qprobes = spark.createDataFrame(probed_rows, probe_schema).withColumn(
+        "__qn", l2_norm(F.col("__qv"))
+    )
+    probed_cells = sorted({r.probe for r in probed_rows})
 
     pruned = index.assigned.filter(F.col("list_id").isin(probed_cells))
     scored = pruned.join(
@@ -321,7 +333,12 @@ def ivf_probe(
         (pruned.list_id == qprobes.probe)
         & (F.col(id_col) != F.col(query_id_col)),
     ).withColumn(
-        "cosine", dot(F.col("__cv"), F.col("__qv")) / (F.col("__cn") * F.col("__qn"))
+        "cosine",
+        # try_divide: a zero-norm vector yields NULL cosine (ranked
+        # last under desc) instead of an ANSI DIVIDE_BY_ZERO error
+        F.try_divide(
+            dot(F.col("__cv"), F.col("__qv")), F.col("__cn") * F.col("__qn")
+        ),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
@@ -416,7 +433,12 @@ def lsh_topk(
     scored = cb.join(
         F.broadcast(qb), (cb.bucket == qb.probe) & (F.col(id_col) != F.col(query_id_col))
     ).withColumn(
-        "cosine", dot(F.col("__cv"), F.col("__qv")) / (F.col("__cn") * F.col("__qn"))
+        "cosine",
+        # try_divide: a zero-norm vector yields NULL cosine (ranked
+        # last under desc) instead of an ANSI DIVIDE_BY_ZERO error
+        F.try_divide(
+            dot(F.col("__cv"), F.col("__qv")), F.col("__cn") * F.col("__qn")
+        ),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()

@@ -50,8 +50,13 @@ ENGINE_CONF: dict[str, str] = {
     # throttles the scheduler (measured on the dedup join+agg: runs
     # degrade 7 s → 14 s with the UI on, and instead IMPROVE 6 s → 2 s
     # with it off as JIT warms). Headless engine runs don't need the UI;
-    # set SPARK_GRAFT_UI=true to get it back for interactive debugging.
-    "spark.ui.enabled": os.environ.get("SPARK_GRAFT_UI", "false"),
+    # set SPARK_GRAFT_UI=true (or 1/yes) for interactive debugging.
+    "spark.ui.enabled": (
+        "true"
+        if os.environ.get("SPARK_GRAFT_UI", "").strip().lower()
+        in ("1", "true", "yes", "on")
+        else "false"
+    ),
 }
 
 

@@ -109,6 +109,7 @@ def jdbc_append_transactional(
     properties: dict[str, str],
     staging_table: str | None = None,
     batchsize: int = 100,
+    batch_id: int | None = None,
 ) -> int:
     """All-or-nothing JDBC append — PutSQL's ``Support Fragmented
     Transactions = true`` (final_template.xml:2284 block), which plain
@@ -125,7 +126,16 @@ def jdbc_append_transactional(
     2. the driver finalizes with ONE ``INSERT INTO target SELECT … FROM
        staging`` — a single statement, atomic in any SQL database: the
        target gains all rows or none;
-    3. staging is dropped.
+    3. staging is dropped (best-effort: a failed drop must not mask the
+       committed append — the next attempt overwrites staging anyway).
+
+    Within ONE invocation the append is all-or-nothing, but a RETRY of a
+    crashed invocation (e.g. a replayed ``foreachBatch``) would run the
+    finalize again and duplicate the batch. Pass ``batch_id`` for
+    exactly-once across retries: the finalize and an insert into
+    ``<table>_commits (batch_id BIGINT PRIMARY KEY)`` share one JDBC
+    transaction, so a replayed id is a no-op (returns 0) and a crash
+    between finalize and marker rolls both back together.
 
     Returns rows appended."""
     staging = staging_table or f"{table}_stage_append"
@@ -143,9 +153,69 @@ def jdbc_append_transactional(
     )
     spark = df.sparkSession
     try:
-        return execute_sql(spark, url, sql, properties)
+        if batch_id is None:
+            return execute_sql(spark, url, sql, properties)
+        markers = f"{table}_commits"
+        try:
+            execute_sql(
+                spark, url,
+                f"CREATE TABLE {markers} (batch_id BIGINT PRIMARY KEY)",
+                properties,
+            )
+        except Exception:  # noqa: BLE001 — already-exists is expected
+            pass
+        return _execute_marked_commit(
+            spark, url, properties, sql, markers, int(batch_id)
+        )
     finally:
-        execute_sql(spark, url, f"DROP TABLE {staging}", properties)
+        try:
+            execute_sql(spark, url, f"DROP TABLE {staging}", properties)
+        except Exception:  # noqa: BLE001 — stale staging is harmless;
+            pass  # raising here would mask a committed append as failure
+
+
+def _execute_marked_commit(
+    spark: SparkSession,
+    url: str,
+    properties: dict[str, str],
+    insert_sql: str,
+    markers: str,
+    batch_id: int,
+) -> int:
+    """Finalize + commit-marker insert in ONE JDBC transaction: replayed
+    batch ids are no-ops; the markers PRIMARY KEY also rejects a
+    concurrent double-commit of the same id."""
+    jvm = spark._jvm  # type: ignore[attr-defined]
+    if "user" in properties:
+        conn = jvm.java.sql.DriverManager.getConnection(
+            url, properties["user"], properties.get("password", "")
+        )
+    else:
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        conn.setAutoCommit(False)
+        stmt = conn.createStatement()
+        try:
+            rs = stmt.executeQuery(
+                f"SELECT COUNT(*) FROM {markers} WHERE batch_id = {batch_id}"
+            )
+            rs.next()
+            if rs.getInt(1) > 0:
+                conn.rollback()
+                return 0  # replay of an already-committed batch
+            n = stmt.executeUpdate(insert_sql)
+            stmt.executeUpdate(
+                f"INSERT INTO {markers} (batch_id) VALUES ({batch_id})"
+            )
+            conn.commit()
+            return n
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
 
 
 def execute_sql(spark: SparkSession, url: str, sql: str,

@@ -149,10 +149,18 @@ class Scd2Store:
         scan to the named key-hash buckets (the merge's pruned read:
         only directories holding touched keys are listed; buckets with
         no committed rows yet are simply absent from the listing)."""
-        paths = self._current_paths(self.manifest(), buckets)
-        if not paths:
-            raise ValueError(f"SCD2 store at {self.path} has no current buckets")
-        return spark.read.parquet(*paths)
+        m = self.manifest()
+        paths = self._current_paths(m, buckets)
+        if paths:
+            return spark.read.parquet(*paths)
+        # a store whose live keys were ALL soft-deleted is a legitimate
+        # committed state (zero current rows, history intact): return an
+        # empty frame with the history schema, which closed rows share
+        closed = [self._segment_dir(s) for s in m.get("closed_segments", [])]
+        closed.extend(self._closed_dir(b) for b in m["closed_batches"])
+        if closed:
+            return spark.read.parquet(*closed).limit(0)
+        raise ValueError(f"SCD2 store at {self.path} has no committed data")
 
     def read_all(self, spark: SparkSession) -> DataFrame:
         """Full history: compacted closed segments + committed closed
@@ -393,15 +401,19 @@ class Scd2Store:
         One full rewrite of the CURRENT rows only (one row per live key
         — closed history, the bulk of the store, is untouched). The
         rewrite lands in a distinct address space
-        (``current/v=<version>r<new_n>/``) so it cannot collide with any
-        batch commit's directories; the manifest then flips atomically
-        to the new bucket count and references. Crash before the flip
-        leaves the old manifest fully readable (the half-written rewrite
-        is unreferenced and GC'd by the next commit); replay of the same
-        rebucket overwrites the same directories. Requires ``key_col``."""
+        (``current/v=<version>r<new_n>s<seq>/``) so it cannot collide
+        with any batch commit's directories — and, because the tag
+        includes the NEXT flip seq, never with a PREVIOUS rebucket's
+        either: a retry after a successful flip gets a fresh seq and so
+        reads the committed dirs while writing new ones (read-path ==
+        write-path would make Spark's overwrite delete the only copy of
+        the snapshot before reading it). Crash before the flip leaves
+        the old manifest fully readable (the half-written rewrite is
+        unreferenced; same-seq retry overwrites it idempotently).
+        Requires ``key_col``."""
         m = self.manifest()
         refs = m["current_buckets"]
-        tag = f"{m['version']}r{new_n_buckets}"
+        tag = f"{m['version']}r{new_n_buckets}s{m.get('seq', 0) + 1}"
         self.n_buckets = new_n_buckets
         if refs:
             cur = spark.read.parquet(*self._current_paths(m))

@@ -96,41 +96,49 @@ def _merge_batch(
     tombstone_col = "__tomb" if handle_deletes else None
     if not handle_deletes:
         changes = changes.drop("__tomb")
-    if not changes.head(1):
-        return
-    touched: list[int] = []
-    if store.exists():
-        # tiny by construction (≤ n_buckets values): the collect is what
-        # turns the current-rows read into a pruned directory listing
-        touched = [
-            r.b
-            for r in changes.select(store.bucket_expr().alias("b"))
-            .distinct()
-            .collect()
-        ]
-    if touched and store.has_buckets(touched):
-        current = store.read_current(spark, buckets=touched)
-        merged = scd2_apply(
-            current, changes, key, ts_col, order_cols=("cdc_sequence_id",),
-            tombstone_col=tombstone_col,
-        )
-    else:
-        # first batch, or every touched bucket is virgin (all-new keys):
-        # there are no current rows to merge against
-        merged = scd2_build(
-            changes, key, ts_col, order_cols=("cdc_sequence_id",),
-            tombstone_col=tombstone_col,
-        )
-    merged = merged.persist()  # one evaluation feeds both commit writes
+    # persist: the batch lineage otherwise re-runs source-read + flatten
+    # four times (empty probe, touched-bucket collect, the merge's
+    # auto-broadcast key count, and the commit materialization) — on a
+    # 200 ms-trigger hot path that quadruples per-batch input cost
+    changes = changes.persist()
     try:
-        store.commit(
-            new_current=merged.filter(F.col("is_current") == "Y"),
-            closed_delta=merged.filter(F.col("is_current") == "N"),
-            batch_id=batch_id,
-            touched_buckets=touched or None,
-        )
+        if not changes.head(1):
+            return
+        touched: list[int] = []
+        if store.exists():
+            # tiny by construction (≤ n_buckets values): the collect is
+            # what turns the current-rows read into a pruned listing
+            touched = [
+                r.b
+                for r in changes.select(store.bucket_expr().alias("b"))
+                .distinct()
+                .collect()
+            ]
+        if touched and store.has_buckets(touched):
+            current = store.read_current(spark, buckets=touched)
+            merged = scd2_apply(
+                current, changes, key, ts_col, order_cols=("cdc_sequence_id",),
+                tombstone_col=tombstone_col,
+            )
+        else:
+            # first batch, or every touched bucket is virgin (all-new
+            # keys): there are no current rows to merge against
+            merged = scd2_build(
+                changes, key, ts_col, order_cols=("cdc_sequence_id",),
+                tombstone_col=tombstone_col,
+            )
+        merged = merged.persist()  # one evaluation feeds both commit writes
+        try:
+            store.commit(
+                new_current=merged.filter(F.col("is_current") == "Y"),
+                closed_delta=merged.filter(F.col("is_current") == "N"),
+                batch_id=batch_id,
+                touched_buckets=touched or None,
+            )
+        finally:
+            merged.unpersist()
     finally:
-        merged.unpersist()
+        changes.unpersist()
     if compact_every:
         # post-commit maintenance in the same single-writer thread:
         # folds accumulated per-batch closed dirs once enough pile up

@@ -249,3 +249,37 @@ def test_scd2_as_of_point_in_time(spark):
     )
     got2 = {(r.pid, r.at): r.Price for r in j2.collect()}
     assert got2 == {(1, t(2)): 10.0, (1, t(6)): 20.0, (3, t(9)): 40.0}
+
+
+def test_scd2_invariants_allow_gaps_for_tombstoned_history(spark):
+    """allow_gaps: a delete-then-reinsert gap is healthy; an OVERLAP is
+    still flagged in both modes."""
+    from architrave_project_apache_nifi_spark.operators.scd2 import scd2_invariants
+
+    t = lambda m: dt.datetime(2023, 9, 27, 10, m)  # noqa: E731
+    rows = [
+        (1, 10.0, t(1), 1, False),
+        (1, None, t(2), 2, True),   # delete → gap before re-insert
+        (1, 30.0, t(5), 3, False),
+    ]
+    hist = scd2_build(
+        spark.createDataFrame(
+            rows,
+            "ProductID INT, Price DOUBLE, change_ts TIMESTAMP, seq LONG, tomb BOOLEAN",
+        ),
+        "ProductID", "change_ts", ("seq",), tombstone_col="tomb",
+    )
+    # strict mode flags the legal tombstone gap; gap-aware mode is clean
+    assert scd2_invariants(hist, "ProductID").count() == 1
+    assert scd2_invariants(hist, "ProductID", allow_gaps=True).count() == 0
+
+    # an overlapping pair is broken in BOTH modes
+    bad = spark.createDataFrame(
+        [
+            (2, 1.0, t(0), t(9), "N"),   # overlaps its successor
+            (2, 2.0, t(4), None, "Y"),
+        ],
+        "ProductID INT, Price DOUBLE, valid_from TIMESTAMP, valid_until TIMESTAMP, is_current STRING",
+    )
+    assert scd2_invariants(bad, "ProductID", allow_gaps=True).count() == 1
+    assert scd2_invariants(bad, "ProductID").count() == 1

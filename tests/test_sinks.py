@@ -150,3 +150,26 @@ def test_history_current_read_prunes_partitions(spark, tmp_path):
     plan = formatted_plan(current)
     assert "PartitionFilters: [isnotnull(is_current" in plan, plan
     assert current.count() == 2
+
+
+def test_jdbc_append_transactional_batch_id_exactly_once(spark):
+    """batch_id makes the append exactly-once across retries: the
+    finalize and the commit-marker insert share one JDBC transaction, so
+    replaying a committed batch is a no-op and a NEW batch id appends."""
+    url = _url("txnappendoncedb")
+    sinks.execute_sql(
+        spark, url, "CREATE TABLE hist (pid INT, price DOUBLE, flag VARCHAR(1))"
+    )
+    df = spark.createDataFrame(
+        [(1, 10.0, "Y"), (2, 20.0, "Y")], "pid INT, price DOUBLE, flag STRING"
+    )
+
+    assert sinks.jdbc_append_transactional(df, url, "hist", DERBY_PROPS, batch_id=7) == 2
+    # the retry of a crashed-after-commit job replays the same batch id
+    assert sinks.jdbc_append_transactional(df, url, "hist", DERBY_PROPS, batch_id=7) == 0
+    assert spark.read.jdbc(url, "hist", properties=DERBY_PROPS).count() == 2
+
+    # a genuinely new batch still appends
+    df2 = spark.createDataFrame([(3, 30.0, "N")], "pid INT, price DOUBLE, flag STRING")
+    assert sinks.jdbc_append_transactional(df2, url, "hist", DERBY_PROPS, batch_id=8) == 1
+    assert spark.read.jdbc(url, "hist", properties=DERBY_PROPS).count() == 3

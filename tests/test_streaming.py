@@ -364,7 +364,7 @@ def test_store_rebucket_rescales_and_keeps_merging(spark, tmp_path):
     store.rebucket(spark, 4)
     m = store.manifest()
     assert m["n_buckets"] == 4
-    assert all(str(v).endswith("r4") for v in m["current_buckets"].values())
+    assert all("r4s" in str(v) for v in m["current_buckets"].values())
     assert sorted(map(tuple, read_history(spark, hist_path).collect())) == before
     # all current rows live under the rebucket address space now
     cur_root = os.path.join(hist_path, "current")
@@ -445,3 +445,63 @@ def test_store_time_travel_snapshots(spark, tmp_path):
         for s, c in zip(seqs, counts):
             if s in store2.snapshots():
                 assert store2.read_snapshot(spark, s).count() == c
+
+
+def test_store_rebucket_replay_is_safe(spark, tmp_path):
+    """A rebucket retried with no intervening commit (the post-flip
+    crash-replay shape) must not destroy the snapshot: the second run
+    reads the committed dirs while writing fresh ones (seq-tagged
+    address space), and rows stay identical."""
+    from architrave_project_apache_nifi_spark.streaming.history_store import (
+        Scd2Store,
+    )
+
+    src = tmp_path / "in"
+    cdc.write_golden_scenario(str(src), files=1)
+    hist_path = str(tmp_path / "hist")
+    q = run_scd2_stream(spark, str(src), hist_path, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    store = Scd2Store(hist_path, key_col="ProductID")
+    before = sorted(map(tuple, read_history(spark, hist_path).collect()))
+    store.rebucket(spark, 4)
+    store.rebucket(spark, 4)  # replay: same count, no intervening commit
+    assert sorted(map(tuple, read_history(spark, hist_path).collect())) == before
+    assert store.manifest()["n_buckets"] == 4
+
+
+def test_read_current_empty_after_all_keys_deleted(spark, tmp_path):
+    """A store whose live keys were ALL soft-deleted is a legitimate
+    committed state: read_current returns an EMPTY frame with the
+    history schema instead of raising."""
+    import json
+
+    from architrave_project_apache_nifi_spark.sources.cdc import _envelope
+    from architrave_project_apache_nifi_spark.streaming.history_store import (
+        Scd2Store,
+    )
+
+    src = tmp_path / "in"
+    events = [
+        _envelope(1, "insert", 9012),
+        _envelope(2, "delete", 9012),
+        _envelope(3, "insert", 9013),
+        _envelope(4, "delete", 9013),
+        _envelope(5, "insert", 9014),
+        _envelope(6, "delete", 9014),
+    ]
+    src.mkdir()
+    with open(src / "events.json", "w") as fh:
+        for e in events:
+            fh.write(json.dumps(e) + "\n")
+    hist_path = str(tmp_path / "hist")
+    q = run_scd2_stream(
+        spark, str(src), hist_path, str(tmp_path / "ckpt"), handle_deletes=True,
+    )
+    q.awaitTermination()
+    store = Scd2Store(hist_path)
+    cur = store.read_current(spark)
+    assert cur.count() == 0
+    assert "ProductID" in cur.columns  # real history schema, not a stub
+    hist = read_history(spark, hist_path)
+    assert hist.count() == 3
+    assert hist.filter(F.col("is_current") == "Y").count() == 0
