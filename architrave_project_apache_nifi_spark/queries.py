@@ -670,11 +670,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JACCARD_THRESHOLD = 0.2
 _SHINGLE_N = 2
 
-
-@register(
-    "dedup_ngram_jaccard",
-    f"""
-WITH toks AS (
+# Shared CTE chain: word-shingle sets → pair intersection sizes.
+# Reused by the exact-pairs oracle, the LSH-verified oracle, and the
+# connected-components canonicalization oracle below.
+_JACCARD_CTES = f"""toks AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id,
@@ -689,7 +688,13 @@ WITH toks AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
+)"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+WITH {_JACCARD_CTES}
 SELECT id_a, id_b,
        round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
 FROM common
@@ -719,6 +724,46 @@ def q_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.verify_candidate_pairs(
         docs, cands, "doc_id", "text", _JACCARD_THRESHOLD, _SHINGLE_N
     )
+
+
+@register(
+    "dedup_cluster_canonical",
+    f"""
+WITH RECURSIVE {_JACCARD_CTES}, pairs AS (
+  SELECT id_a, id_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+        >= {_JACCARD_THRESHOLD}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+)
+SELECT id AS doc_id, min(r) AS canonical_id,
+       CAST(CASE WHEN min(r) = id THEN 1 ELSE 0 END AS INT) AS is_kept
+FROM reach GROUP BY id
+""",
+)
+def q_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup decision pipeline: MinHash-LSH candidates →
+    exact-Jaccard verification → connected components (min-label
+    propagation with pointer jumping, operators/cluster.py) → one
+    (doc_id, canonical_id, is_kept) row per document. The oracle
+    computes the same transitive closure with a recursive CTE."""
+    from .operators.cluster import canonical_docs
+
+    docs = load(spark, "documents", sf_dir)
+    cands = dd.minhash_lsh_candidates(docs, "doc_id", "text", 64, 64, _SHINGLE_N)
+    pairs = dd.verify_candidate_pairs(
+        docs, cands, "doc_id", "text", _JACCARD_THRESHOLD, _SHINGLE_N
+    )
+    return canonical_docs(docs, pairs, "doc_id", "id_a", "id_b")
 
 
 _COSINE_THRESHOLD = 0.30

@@ -1,0 +1,74 @@
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from architrave_project_apache_nifi_spark.operators.cluster import (
+    canonical_docs,
+    connected_components,
+)
+
+
+def _union_find_components(n_nodes: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Min-id component per node appearing in edges (plain union-find)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_cc_matches_union_find_random_graphs(spark):
+    rng = random.Random(7)
+    for trial in range(4):
+        n = rng.randint(5, 60)
+        m = rng.randint(0, 2 * n)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges = [e for e in edges if e[0] != e[1]]
+        if not edges:
+            edges = [(0, 1)]
+        expected = _union_find_components(n, edges)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["id"]: r["comp"]
+            for r in connected_components(df, "src", "dst").collect()
+        }
+        assert got == expected, f"trial {trial}: {sorted(got.items())[:10]}"
+
+
+def test_cc_long_path_converges(spark):
+    # A 64-node path graph: worst case for plain propagation (diameter
+    # 63); pointer jumping must converge well inside max_iter.
+    edges = [(i, i + 1) for i in range(63)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = connected_components(df, "src", "dst", max_iter=12).collect()
+    assert len(got) == 64
+    assert {r["comp"] for r in got} == {0}
+
+
+def test_canonical_docs_keeps_min_and_singletons(spark):
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 4), (4, 7), (2, 9)], "id_a long, id_b long"
+    )
+    rows = {r["doc_id"]: r for r in canonical_docs(docs, pairs).collect()}
+    assert rows[1]["canonical_id"] == 1 and rows[1]["is_kept"] == 1
+    assert rows[4]["canonical_id"] == 1 and rows[4]["is_kept"] == 0
+    assert rows[7]["canonical_id"] == 1 and rows[7]["is_kept"] == 0
+    assert rows[2]["canonical_id"] == 2 and rows[2]["is_kept"] == 1
+    assert rows[9]["canonical_id"] == 2 and rows[9]["is_kept"] == 0
+    # Untouched docs are their own kept canonical.
+    assert rows[0]["canonical_id"] == 0 and rows[0]["is_kept"] == 1
+    kept = sum(r["is_kept"] for r in rows.values())
+    assert kept == 7  # 10 docs - 3 dropped duplicates
