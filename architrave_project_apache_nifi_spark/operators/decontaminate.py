@@ -1,0 +1,77 @@
+"""Benchmark decontamination: flag training documents that share any
+word n-gram with an evaluation/benchmark document set.
+
+This is the standard eval-leakage guard in LLM training-data pipelines
+(n-gram overlap decontamination, typically 8-13-gram): any training
+document containing a verbatim n-gram from the held-out benchmark is
+flagged (and usually dropped). The reference NiFi flow has no analog —
+this is §2.9 LLM-data-pipeline extension surface (SURVEY.md §2.9).
+
+Scale shape (100 TB corpus, small benchmark): benchmark n-gram sets
+are tiny relative to the corpus (eval suites are at most millions of
+n-grams), so the benchmark side is hashed to 8-byte longs, dedup'd,
+and **broadcast** — the corpus never shuffles for the match, and each
+corpus partition streams its exploded n-grams against the in-memory
+hash set. The only wide operation is the per-document count
+aggregation, hash-partitioned on the doc id. If a benchmark set ever
+outgrows the broadcast threshold, drop the `broadcast()` hint and the
+same plan degrades gracefully to a shuffled hash join.
+
+N-grams are hashed with ``xxhash64`` before the join: matching on the
+8-byte hash equals matching on the string up to the accepted 2^-64
+per-pair collision odds, and the broadcast table holds longs instead
+of n-word strings (~5-10× smaller).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingles
+
+
+def _doc_ngram_hashes(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """One row per distinct (doc, n-gram-hash)."""
+    return df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("__g"),
+    ).select(id_col, F.xxhash64("__g").alias("__gh"))
+
+
+def ngram_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Per-corpus-document contamination report: (``doc_id``,
+    ``n_ngrams``, ``n_contaminated``, ``is_contaminated``).
+
+    ``n_contaminated`` counts the document's distinct n-grams that
+    appear verbatim anywhere in ``benchmark``; ``is_contaminated`` is
+    the 0/1 drop flag. One corpus scan, one broadcast join, one
+    aggregation shuffle on the doc id.
+    """
+    bench_g = (
+        _doc_ngram_hashes(benchmark, id_col, text_col, n)
+        .select("__gh")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    corpus_g = _doc_ngram_hashes(corpus, id_col, text_col, n)
+    return (
+        corpus_g.join(F.broadcast(bench_g), "__gh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_contaminated"),
+        )
+        .select(
+            id_col,
+            "n_ngrams",
+            "n_contaminated",
+            (F.col("n_contaminated") > 0).cast("int").alias("is_contaminated"),
+        )
+    )

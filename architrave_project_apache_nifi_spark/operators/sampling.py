@@ -1,0 +1,83 @@
+"""Deterministic stratified sampling — domain/language mixture control
+for training-data pipelines.
+
+Given per-stratum keep rates (e.g. ``{"en": 0.5, "de": 0.25}``), keep
+each row iff a deterministic hash of its id falls under the stratum's
+threshold. Properties a training pipeline needs and `df.sample()` does
+not give:
+
+- **Deterministic & replayable**: the decision is a pure function of
+  (id, rate) — re-running the pipeline, or running it on a different
+  cluster/partitioning, selects the identical row set. No RNG state,
+  no seed-per-partition coupling.
+- **Nested**: lowering a stratum's rate produces a subset of the
+  previous sample (thresholding one fixed hash), so mixture re-weighs
+  are monotone — important when re-mixing an already-materialized
+  corpus.
+- **Stratified**: rates ride a small DataFrame joined (broadcast) on
+  the stratum key, so thousands of (lang × source) strata cost one
+  map-side join, no shuffle of the corpus.
+
+The hash is a 31-bit LCG step ``((id % 2147483647) * 1103515245 +
+12345) % 2^31`` — pure integer arithmetic expressible identically in
+any ANSI SQL engine (the DuckDB oracle runs the same formula), bounded
+so the product never overflows int64. It is NOT crypto-grade; for
+adversarial id distributions swap in ``xxhash64(id)`` (same call
+shape) at the cost of oracle portability. Rates with exact binary
+fractions (k/2^31) avoid float-rounding disagreement between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_LCG_MOD = 2147483647  # 2^31 - 1 (bounds the multiply under int64)
+_LCG_MUL = 1103515245
+_LCG_INC = 12345
+_LCG_RANGE = 2147483648  # 2^31
+
+
+def sample_hash(id_col) -> F.Column:
+    """Deterministic 31-bit hash of an integer id column."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (
+        (c.cast("long") % _LCG_MOD) * _LCG_MUL + _LCG_INC
+    ) % _LCG_RANGE
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: DataFrame,
+    stratum_cols: list[str],
+    id_col: str,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Rows of ``df`` kept by the per-stratum deterministic sample.
+
+    ``rates`` has ``stratum_cols`` + a double ``rate`` column in
+    [0, 1]; strata absent from ``rates`` fall back to
+    ``default_rate``. The rates table is broadcast — the corpus is
+    filtered in place with zero shuffles.
+    """
+    keyed = rates.select(
+        *stratum_cols, F.col("rate").cast("double").alias("__rate")
+    )
+    return (
+        df.join(F.broadcast(keyed), stratum_cols, "left")
+        .withColumn("__rate", F.coalesce("__rate", F.lit(float(default_rate))))
+        .filter(
+            sample_hash(id_col)
+            < F.floor(F.col("__rate") * F.lit(float(_LCG_RANGE))).cast("long")
+        )
+        .drop("__rate")
+    )
+
+
+def lcg_where_sql(id_expr: str, rate_case_sql: str) -> str:
+    """The equivalent ANSI-SQL predicate, for oracle construction:
+    ``lcg(id) < floor(rate * 2^31)`` with the same constants."""
+    return (
+        f"(({id_expr} % {_LCG_MOD}) * {_LCG_MUL} + {_LCG_INC}) % {_LCG_RANGE}"
+        f" < CAST(floor(({rate_case_sql}) * {_LCG_RANGE}.0) AS BIGINT)"
+    )

@@ -20,8 +20,10 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .operators import decontaminate as dc
 from .operators import dedup as dd
 from .operators import multimodal as mm
+from .operators import sampling as sp
 from .operators import similarity as sim
 from .operators import textanalysis as ta
 from .operators.lookup import lookup_matched, lookup_record, lookup_unmatched
@@ -764,6 +766,70 @@ def q_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, cands, "doc_id", "text", _JACCARD_THRESHOLD, _SHINGLE_N
     )
     return canonical_docs(docs, pairs, "doc_id", "id_a", "id_b")
+
+
+_DECON_N = 5  # word 5-grams; the operator default is 13 (real pipelines)
+
+
+@register(
+    "decontaminate_ngrams",
+    f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(t) < {_DECON_N} THEN [array_to_string(t, ' ')]
+                ELSE list_transform(range(0, len(t) - {_DECON_N} + 1),
+                                    i -> array_to_string(t[CAST(i+1 AS INT):CAST(i+{_DECON_N} AS INT)], ' '))
+                END) AS g
+  FROM toks
+), bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 7
+), corpus AS (
+  SELECT doc_id, g FROM grams WHERE doc_id % 10 <> 7
+)
+SELECT c.doc_id, count(*) AS n_ngrams,
+       count(b.g) AS n_contaminated,
+       CAST(CASE WHEN count(b.g) > 0 THEN 1 ELSE 0 END AS INT) AS is_contaminated
+FROM corpus c LEFT JOIN bench b ON c.g = b.g
+GROUP BY c.doc_id
+""",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-leakage guard: flag training docs sharing any verbatim word
+    5-gram with the benchmark subset (doc_id % 10 == 7 stands in for a
+    held-out eval set). Benchmark n-grams hash to longs and broadcast;
+    the corpus never shuffles for the match."""
+    docs = load(spark, "documents", sf_dir)
+    bench = docs.filter(F.col("doc_id") % 10 == 7)
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    return dc.ngram_decontaminate(corpus, bench, "doc_id", "text", _DECON_N)
+
+
+@register(
+    "stratified_sample_by_lang",
+    f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {sp.lcg_where_sql(
+    "doc_id",
+    "CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 "
+    "WHEN 'fr' THEN 0.125 ELSE 0.0625 END",
+)}
+""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample for language-mixture control:
+    per-lang keep rates ride a broadcast rates table; the keep decision
+    is a pure integer hash of doc_id (replayable, nested under rate
+    changes, zero corpus shuffles). The oracle runs the identical
+    arithmetic in SQL."""
+    docs = load(spark, "documents", sf_dir)
+    rates = spark.createDataFrame(
+        [("en", 0.5), ("de", 0.25), ("fr", 0.125)], "lang string, rate double"
+    )
+    return sp.stratified_sample(
+        docs, rates, ["lang"], "doc_id", default_rate=0.0625
+    ).select("doc_id", "lang", "source")
 
 
 _COSINE_THRESHOLD = 0.30

@@ -1,0 +1,78 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from architrave_project_apache_nifi_spark.operators.decontaminate import (
+    ngram_decontaminate,
+)
+from architrave_project_apache_nifi_spark.operators.sampling import (
+    stratified_sample,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_decontaminate_flags_exact_ngram_overlap(spark):
+    bench = _docs(spark, [(100, "alpha beta gamma delta", "en")])
+    corpus = _docs(
+        spark,
+        [
+            (1, "zzz alpha beta gamma qqq", "en"),  # shares trigram
+            (2, "alpha gamma beta zzz qqq", "en"),  # same words, no trigram
+            (3, "totally different words here", "en"),
+        ],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in ngram_decontaminate(corpus, bench, "doc_id", "text", 3).collect()
+    }
+    assert rows[1]["is_contaminated"] == 1 and rows[1]["n_contaminated"] == 1
+    assert rows[2]["is_contaminated"] == 0
+    assert rows[3]["is_contaminated"] == 0
+    assert rows[1]["n_ngrams"] == 3  # 5 words -> 3 trigrams
+
+
+def test_decontaminate_short_doc_whole_text_gram(spark):
+    # Docs shorter than n collapse to a single whole-text gram (the
+    # dedup shingle convention) and still match verbatim copies.
+    bench = _docs(spark, [(100, "ab cd", "en")])
+    corpus = _docs(spark, [(1, "ab cd", "en"), (2, "ab ce", "en")])
+    rows = {
+        r["doc_id"]: r["is_contaminated"]
+        for r in ngram_decontaminate(corpus, bench, "doc_id", "text", 13).collect()
+    }
+    assert rows == {1: 1, 2: 0}
+
+
+def test_stratified_sample_deterministic_and_nested(spark):
+    docs = _docs(
+        spark,
+        [(i, f"doc {i}", "en" if i % 2 == 0 else "de") for i in range(400)],
+    )
+    rates_hi = spark.createDataFrame(
+        [("en", 0.5), ("de", 0.25)], "lang string, rate double"
+    )
+    rates_lo = spark.createDataFrame(
+        [("en", 0.25), ("de", 0.125)], "lang string, rate double"
+    )
+    s1 = {r["doc_id"] for r in stratified_sample(docs, rates_hi, ["lang"], "doc_id").collect()}
+    s2 = {r["doc_id"] for r in stratified_sample(docs, rates_hi, ["lang"], "doc_id").collect()}
+    assert s1 == s2  # replayable
+    lo = {r["doc_id"] for r in stratified_sample(docs, rates_lo, ["lang"], "doc_id").collect()}
+    assert lo <= s1  # halved rates select a nested subset
+    # Rates land near target per stratum (LCG uniformity, 200/stratum).
+    en = sum(1 for i in s1 if i % 2 == 0) / 200
+    de = sum(1 for i in s1 if i % 2 == 1) / 200
+    assert 0.35 < en < 0.65 and 0.13 < de < 0.38
+
+
+def test_stratified_sample_default_rate_zero_drops_unknown_strata(spark):
+    docs = _docs(spark, [(i, "x", "zh") for i in range(50)])
+    rates = spark.createDataFrame([("en", 1.0)], "lang string, rate double")
+    assert stratified_sample(docs, rates, ["lang"], "doc_id").count() == 0
+    kept = stratified_sample(
+        docs, rates, ["lang"], "doc_id", default_rate=1.0
+    ).count()
+    assert kept == 50
