@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import tokens
+from .dedup import shingles, tokens
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic.
 # Order matters: ties resolve to the earlier language.
@@ -58,11 +58,22 @@ def language_id(text: Column) -> Column:
 
 
 def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Per-doc quality features + composite score.
+    """Per-doc quality + repetition features and a composite score.
 
     score = 0.4·min(n_tokens/100,1) + 0.3·type_token_ratio
           + 0.3·stopword_ratio-capped — a simple, monotone, fully
-    SQL-portable stand-in for perplexity-style quality filters."""
+    SQL-portable stand-in for perplexity-style quality filters.
+
+    Repetition/boilerplate signals (the standard cheap detectors for
+    machine-generated or templated text):
+    - ``dup_bigram_ratio``: fraction of word bigrams that repeat an
+      earlier bigram in the same doc (0 = no repetition).
+    - ``top_token_ratio``: frequency of the single most common token
+      over doc length (concentration; near 1 = one word spammed).
+    Both are pure Column expressions. ``top_token_ratio`` is
+    O(distinct·len) per doc — fine to a few thousand tokens; for
+    book-length docs compute it via explode + groupBy instead (same
+    result, one extra shuffle)."""
     t = tokens(F.col(text_col))
     n_tok = F.size(t)
     n_distinct = F.size(F.array_distinct(t))
@@ -74,12 +85,25 @@ def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         + F.lit(0.3) * ttr
         + F.lit(0.3) * F.least(stop_ratio * 4.0, F.lit(1.0))
     )
+    bi = shingles(F.col(text_col), 2)
+    dup_bi = F.lit(1.0) - F.size(F.array_distinct(bi)).cast("double") / F.size(bi)
+    top_tok = (
+        F.array_max(
+            F.transform(
+                F.array_distinct(t),
+                lambda d: F.size(F.filter(t, lambda x: x == d)),
+            )
+        ).cast("double")
+        / n_tok
+    )
     return df.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
         n_distinct.alias("n_distinct_tokens"),
         F.round(ttr, 6).alias("type_token_ratio"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(dup_bi, 6).alias("dup_bigram_ratio"),
+        F.round(top_tok, 6).alias("top_token_ratio"),
         F.round(score, 6).alias("quality_score"),
     )
 

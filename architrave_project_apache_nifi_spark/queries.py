@@ -573,10 +573,14 @@ _STOP_SQL = "('the','a','of','and','to','is','in')"
 WITH t AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents
 ), f AS (
-  SELECT doc_id,
+  SELECT doc_id, toks,
          len(toks) AS n_tokens,
          len(list_distinct(toks)) AS n_distinct_tokens,
-         len(list_filter(toks, x -> x IN {_STOP_SQL})) AS stop_hits
+         len(list_filter(toks, x -> x IN {_STOP_SQL})) AS stop_hits,
+         CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+              ELSE list_transform(range(0, len(toks) - 1),
+                   i -> array_to_string(toks[CAST(i+1 AS INT):CAST(i+2 AS INT)], ' '))
+         END AS bi
   FROM t
 )
 SELECT doc_id,
@@ -584,6 +588,11 @@ SELECT doc_id,
        CAST(n_distinct_tokens AS BIGINT) AS n_distinct_tokens,
        round(CAST(n_distinct_tokens AS DOUBLE) / n_tokens, 6) AS type_token_ratio,
        round(CAST(stop_hits AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+       round(1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / len(bi), 6)
+         AS dup_bigram_ratio,
+       round(CAST(list_max(list_transform(list_distinct(toks),
+                  d -> len(list_filter(toks, x -> x = d)))) AS DOUBLE)
+             / n_tokens, 6) AS top_token_ratio,
        round(0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
            + 0.3 * (CAST(n_distinct_tokens AS DOUBLE) / n_tokens)
            + 0.3 * least(CAST(stop_hits AS DOUBLE) / n_tokens * 4.0, 1.0), 6)
@@ -600,6 +609,8 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
         "type_token_ratio",
         "stopword_ratio",
+        "dup_bigram_ratio",
+        "top_token_ratio",
         "quality_score",
     )
 
