@@ -28,9 +28,12 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# events.ts is parquet TIMESTAMP(NANOS), which Spark refuses by default;
-# we read it as long and truncate to micros — matching DuckDB, whose
-# TIMESTAMP is micros, so the oracle sees identical values.
+# Some testdata generations write events.ts as parquet TIMESTAMP(NANOS),
+# which Spark refuses by default; with nanosAsLong it arrives as a long we
+# truncate to micros — matching DuckDB, whose TIMESTAMP is micros, so the
+# oracle sees identical values. Other generations write micros directly,
+# which Spark reads as a timestamp already — so the conversion is applied
+# only when the column actually arrives as a long.
 _NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
@@ -41,8 +44,16 @@ def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFr
     if nano_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    dtypes = dict(df.dtypes)
     for c in nano_cols:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dtypes.get(c) == "timestamp_ntz":
+            # Micros parquet arrives as TIMESTAMP_NTZ; with the UTC session
+            # timezone (session.py) the cast is value-preserving, and the
+            # rest of the engine (unix_micros, streaming windows) expects
+            # the instant type.
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
