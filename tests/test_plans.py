@@ -124,3 +124,54 @@ def test_scd2_build_with_tombstones_single_shuffle(spark):
     )
     hist = scd2_build(events, "user_id", "ts", ("event_id",), tombstone_col="__tomb")
     assert pi.count_shuffles(hist) == 1, pi.formatted_plan(hist)
+
+
+def test_q8_single_fact_shuffle_all_dims_broadcast(spark):
+    df = REGISTRY["q8_market_share"].fn(spark, SF_DIR)
+    plan = pi.formatted_plan(df)
+    # part, customer, nation x2, region, supplier all broadcast; the only
+    # hash exchanges are the lineitem-orders edge + the tiny final agg
+    assert plan.count("BroadcastHashJoin") >= 6, plan
+    assert pi.count_shuffles(df) <= 3, plan
+
+
+def test_q9_part_filter_prunes_fact_before_join(spark):
+    df = REGISTRY["q9_product_type_profit"].fn(spark, SF_DIR)
+    plan = pi.formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    pi.assert_pushed_filter(df, "p_name")
+
+
+def test_q2_decorrelated_min_reuses_partkey_exchange(spark):
+    df = REGISTRY["q2_min_cost_supplier"].fn(spark, SF_DIR)
+    plan = pi.formatted_plan(df)
+    # the min-agg and the join-back both hash on l_partkey; supplier /
+    # nation / region / part broadcast
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+
+
+def test_q15_revenue_view_max_broadcasts(spark):
+    # the revenue view is localCheckpoint'd (computed once for its two
+    # consumers), which truncates lineage — so the plan starts at the
+    # checkpoint; the property to hold is that the 1-row max and the
+    # supplier dim both broadcast (no shuffle after the view)
+    df = REGISTRY["q15_top_supplier"].fn(spark, SF_DIR)
+    plan = pi.formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert pi.count_shuffles(df) == 0, plan
+
+
+def test_q16_anti_join_broadcasts_blacklist(spark):
+    df = REGISTRY["q16_supplier_part_counts"].fn(spark, SF_DIR)
+    plan = pi.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    # NOT IN becomes a broadcast anti join, not a shuffle
+    assert "LeftAnti" in plan, plan
+
+
+def test_q17_correlated_avg_single_fact_scan_per_side(spark):
+    df = REGISTRY["q17_small_quantity_revenue"].fn(spark, SF_DIR)
+    plan = pi.formatted_plan(df)
+    pi.assert_broadcast_join(df)
+    # decorrelated avg shuffles on partkey once; final agg is 1 row
+    assert pi.count_shuffles(df) <= 3, plan
