@@ -69,15 +69,34 @@ def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     - ``dup_bigram_ratio``: fraction of word bigrams that repeat an
       earlier bigram in the same doc (0 = no repetition).
     - ``top_token_ratio``: frequency of the single most common token
-      over doc length (concentration; near 1 = one word spammed).
-    Both are pure Column expressions. ``top_token_ratio`` is
-    O(distinct·len) per doc — fine to a few thousand tokens; for
-    book-length docs compute it via explode + groupBy instead (same
-    result, one extra shuffle)."""
-    t = tokens(F.col(text_col))
+      over doc length (concentration; near 1 = one word spammed),
+      computed as the longest equal-run in the SORTED token array —
+      one O(n log n) sort + O(n) fold per doc, equal by construction
+      to the naive per-distinct-token count (property-tested in
+      test_textanalysis.py) without its O(distinct·len) blowup.
+
+    The token and bigram arrays are materialized once behind an
+    exchange barrier (same trap as dedup._shingle_sets: projection
+    collapse would re-evaluate the split/slice/concat tree once per
+    consuming expression — six times here); every feature then reads a
+    row field. The barrier moves one row per doc."""
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    arrays = (
+        df.select(F.col(id_col), F.col(text_col).alias("__text"))
+        .repartition(n_parts, F.col(id_col))
+        .select(
+            F.col(id_col),
+            tokens(F.col("__text")).alias("__t"),
+            shingles(F.col("__text"), 2).alias("__bi"),
+        )
+        .repartition(n_parts, F.xxhash64(F.col(id_col)))
+    )
+    t = F.col("__t")
+    bi = F.col("__bi")
     n_tok = F.size(t)
     n_distinct = F.size(F.array_distinct(t))
-    stop_hits = _stop_hits(F.col(text_col), EN_STOPWORDS)
+    stop_list = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    stop_hits = F.size(F.filter(t, lambda x: F.array_contains(stop_list, x)))
     ttr = n_distinct.cast("double") / n_tok
     stop_ratio = stop_hits.cast("double") / n_tok
     score = (
@@ -85,18 +104,21 @@ def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         + F.lit(0.3) * ttr
         + F.lit(0.3) * F.least(stop_ratio * 4.0, F.lit(1.0))
     )
-    bi = shingles(F.col(text_col), 2)
     dup_bi = F.lit(1.0) - F.size(F.array_distinct(bi)).cast("double") / F.size(bi)
-    top_tok = (
-        F.array_max(
-            F.transform(
-                F.array_distinct(t),
-                lambda d: F.size(F.filter(t, lambda x: x == d)),
-            )
-        ).cast("double")
-        / n_tok
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
     )
-    return df.select(
+
+    def _run_step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    top_tok = (
+        F.aggregate(F.array_sort(t), acc0, _run_step)["best"].cast("double") / n_tok
+    )
+    return arrays.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
         n_distinct.alias("n_distinct_tokens"),

@@ -601,8 +601,8 @@ FROM f
 """,
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(load(spark, "documents", sf_dir), "doc_id")
-    out = ta.quality_features(docs, "text", "doc_id")
+    # quality_features spreads + barriers internally; no outer spread
+    out = ta.quality_features(load(spark, "documents", sf_dir), "text", "doc_id")
     return out.select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),

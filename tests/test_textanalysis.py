@@ -24,3 +24,36 @@ def test_repetition_signals(spark):
     # "ping pong" x3: 5 bigrams, 2 distinct -> 0.6 dup ratio
     assert rows[3]["dup_bigram_ratio"] == 0.6
     assert rows[3]["top_token_ratio"] == 0.5
+
+
+def test_top_token_fold_equals_naive_count(spark):
+    """The sorted-run fold behind top_token_ratio must equal the naive
+    most-common-token count for arbitrary docs (incl. empty / single /
+    all-same / ties)."""
+    from pyspark.sql import functions as F
+
+    from architrave_project_apache_nifi_spark.operators.dedup import tokens
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b b c"),
+            (2, "x"),
+            (3, "t t t t t t t t"),
+            (4, "one two three four five six seven"),
+            (5, "tie tie breaker breaker"),
+            (6, "  leading  and   trailing   "),
+        ],
+        "doc_id long, text string",
+    )
+    t = tokens(F.col("text"))
+    naive = F.array_max(
+        F.transform(
+            F.array_distinct(t), lambda d: F.size(F.filter(t, lambda x: x == d))
+        )
+    )
+    q = quality_features(docs, "text", "doc_id").select(
+        "doc_id", (F.col("top_token_ratio") * F.col("n_tokens")).alias("fold_count")
+    )
+    expected = {r["doc_id"]: r["naive"] for r in docs.select("doc_id", naive.alias("naive")).collect()}
+    for r in q.collect():
+        assert round(r["fold_count"]) == expected[r["doc_id"]], r
