@@ -33,6 +33,21 @@ def token_count(text: Column) -> Column:
     return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
 
 
+# GPT-2-style pre-tokenizer simplification: letter runs, single digits,
+# and lone punctuation each count as one token — the standard cheap
+# proxy for BPE token budgets (digits split per-char like modern BPE
+# vocabularies; punctuation never merges into words). Shared
+# Java-regex/RE2 syntax so the DuckDB oracle runs the same pattern.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def subword_token_count(text: Column) -> Column:
+    """BPE-ish token count via the pre-tokenizer regex (vs the plain
+    whitespace ``token_count``); used for sequence-budget estimates
+    where whitespace counts undershoot punctuation/digit-heavy text."""
+    return F.size(F.regexp_extract_all(text, F.lit(f"({BPE_ISH_PATTERN})"), F.lit(1)))
+
+
 def _stop_hits(text: Column, words: tuple[str, ...]) -> Column:
     toks = tokens(text)
     arr = F.array(*[F.lit(w) for w in words])

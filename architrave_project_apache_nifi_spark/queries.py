@@ -553,14 +553,21 @@ def q_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT doc_id,
        CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-            ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+            ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))
+            AS BIGINT) AS n_subword_tokens
 FROM documents
 """,
 )
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + the BPE-ish pre-tokenizer count (letter
+    runs / single digits / lone punctuation) — both pure regex Column
+    exprs, identical pattern in the DuckDB oracle."""
     docs = load(spark, "documents", sf_dir)
     return docs.select(
-        "doc_id", ta.token_count(F.col("text")).cast("long").alias("n_tokens")
+        "doc_id",
+        ta.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        ta.subword_token_count(F.col("text")).cast("long").alias("n_subword_tokens"),
     )
 
 

@@ -57,3 +57,34 @@ def test_top_token_fold_equals_naive_count(spark):
     expected = {r["doc_id"]: r["naive"] for r in docs.select("doc_id", naive.alias("naive")).collect()}
     for r in q.collect():
         assert round(r["fold_count"]) == expected[r["doc_id"]], r
+
+
+def test_subword_token_count_bpe_ish(spark):
+    from pyspark.sql import functions as F
+
+    from architrave_project_apache_nifi_spark.operators.textanalysis import (
+        subword_token_count,
+        token_count,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world"),  # 2 words -> 2 subwords
+            (2, "price: $12.50!"),  # price : $ 1 2 . 5 0 ! -> 9
+            (3, ""),  # empty
+            (4, "a-b"),  # a - b -> 3
+        ],
+        "id long, text string",
+    )
+    rows = {
+        r["id"]: (r["w"], r["s"])
+        for r in df.select(
+            "id",
+            token_count(F.col("text")).alias("w"),
+            subword_token_count(F.col("text")).alias("s"),
+        ).collect()
+    }
+    assert rows[1] == (2, 2)
+    assert rows[2] == (2, 9)
+    assert rows[3] == (0, 0)
+    assert rows[4] == (1, 3)
