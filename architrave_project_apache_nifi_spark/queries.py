@@ -2408,6 +2408,67 @@ def q_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_resize",
+    """
+WITH b AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
+         CASE WHEN length(text) = 0 THEN 0
+              ELSE list_sum(list_transform(range(0, CAST(length(text) AS BIGINT)),
+                                           p -> ascii(text[CAST(p + 1 AS INT)])))
+         END AS S,
+         CASE WHEN length(text) = 0 THEN 0
+              ELSE coalesce(list_sum(list_transform(
+                     range(0, 256 % CAST(length(text) AS BIGINT)),
+                     p -> ascii(text[CAST(p + 1 AS INT)]))), 0)
+         END AS P
+  FROM documents
+)
+SELECT doc_id, 16 AS width, 16 AS height,
+       CAST(CASE WHEN L = 0 THEN 0 ELSE 256 END AS BIGINT) AS out_len,
+       CAST(CASE WHEN L = 0 THEN 0
+            ELSE (256 // L) * S + P END AS BIGINT) AS byte_checksum
+FROM b
+""",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing (operators/multimodal.py resize_stub): mapInPandas
+    re-encodes each payload to 16×16 bytes (deterministic cycle stub —
+    PIL.resize slots into the same closure). The check projects the
+    produced payload to (length, byte checksum); the oracle recomputes
+    the cycled-byte sum in closed form (floor(256/L)·S + prefix(256 mod
+    L)) from the source text — so the bytes the Arrow pass actually
+    built are value-checked, not just row-counted."""
+    import pandas as pd  # noqa: F401 — mapInPandas payload access
+
+    docs = load(spark, "documents", sf_dir)
+    media = mm.attach_media(docs, "text", "text/plain")
+    resized = mm.resize_stub(media, 16, 16)
+
+    def checksum(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pdf["width"].astype("int32"),
+                    "height": pdf["height"].astype("int32"),
+                    "out_len": [len(b) for b in pdf["payload"]],
+                    "byte_checksum": [sum(b) for b in pdf["payload"]],
+                }
+            )
+
+    return resized.mapInPandas(
+        checksum,
+        "doc_id long, width int, height int, out_len long, byte_checksum long",
+    ).select(
+        "doc_id",
+        "width",
+        "height",
+        "out_len",
+        "byte_checksum",
+    )
+
+
 # --- Training-data pipeline: PII redaction + sequence packing ---
 
 
@@ -2554,6 +2615,7 @@ _OVERFLOW = [
     # operator families beat shape variants in the checked set):
     "q14_promo_revenue",  # conditional-agg ratio covered by q8 + q19
     "q10_returned_items",  # broadcast-dim agg covered by q3/q5
+    "multimodal_resize",  # mapInPandas plumbing covered by decode_stub in-window
     # TPC-H completion set: every shape below reuses in-window operator
     # mechanics (decorrelated subqueries → q21/q22/q18, broadcast
     # dim-join aggs → q3/q5/q9-in-window-twins, conditional sums →
