@@ -1769,7 +1769,8 @@ def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "array_agg_user_events",
     """
-SELECT user_id, list_sort(list(event_id)) AS event_ids,
+SELECT user_id,
+       array_to_string(list_sort(list(event_id)), ',') AS event_ids,
        CAST(len(list(event_id)) AS INT) AS n_events
 FROM events WHERE event_type = 'signup' GROUP BY user_id
 """,
@@ -1777,10 +1778,21 @@ FROM events WHERE event_type = 'signup' GROUP BY user_id
 def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation with a deterministic order: ``collect_list``
     order is partition-dependent, so ``sort_array`` pins it (the oracle
-    pins with ``list_sort``)."""
+    pins with ``list_sort``). The sorted array is serialized to a
+    comma-joined string because the gate's pandas canonicalizer cannot
+    hash raw ARRAY cells (unhashable ``list`` — the exact failure mode
+    fixed for multimodal_decode_stub in round 1); sort-then-join keeps
+    numeric order, so equality of the strings is equality of the
+    arrays."""
     events = load(spark, "events", sf_dir).filter(F.col("event_type") == "signup")
     return events.groupBy("user_id").agg(
-        F.sort_array(F.collect_list("event_id")).alias("event_ids"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("event_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("event_ids"),
         F.count(F.lit(1)).cast("int").alias("n_events"),
     )
 
@@ -1789,11 +1801,11 @@ def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_user_event_matrix",
     """
 SELECT user_id,
-       sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
-       sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-       sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup,
-       sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view
+       CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
 FROM events GROUP BY user_id
 """,
 )
