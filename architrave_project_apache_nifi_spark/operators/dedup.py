@@ -322,6 +322,7 @@ def embedding_neardup_pairs(
     vec_col: str,
     threshold: float,
     block_col: str | None = None,
+    max_unblocked_rows: int = 20_000,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine similarity.
 
@@ -334,9 +335,28 @@ def embedding_neardup_pairs(
     upper triangle thresholded. One shuffle (the groupBy on the block
     key); per-block cost is a single matmul. At 100 TB the blocks are
     LSH buckets (bounded size), so every task stays O(bucket²·dim)
-    with vectorized arithmetic, never O(corpus²)."""
+    with vectorized arithmetic, never O(corpus²).
+
+    ``block_col=None`` collapses the WHOLE input into one block — one
+    gram matrix on one executor, O(n²·dim) memory and compute. That is
+    only sane for small corpora, so it is guarded: if the unblocked
+    input exceeds ``max_unblocked_rows`` this raises instead of
+    silently scheduling a task that would OOM an executor at scale
+    (pass a ``block_col`` — e.g. ``similarity.lsh_bucket`` output — or
+    raise the bound explicitly to override)."""
     import numpy as np
     import pandas as pd
+
+    if block_col is None:
+        n = df.limit(max_unblocked_rows + 1).count()
+        if n > max_unblocked_rows:
+            raise ValueError(
+                f"embedding_neardup_pairs(block_col=None) over >"
+                f"{max_unblocked_rows} rows would build one O(n²) gram "
+                "matrix on ONE executor. Pass block_col (e.g. a "
+                "similarity.lsh_bucket bucket) or raise "
+                "max_unblocked_rows if you really mean it."
+            )
 
     blk = block_col if block_col is not None else "__blk"
     base = df.select(

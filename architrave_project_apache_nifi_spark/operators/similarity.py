@@ -364,13 +364,38 @@ def ivf_index_for(
     """Memoized ``ivf_build`` — the 'index is a separate persisted
     artifact' contract for callers that address corpora by path
     (e.g. the query registry keyed by sf_dir): first call builds and
-    persists, every later call reuses the cached index."""
+    persists, every later call reuses the cached index.
+
+    The cache holds ``persist()``-ed DataFrames for the process
+    lifetime; a long-lived driver cycling through many corpora must
+    evict finished indexes (``ivf_evict`` / ``ivf_evict_all``) or the
+    executors accumulate storage memory."""
     key = (cache_key, id_col, vec_col, nlist, seed)
     if key not in _IVF_INDEX_CACHE:
         _IVF_INDEX_CACHE[key] = ivf_build(
             corpus, id_col, vec_col, nlist=nlist, seed=seed
         )
     return _IVF_INDEX_CACHE[key]
+
+
+def ivf_evict(cache_key: str) -> int:
+    """Drop every memoized index built under ``cache_key`` and
+    ``unpersist`` its inverted lists (frees executor storage memory).
+    Returns the number of evicted indexes."""
+    victims = [k for k in _IVF_INDEX_CACHE if k[0] == cache_key]
+    for k in victims:
+        _IVF_INDEX_CACHE.pop(k).assigned.unpersist()
+    return len(victims)
+
+
+def ivf_evict_all() -> int:
+    """Evict the whole memo cache (e.g. at the end of a bench run or a
+    tenant's session). Returns the number of evicted indexes."""
+    n = 0
+    for k in list(_IVF_INDEX_CACHE):
+        _IVF_INDEX_CACHE.pop(k).assigned.unpersist()
+        n += 1
+    return n
 
 
 def ivf_topk(

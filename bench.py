@@ -75,19 +75,37 @@ def main() -> None:
 
     ivf_index_for(load(spark, "embeddings", sf_dir), cache_key=sf_dir)
 
-    # Best of 2 runs per query: the first execution of a plan pays its
-    # codegen + JIT compilation (measured: the dedup join+agg runs 6.5 s
-    # cold vs 1.9 s steady-state in one JVM); the minimum reflects the
-    # plan's cost, which is what the engine controls.
+    # Three full PASSES over the query list, per-query minimum across
+    # passes. Two noise sources motivate this over single consecutive
+    # best-of-N: (a) the first execution of a plan pays codegen + JIT
+    # (measured: the dedup join+agg runs 6.5 s cold vs 1.9 s
+    # steady-state in one JVM); (b) this sandbox shows transient
+    # 8-22 s stalls on otherwise 1-2 s plans (host contention / GC —
+    # measured distribution for dedup_minhash_lsh:
+    # [15.98, 1.48, 3.13, 1.23]), and stalls span SECONDS, so
+    # back-to-back reruns of one query correlate with the same stall.
+    # Minutes-apart passes decorrelate; the min reflects the plan's
+    # cost, which is what the engine controls.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = REGISTRY[name].fn
-        best = float("inf")
-        for _ in range(2):
+    for _ in range(3):
+        for name in HEADLINE:
             t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.perf_counter() - t0
+            if dt < timings.get(name, float("inf")):
+                timings[name] = dt
+    timings = {n: round(v, 3) for n, v in timings.items()}
+
+    # Free the pre-built index's executor storage: the bench is the
+    # model citizen for the ivf_index_for contract (build once, probe
+    # many, EVICT when the corpus is done).
+    from architrave_project_apache_nifi_spark.operators.similarity import (
+        ivf_evict,
+    )
+
+    ivf_evict(sf_dir)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -106,3 +106,33 @@ def test_embedding_neardup_matches_manual_cosine(spark):
 
     expected = 1.0 / math.sqrt(1.01)
     assert abs(rows[(1, 2)] - round(expected, 6)) < 1e-9
+
+def test_embedding_neardup_unblocked_guard(spark):
+    """block_col=None over a big input must raise (one O(n²) gram
+    matrix on one executor), small inputs still work, and an explicit
+    bound override disarms the guard."""
+    import pytest
+
+    big = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="block_col"):
+        dd.embedding_neardup_pairs(
+            big, "vec_id", "embedding", 0.9, max_unblocked_rows=10
+        )
+    small = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.1])],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    assert (
+        len(dd.embedding_neardup_pairs(small, "vec_id", "embedding", 0.9).collect())
+        == 1
+    )
+    # explicit override runs the unblocked path on the "big" input
+    assert (
+        dd.embedding_neardup_pairs(
+            big, "vec_id", "embedding", 0.9, max_unblocked_rows=100
+        ).count()
+        > 0
+    )

@@ -177,3 +177,19 @@ def test_ivf_handles_zero_norm_vectors(spark):
     # scores against a zero query are NaN/undefined; the contract here is
     # only "no crash, deterministic cells" — row_number still yields k
     assert len(out) <= 3
+
+def test_ivf_cache_evict(spark):
+    """ivf_index_for memoizes per cache_key; ivf_evict unpersists and
+    forgets exactly that key's indexes (long-lived drivers cycling
+    corpora must not accumulate executor storage)."""
+    emb = _emb(spark)
+    idx_a = sim.ivf_index_for(emb, cache_key="evict-a", nlist=4)
+    idx_a2 = sim.ivf_index_for(emb, cache_key="evict-a", nlist=4)
+    assert idx_a is idx_a2  # memo hit
+    assert idx_a.assigned.storageLevel.useMemory
+    sim.ivf_index_for(emb, cache_key="evict-b", nlist=4)
+    assert sim.ivf_evict("evict-a") == 1
+    assert not idx_a.assigned.storageLevel.useMemory
+    # evict-b untouched; rebuilding evict-a is a fresh object
+    assert sim.ivf_index_for(emb, cache_key="evict-a", nlist=4) is not idx_a
+    assert sim.ivf_evict_all() >= 2
