@@ -174,6 +174,7 @@ def read_envelope_kafka_stream(
     bootstrap_servers: str,
     topic: str,
     starting_offsets: str = "earliest",
+    fmt: str = "kafka",
 ) -> DataFrame:
     """Kafka CDC stream: envelope JSON per record value — the production
     shape of ``CaptureChangeMySQL``'s live feed (binlog →
@@ -189,9 +190,16 @@ def read_envelope_kafka_stream(
     error at stream start. Key ordering note: the merge sorts on
     (``timestamp``, ``cdc_sequence_id``) per key, so a topic partitioned
     by primary key (the usual CDC layout) preserves correctness even
-    across partition rebalances."""
+    across partition rebalances.
+
+    ``fmt`` swaps the wire format for a contract-identical stand-in —
+    ``sources.kafka_loopback`` (same columns, option names, and offset
+    semantics; bootstrap_servers is its broker-log directory) — which
+    is how the e2e tests drive this exact function on a sandbox with no
+    connector jar. Everything from the returned DataFrame on is
+    byte-for-byte the production path."""
     raw = (
-        spark.readStream.format("kafka")
+        spark.readStream.format(fmt)
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("subscribe", topic)
         .option("startingOffsets", starting_offsets)

@@ -129,18 +129,68 @@ def test_parse_envelope_with_errors_routes_bad_records(spark, tmp_path):
     assert back[0].failure_reason == "envelope_parse_error"
 
 
-def test_kafka_source_contract(spark):
+def test_kafka_source_contract(spark, tmp_path):
     """The Kafka CDC variant (production live-connector shape,
-    final_template.xml:4277): builds a streaming DataFrame with the
-    envelope schema when spark-sql-kafka is on the classpath; without
-    it, fails at stream construction with Spark's standard
-    missing-data-source error — never a silent fallback."""
-    import pytest
+    final_template.xml:4277): read_envelope_kafka_stream must build a
+    streaming DataFrame with the envelope schema. With the real
+    connector on the classpath it runs against ``format("kafka")``;
+    on this sandbox (no jar, no network) the SAME function runs
+    against the contract-identical loopback format — either way the
+    contract is asserted, never skipped."""
+    from architrave_project_apache_nifi_spark.sources import kafka_loopback
 
     try:
         stream = cdc.read_envelope_kafka_stream(spark, "localhost:9092", "cdc")
     except Exception as exc:  # noqa: BLE001
-        assert "kafka" in str(exc).lower()
-        pytest.skip("spark-sql-kafka connector not on classpath")
+        assert "kafka" in str(exc).lower()  # standard missing-source error
+        kafka_loopback.register(spark)
+        broker = str(tmp_path / "broker")
+        kafka_loopback.produce(
+            broker, "cdc", json.dumps(cdc.golden_scenario_events()[0])
+        )
+        stream = cdc.read_envelope_kafka_stream(
+            spark, broker, "cdc", fmt=kafka_loopback.FORMAT_NAME
+        )
     assert stream.isStreaming
     assert set(cdc.CDC_ENVELOPE_SCHEMA.fieldNames()) <= set(stream.columns)
+
+
+def test_kafka_loopback_matches_kafka_record_contract(spark, tmp_path):
+    """The loopback's batch read returns column-for-column the Kafka
+    source's record schema, with keyed messages stably partitioned and
+    per-partition monotone offsets."""
+    from architrave_project_apache_nifi_spark.sources import kafka_loopback as kl
+
+    kl.register(spark)
+    broker = str(tmp_path / "broker")
+    for i, e in enumerate(cdc.golden_scenario_events()):
+        kl.produce(
+            broker, "cdc", json.dumps(e), key=f"k{i % 3}", n_partitions=2
+        )
+    df = (
+        spark.read.format(kl.FORMAT_NAME)
+        .option("kafka.bootstrap.servers", broker)
+        .option("subscribe", "cdc")
+        .load()
+    )
+    assert df.schema == kl.KAFKA_RECORD_SCHEMA
+    rows = df.collect()
+    assert len(rows) == 8
+    # same key -> same partition; offsets dense per partition
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(bytes(r.key), set()).add(r.partition)
+    assert all(len(parts) == 1 for parts in by_key.values())
+    for p in {r.partition for r in rows}:
+        offs = sorted(r.offset for r in rows if r.partition == p)
+        assert offs == list(range(len(offs)))
+    # values round-trip to the envelope JSON
+    parsed = cdc.parse_envelope(df.select(F.col("value").cast("string")))
+    assert parsed.count() == 8
+    by_type = {
+        r.type: r.n
+        for r in parsed.groupBy("type").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_type == {
+        "insert": 3, "update": 2, "delete": 1, "begin": 1, "commit": 1,
+    }
