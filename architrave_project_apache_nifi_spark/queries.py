@@ -132,6 +132,36 @@ def q_scd2_current(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scd2_as_of",
+    f"""
+SELECT user_id, event_id, value, valid_from, valid_until, is_current
+FROM (
+  SELECT user_id, event_id, value,
+         ts AS valid_from,
+         lead(ts) OVER w AS valid_until,
+         CASE WHEN lead(ts) OVER w IS NULL THEN 'Y' ELSE 'N' END AS is_current
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+WHERE valid_from <= TIMESTAMP '{_MERGE_CUTOFF}'
+  AND (valid_until IS NULL OR valid_until > TIMESTAMP '{_MERGE_CUTOFF}')
+""",
+)
+def q_scd2_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone point-in-time dimension read (operators/scd2.py
+    scd2_as_of): the FULL version row each key had at the cutoff
+    instant — the time-travel read the reference can only approximate
+    by restoring a backup. Both interval bounds constant-fold into
+    pushable scan predicates over the built history; zero joins, zero
+    extra shuffles beyond the build's key window."""
+    events = load(spark, "events", sf_dir)
+    hist = scd2_build(events, "user_id", "ts", ("event_id",))
+    return scd2_as_of(hist, _MERGE_CUTOFF).select(
+        "user_id", "event_id", "value", "valid_from", "valid_until", "is_current"
+    )
+
+
+@register(
     "scd2_build_with_deletes",
     """
 SELECT user_id, event_id, value, valid_from, valid_until, is_current
@@ -2251,11 +2281,21 @@ WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
 )
 def q_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape (top supplier): an aggregated view compared to
-    its own max — the view is computed once and cached for its two
+    its own max — the view is computed once and shared by its two
     consumers (revenue rows + the 1-row max), the max broadcasts, and
     the supplier dim broadcasts into the final equality filter.
     Revenue is rounded to cents BEFORE the max-compare on both engines
-    so the fp-order-sensitive tie check is deterministic."""
+    so the fp-order-sensitive tie check is deterministic.
+
+    The shared view uses ``persist(MEMORY_AND_DISK)``, not
+    localCheckpoint: persist keeps the recomputable lineage, so an
+    executor loss (or dynamic-allocation scale-down) recomputes the
+    lost blocks instead of failing the query — the property that
+    matters on a 1000-executor cluster. (localCheckpoint stores
+    non-recomputable blocks on executors and is documented-unsafe with
+    dynamic allocation.)"""
+    from pyspark import StorageLevel
+
     quarter = (
         load(spark, "lineitem", sf_dir)
         .filter(
@@ -2270,7 +2310,7 @@ def q_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
             .alias("total_revenue")
         )
-        .localCheckpoint(eager=False)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     top = revenue.agg(F.max("total_revenue").alias("__max_rev"))
     s = load(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
@@ -2627,15 +2667,19 @@ _OVERFLOW = [
     # operator families beat shape variants in the checked set):
     "q14_promo_revenue",  # conditional-agg ratio covered by q8 + q19
     "q10_returned_items",  # broadcast-dim agg covered by q3/q5
-    "multimodal_resize",  # mapInPandas plumbing covered by decode_stub in-window
+    # round 3 rotation: q9 (heaviest multi-join TPC-H shape),
+    # multimodal_resize, and the new scd2_as_of enter the window; the
+    # three below leave, each with an in-window mechanical twin:
+    "q18_large_orders",  # group-having semi-join ≈ q21 decorrelation + q3 join-agg
+    "q19_discounted_revenue",  # OR-of-ANDs conditional revenue ≈ q6
+    "dedup_ngram_jaccard",  # IDENTICAL oracle + output as in-window dedup_lsh_verified
     # TPC-H completion set: every shape below reuses in-window operator
-    # mechanics (decorrelated subqueries → q21/q22/q18, broadcast
-    # dim-join aggs → q3/q5/q9-in-window-twins, conditional sums →
-    # q14); registered for the full 22/22 inventory, value-checked
-    # every round by scripts/check_oracles.py.
+    # mechanics (decorrelated subqueries → q21/q22, broadcast
+    # dim-join aggs → q3/q5/q9, conditional sums → q14); registered
+    # for the full 22/22 inventory, value-checked every round by
+    # scripts/check_oracles.py (enforced in CI: tests/test_oracles.py).
     "q2_min_cost_supplier",
     "q8_market_share",
-    "q9_product_type_profit",
     "q11_important_volume_share",
     "q12_late_shipment_priority",
     "q15_top_supplier",

@@ -42,6 +42,26 @@ def interval_join(
     newer batch to close the horizon)."""
     if how not in ("inner", "leftOuter"):
         raise ValueError(f"interval_join supports inner/leftOuter, got {how!r}")
+    # Payload columns pass through under their own names, so they must
+    # be disjoint across sides (and must not collide with the
+    # left_<ts>/right_<ts> outputs) — otherwise the final select would
+    # raise an opaque ambiguous-reference error deep in Catalyst.
+    # Validate up front with an actionable message instead.
+    l_payload = [c for c in left.columns if c not in (key, left_ts)]
+    r_payload = [c for c in right.columns if c not in (key, right_ts)]
+    clash = sorted(set(l_payload) & set(r_payload))
+    if clash:
+        raise ValueError(
+            f"interval_join: column(s) {clash} exist on both sides; "
+            "rename one side (e.g. right.withColumnRenamed) before joining"
+        )
+    reserved = {f"left_{left_ts}", f"right_{right_ts}"}
+    taken = sorted(reserved & set(l_payload + r_payload))
+    if taken:
+        raise ValueError(
+            f"interval_join: column(s) {taken} collide with the "
+            "left_/right_ timestamp outputs; rename them before joining"
+        )
     l = left.select(
         F.col(key).alias("__k"),
         F.col(left_ts).alias("__lts"),

@@ -154,3 +154,22 @@ def test_interval_join_batch_twin_same_semantics(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     rows = interval_join(clicks, buys, "user_id", max_delay="10 minutes").collect()
     assert sorted((r["click_id"], r["buy_id"]) for r in rows) == [(10, 100)]
+
+
+def test_interval_join_rejects_colliding_payload_columns(spark):
+    """Same-named payload columns on both sides (or a pre-existing
+    left_<ts>/right_<ts>) must fail fast with an actionable error, not
+    an ambiguous-reference AnalysisException at select time."""
+    import pytest
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0)], "k INT, ts STRING, value DOUBLE"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right_clash = spark.createDataFrame(
+        [(1, "2024-01-01 00:01:00", 2.0)], "k INT, ts STRING, value DOUBLE"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(ValueError, match=r"\['value'\]"):
+        interval_join(left, right_clash, "k")
+    reserved = left.withColumnRenamed("value", "left_ts")
+    with pytest.raises(ValueError, match="left_ts"):
+        interval_join(reserved, right_clash.withColumnRenamed("value", "amount"), "k")
