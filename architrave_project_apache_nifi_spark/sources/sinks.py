@@ -174,17 +174,21 @@ def jdbc_append_transactional(
             pass  # raising here would mask a committed append as failure
 
 
-def _execute_marked_commit(
+def _execute_txn(
     spark: SparkSession,
     url: str,
     properties: dict[str, str],
-    insert_sql: str,
-    markers: str,
-    batch_id: int,
-) -> int:
-    """Finalize + commit-marker insert in ONE JDBC transaction: replayed
-    batch ids are no-ops; the markers PRIMARY KEY also rejects a
-    concurrent double-commit of the same id."""
+    statements: Sequence[str],
+    markers: str | None = None,
+    batch_id: int | None = None,
+) -> list[int]:
+    """Run ``statements`` in ONE JDBC transaction on the driver: all
+    commit together or all roll back. With ``markers``/``batch_id``,
+    the commit-marker insert joins the same transaction — a replayed id
+    is a no-op (returns all zeros), the markers PRIMARY KEY rejects a
+    concurrent double-commit, and a crash between any statement and the
+    marker rolls everything back together. Returns per-statement update
+    counts."""
     jvm = spark._jvm  # type: ignore[attr-defined]
     if "user" in properties:
         conn = jvm.java.sql.DriverManager.getConnection(
@@ -196,19 +200,21 @@ def _execute_marked_commit(
         conn.setAutoCommit(False)
         stmt = conn.createStatement()
         try:
-            rs = stmt.executeQuery(
-                f"SELECT COUNT(*) FROM {markers} WHERE batch_id = {batch_id}"
-            )
-            rs.next()
-            if rs.getInt(1) > 0:
-                conn.rollback()
-                return 0  # replay of an already-committed batch
-            n = stmt.executeUpdate(insert_sql)
-            stmt.executeUpdate(
-                f"INSERT INTO {markers} (batch_id) VALUES ({batch_id})"
-            )
+            if markers is not None and batch_id is not None:
+                rs = stmt.executeQuery(
+                    f"SELECT COUNT(*) FROM {markers} WHERE batch_id = {batch_id}"
+                )
+                rs.next()
+                if rs.getInt(1) > 0:
+                    conn.rollback()
+                    return [0] * len(statements)  # replayed batch
+            counts = [stmt.executeUpdate(sql) for sql in statements]
+            if markers is not None and batch_id is not None:
+                stmt.executeUpdate(
+                    f"INSERT INTO {markers} (batch_id) VALUES ({batch_id})"
+                )
             conn.commit()
-            return n
+            return counts
         except Exception:
             conn.rollback()
             raise
@@ -216,6 +222,22 @@ def _execute_marked_commit(
             stmt.close()
     finally:
         conn.close()
+
+
+def _execute_marked_commit(
+    spark: SparkSession,
+    url: str,
+    properties: dict[str, str],
+    insert_sql: str,
+    markers: str,
+    batch_id: int,
+) -> int:
+    """Finalize + commit-marker insert in ONE JDBC transaction: replayed
+    batch ids are no-ops; the markers PRIMARY KEY also rejects a
+    concurrent double-commit of the same id."""
+    return _execute_txn(
+        spark, url, properties, [insert_sql], markers, batch_id
+    )[0]
 
 
 def execute_sql(spark: SparkSession, url: str, sql: str,
@@ -285,3 +307,96 @@ def jdbc_update(
         return execute_sql(spark, url, sql, properties)
     finally:
         execute_sql(spark, url, f"DROP TABLE {staging}", properties)
+
+
+def jdbc_scd2_commit(
+    changes: DataFrame,
+    url: str,
+    table: str,
+    key_cols: str | Sequence[str],
+    ts_col: str,
+    properties: dict[str, str],
+    order_cols: Sequence[str] = (),
+    tombstone_col: str | None = None,
+    batch_id: int | None = None,
+) -> tuple[int, int]:
+    """The reference's ENTIRE update path — expire the previously-
+    current row (PutDatabaseRecord UPDATE, final_template.xml:4646-4797)
+    AND insert the new version rows (PutSQL INSERT, FT:2220-2321) — as
+    ONE atomic database transaction.
+
+    In the reference these are two independent sinks racing on the same
+    table: a reader between Task 1 and Task 2 sees a key with two
+    current rows or none, and a crash between them strands the
+    half-applied state (SURVEY.md §2.8 bugs 2-3). Here the race and the
+    torn state are impossible by construction:
+
+    1. executors stage, in parallel, (a) the per-key first-change
+       summary — one row per touched key: the expire predicate — and
+       (b) the batch's chained new versions (``scd2_build`` over the
+       batch: the multi-update-per-key Bug 1 fix);
+    2. the driver runs expire-UPDATE + version-INSERT in one JDBC
+       transaction (``_execute_txn``): readers see the history jump
+       atomically from pre-batch to post-batch; any failure rolls BOTH
+       back;
+    3. with ``batch_id``, the commit marker joins the same transaction
+       → exactly-once under foreachBatch replay.
+
+    Returns ``(rows_expired, rows_inserted)``; ``(0, 0)`` on a replayed
+    ``batch_id``. Scale shape: both staged writes are parallel batched
+    INSERTs (small — proportional to the micro-batch, never the
+    history); the UPDATE is one set-based statement the database
+    executes as a join against staging."""
+    from ..operators.scd2 import scd2_build
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    spark = changes.sparkSession
+    stage_x = f"{table}_stage_expire"
+    stage_i = f"{table}_stage_insert"
+
+    first_change = changes.groupBy(*keys).agg(
+        F.min(ts_col).alias("first_change_ts")
+    )
+    new_versions = scd2_build(
+        changes, keys, ts_col, order_cols, tombstone_col=tombstone_col
+    )
+
+    first_change.write.mode("overwrite").jdbc(url, stage_x, properties=properties)
+    new_versions.write.mode("overwrite").jdbc(url, stage_i, properties=properties)
+
+    on = " AND ".join(f's."{k}" = t.{k}' for k in keys)
+    expire_sql = (  # noqa: S608 — identifiers come from the caller
+        f"UPDATE {table} t SET "
+        f'valid_until = (SELECT s."first_change_ts" FROM {stage_x} s WHERE {on}), '
+        f"is_current = 'N' "
+        f"WHERE t.is_current = 'Y' "
+        f"AND EXISTS (SELECT 1 FROM {stage_x} s WHERE {on})"
+    )
+    cols = new_versions.columns
+    quoted = ", ".join(f'"{c}"' for c in cols)
+    insert_sql = (  # noqa: S608 — identifiers come from the caller
+        f"INSERT INTO {table} ({', '.join(cols)}) SELECT {quoted} FROM {stage_i}"
+    )
+
+    markers = None
+    if batch_id is not None:
+        markers = f"{table}_commits"
+        try:
+            execute_sql(
+                spark, url,
+                f"CREATE TABLE {markers} (batch_id BIGINT PRIMARY KEY)",
+                properties,
+            )
+        except Exception:  # noqa: BLE001 — already-exists is expected
+            pass
+    try:
+        n_exp, n_ins = _execute_txn(
+            spark, url, properties, [expire_sql, insert_sql], markers, batch_id
+        )
+        return n_exp, n_ins
+    finally:
+        for stg in (stage_x, stage_i):
+            try:
+                execute_sql(spark, url, f"DROP TABLE {stg}", properties)
+            except Exception:  # noqa: BLE001 — stale staging is harmless;
+                pass  # raising would mask a committed merge as failure

@@ -173,3 +173,72 @@ def test_jdbc_append_transactional_batch_id_exactly_once(spark):
     df2 = spark.createDataFrame([(3, 30.0, "N")], "pid INT, price DOUBLE, flag STRING")
     assert sinks.jdbc_append_transactional(df2, url, "hist", DERBY_PROPS, batch_id=8) == 1
     assert spark.read.jdbc(url, "hist", properties=DERBY_PROPS).count() == 3
+
+
+def test_jdbc_scd2_commit_atomic_two_sink(spark):
+    """The reference's two racing sinks (expire-UPDATE + version-INSERT)
+    as one transaction: correct multi-update chaining, exactly-once
+    replay via batch_id, and all-or-nothing rollback when the insert
+    half fails."""
+    from pyspark.sql import functions as F
+
+    url = _url("scd2commitdb")
+    sinks.execute_sql(
+        spark, url,
+        "CREATE TABLE hist (pid INT, price DOUBLE, ts TIMESTAMP, "
+        "valid_from TIMESTAMP, valid_until TIMESTAMP, is_current VARCHAR(1), "
+        "PRIMARY KEY (pid, valid_from))",
+    )
+
+    def _df(rows):
+        return spark.createDataFrame(
+            rows, "pid INT, price DOUBLE, ts STRING"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    # snapshot: 2 products inserted as initial current rows
+    from architrave_project_apache_nifi_spark.operators.scd2 import scd2_build
+
+    seed = scd2_build(
+        _df([(9012, 106.0, "2023-09-27 10:01:00"),
+             (9014, 56.0, "2023-09-27 10:03:00")]),
+        "pid", "ts",
+    )
+    sinks.jdbc_append(seed, url, "hist", DERBY_PROPS)
+
+    # one batch with TWO updates to 9014 (the reference's Bug 1 case)
+    batch = _df([(9014, 100.0, "2023-09-27 10:04:00"),
+                 (9014, 120.0, "2023-09-27 10:05:00")])
+    n_exp, n_ins = sinks.jdbc_scd2_commit(
+        batch, url, "hist", "pid", "ts", DERBY_PROPS, batch_id=1
+    )
+    assert (n_exp, n_ins) == (1, 2)
+
+    def _hist():
+        rows = spark.read.jdbc(url, "hist", properties=DERBY_PROPS).collect()
+        return sorted(
+            ((r.PID, r.PRICE, str(r.VALID_UNTIL), r.IS_CURRENT) for r in rows)
+        )
+
+    after = _hist()
+    v9014 = [r for r in after if r[0] == 9014]
+    assert [r[1] for r in v9014] == [56.0, 100.0, 120.0]
+    assert [r[3] for r in v9014] == ["N", "N", "Y"]
+    # old current row expired at the batch's FIRST change ts, only once
+    assert v9014[0][2].startswith("2023-09-27 10:04:00")
+    # untouched key still current
+    assert [r for r in after if r[0] == 9012][0][3] == "Y"
+
+    # replayed batch_id: exact no-op
+    assert sinks.jdbc_scd2_commit(
+        batch, url, "hist", "pid", "ts", DERBY_PROPS, batch_id=1
+    ) == (0, 0)
+    assert _hist() == after
+
+    # all-or-nothing: re-running WITHOUT batch_id hits the (pid,
+    # valid_from) PRIMARY KEY on the insert half -> the whole txn
+    # (including the expire UPDATE) must roll back
+    import pytest
+
+    with pytest.raises(Exception, match="(?i)duplicate|constraint"):
+        sinks.jdbc_scd2_commit(batch, url, "hist", "pid", "ts", DERBY_PROPS)
+    assert _hist() == after
