@@ -198,6 +198,84 @@ def run_scd2_stream_from(
     return query
 
 
+def run_scd2_stream_to_jdbc(
+    spark: SparkSession,
+    stream: DataFrame,
+    url: str,
+    table: str,
+    checkpoint_path: str,
+    key: str = "ProductID",
+    ts_col: str = "change_ts",
+    properties: dict[str, str] | None = None,
+    processing_time: str | None = None,
+    await_termination_s: float | None = None,
+    handle_deletes: bool = False,
+) -> StreamingQuery:
+    """The reference's ACTUAL topology, made correct: stream the CDC
+    envelope into a live JDBC history table (`products_catalog_history`
+    — the table both reference sinks write, final_template.xml:4721),
+    one atomic transaction per micro-batch.
+
+    Where the reference races PutSQL INSERT against PutDatabaseRecord
+    UPDATE per event (§2.8 bugs), each micro-batch here is ONE
+    ``sinks.jdbc_scd2_commit``: expire-UPDATE + version-INSERT commit
+    together, with the Structured Streaming batch id as the commit
+    marker — a micro-batch replayed after a crash between the database
+    commit and the checkpoint commit is a no-op, so the JDBC table gets
+    exactly-once semantics end-to-end (source offsets in the
+    checkpoint = the reference's MapCache binlog position, FT:1519;
+    batch markers in ``<table>_commits`` = the sink-side dedup).
+
+    The parquet-store variant (``run_scd2_stream_from``) remains the
+    scale path — a JDBC dimension table is for serving, not for 100 TB
+    history — but both share the same flatten/route/merge semantics."""
+    from ..sources.sinks import jdbc_scd2_commit
+
+    os.makedirs(checkpoint_path, exist_ok=True)
+    props = properties or {}
+    wanted = ("insert", "update", "delete") if handle_deletes else (
+        "insert", "update"
+    )
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        changes = (
+            cdc.flatten_events(
+                batch.filter(F.col("type").isin(*wanted)),
+                keep=("type", "timestamp", "cdc_sequence_id"),
+            )
+            .withColumn(ts_col, F.timestamp_millis(F.col("timestamp")))
+            .withColumn("__tomb", F.col("type") == "delete")
+            .drop("type", "timestamp")
+        )
+        tombstone_col = "__tomb" if handle_deletes else None
+        if not handle_deletes:
+            changes = changes.drop("__tomb")
+        changes = changes.persist()  # staged twice (expire summary + versions)
+        try:
+            if not changes.head(1):
+                return
+            jdbc_scd2_commit(
+                changes, url, table, key, ts_col, props,
+                order_cols=("cdc_sequence_id",),
+                tombstone_col=tombstone_col,
+                batch_id=batch_id,
+            )
+        finally:
+            changes.unpersist()
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if processing_time is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    query = writer.start()
+    if await_termination_s is not None:
+        query.awaitTermination(await_termination_s)
+    return query
+
+
 def run_scd2_stream(
     spark: SparkSession,
     input_path: str,

@@ -242,3 +242,56 @@ def test_jdbc_scd2_commit_atomic_two_sink(spark):
     with pytest.raises(Exception, match="(?i)duplicate|constraint"):
         sinks.jdbc_scd2_commit(batch, url, "hist", "pid", "ts", DERBY_PROPS)
     assert _hist() == after
+
+
+def test_streaming_scd2_to_jdbc_exactly_once(spark, tmp_path):
+    """The reference's real topology — CDC stream into a live JDBC
+    history table — via run_scd2_stream_to_jdbc: golden scenario over
+    two micro-batches (an update in batch 2 must expire a row inserted
+    by batch 1), each batch one atomic transaction with its batch id
+    as commit marker; a re-run over the same checkpoint adds nothing."""
+    from architrave_project_apache_nifi_spark.sources import cdc
+    from architrave_project_apache_nifi_spark.streaming.scd2_stream import (
+        run_scd2_stream_to_jdbc,
+    )
+
+    url = _url("streamjdbcdb")
+    sinks.execute_sql(
+        spark, url,
+        "CREATE TABLE hist (ProductID INT, ProductName VARCHAR(200), "
+        "ProductBrand VARCHAR(200), Target_Gender VARCHAR(50), "
+        "Price DOUBLE, Currency VARCHAR(20), Description VARCHAR(500), "
+        "Launch_date DATE, Loaded_at DATE, cdc_sequence_id BIGINT, "
+        "change_ts TIMESTAMP, valid_from TIMESTAMP, valid_until TIMESTAMP, "
+        "is_current VARCHAR(1))",
+    )
+    src = str(tmp_path / "in")
+    cdc.write_golden_scenario(src, files=2)
+    ckpt = str(tmp_path / "ckpt")
+
+    def _run():
+        stream = cdc.read_envelope_stream(spark, src, max_files_per_trigger=1)
+        q = run_scd2_stream_to_jdbc(
+            spark, stream, url, "hist", ckpt, properties=DERBY_PROPS,
+        )
+        q.awaitTermination(120)
+
+    _run()
+
+    def _rows():
+        return sorted(
+            (r.PRODUCTID, r.PRICE, r.IS_CURRENT, str(r.VALID_UNTIL))
+            for r in spark.read.jdbc(url, "hist", properties=DERBY_PROPS).collect()
+        )
+
+    rows = _rows()
+    assert len(rows) == 5
+    v9014 = [r for r in rows if r[0] == 9014]
+    assert [(r[1], r[2]) for r in v9014] == [
+        (56.0, "N"), (100.0, "N"), (120.0, "Y"),
+    ]
+    # batch-2 expire stamped the batch's first change ts onto batch-1's row
+    assert v9014[1][3].startswith("2023-09-27")
+    # replay over the same checkpoint: no new batches, no duplicates
+    _run()
+    assert _rows() == rows
