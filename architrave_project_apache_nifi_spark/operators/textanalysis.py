@@ -145,6 +145,102 @@ def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+# Gopher/C4-style rule thresholds (shared with the oracle SQL in
+# queries.py so both engines evaluate the identical rule set).
+GOPHER_MIN_WORDS = 5
+GOPHER_MAX_WORDS = 10_000
+GOPHER_MIN_MEAN_WORD_LEN = 2.0
+GOPHER_MAX_MEAN_WORD_LEN = 12.0
+GOPHER_MIN_ALPHA_FRAC = 0.7
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_STOPWORDS = 1
+
+
+def gopher_rules(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Rule-based document filter in the Gopher / C4 style: the cheap
+    heuristic gate a training-data pipeline runs BEFORE any model-based
+    quality scoring. Pure Column expressions (one map-only pass, rules
+    evaluated inside codegen, composes with any scan); every rule is
+    replicated exactly in the DuckDB oracle (queries.py).
+
+    Per-doc outputs: the raw signals, one boolean per rule, and the
+    conjunction ``keep``. Rules (thresholds above):
+    - word count within [min, max] (empty/whitespace docs fail);
+    - mean word length within [min, max] (OCR garbage / char soup);
+    - fraction of words containing a letter ≥ min (number/symbol soup);
+    - symbol-to-word ratio (# and … occurrences) ≤ max (scraped
+      boilerplate);
+    - fraction of bullet-started lines ≤ max and ellipsis-ended lines
+      ≤ max (navigation/listing pages);
+    - ≥ min stopword hits (non-linguistic content; English list — at
+      scale, pick the list by ``language_id``)."""
+    t = tokens(F.col(text_col))
+    n = token_count(F.col(text_col))
+    nd = n.cast("double")
+    safe_n = F.when(n == 0, F.lit(1.0)).otherwise(nd)
+    mean_len = (
+        F.aggregate(
+            F.transform(t, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+        ).cast("double")
+        / safe_n
+    )
+    alpha_frac = (
+        F.size(F.filter(t, lambda x: x.rlike("[a-z]"))).cast("double") / safe_n
+    )
+    symbol_ratio = (
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit("([#…])"), F.lit(1))
+        ).cast("double")
+        / safe_n
+    )
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines).cast("double")
+    bullet_frac = (
+        F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]"))).cast("double")
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(
+            F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$"))
+        ).cast("double")
+        / n_lines
+    )
+    n_stop = _stop_hits(F.col(text_col), EN_STOPWORDS)
+
+    ok_words = (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
+    ok_mean = (mean_len >= GOPHER_MIN_MEAN_WORD_LEN) & (
+        mean_len <= GOPHER_MAX_MEAN_WORD_LEN
+    )
+    ok_alpha = alpha_frac >= GOPHER_MIN_ALPHA_FRAC
+    ok_symbol = symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO
+    ok_bullet = bullet_frac <= GOPHER_MAX_BULLET_FRAC
+    ok_ellipsis = ellipsis_frac <= GOPHER_MAX_ELLIPSIS_FRAC
+    ok_stop = n_stop >= GOPHER_MIN_STOPWORDS
+    return df.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
+        n_stop.alias("n_stopwords"),
+        ok_words.alias("ok_words"),
+        ok_mean.alias("ok_mean_word_len"),
+        ok_alpha.alias("ok_alpha"),
+        ok_symbol.alias("ok_symbol"),
+        ok_bullet.alias("ok_bullet"),
+        ok_ellipsis.alias("ok_ellipsis"),
+        ok_stop.alias("ok_stopwords"),
+        (
+            ok_words & ok_mean & ok_alpha & ok_symbol & ok_bullet
+            & ok_ellipsis & ok_stop
+        ).alias("keep"),
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Polynomial rolling hash over characters:
     ``fp = fold(chars, (acc, c) -> (acc*31 + ascii(c)) mod 1e9+7)``.

@@ -682,6 +682,69 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", ta.language_id(F.col("text")).alias("lang_guess"))
 
 
+def _gopher_oracle() -> str:
+    stop = ", ".join(f"'{w}'" for w in ta.EN_STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         text,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks,
+         string_split(text, chr(10)) AS lines,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS INT) AS n
+  FROM documents
+), feats AS (
+  SELECT doc_id, n,
+         CASE WHEN n = 0 THEN 1.0 ELSE CAST(n AS DOUBLE) END AS safe_n,
+         CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+              AS DOUBLE) AS len_sum,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+              AS DOUBLE) AS n_alpha,
+         CAST(len(regexp_extract_all(text, '([#…])', 1)) AS DOUBLE) AS n_sym,
+         CAST(len(lines) AS DOUBLE) AS n_lines,
+         CAST(len(list_filter(lines, x -> regexp_matches(x, '^\\s*[-*•]')))
+              AS DOUBLE) AS n_bullet,
+         CAST(len(list_filter(lines,
+                              x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$')))
+              AS DOUBLE) AS n_ellipsis,
+         CAST(len(list_filter(toks, x -> x IN ({stop}))) AS INT) AS n_stopwords
+  FROM base
+), m AS (
+  SELECT doc_id, n AS n_words,
+         round(len_sum / safe_n, 6) AS mean_word_len,
+         round(n_alpha / safe_n, 6) AS alpha_word_frac,
+         round(n_sym / safe_n, 6) AS symbol_ratio,
+         round(n_bullet / n_lines, 6) AS bullet_line_frac,
+         round(n_ellipsis / n_lines, 6) AS ellipsis_line_frac,
+         n_stopwords,
+         (n >= {ta.GOPHER_MIN_WORDS} AND n <= {ta.GOPHER_MAX_WORDS}) AS ok_words,
+         (len_sum / safe_n >= {ta.GOPHER_MIN_MEAN_WORD_LEN}
+          AND len_sum / safe_n <= {ta.GOPHER_MAX_MEAN_WORD_LEN}) AS ok_mean_word_len,
+         (n_alpha / safe_n >= {ta.GOPHER_MIN_ALPHA_FRAC}) AS ok_alpha,
+         (n_sym / safe_n <= {ta.GOPHER_MAX_SYMBOL_RATIO}) AS ok_symbol,
+         (n_bullet / n_lines <= {ta.GOPHER_MAX_BULLET_FRAC}) AS ok_bullet,
+         (n_ellipsis / n_lines <= {ta.GOPHER_MAX_ELLIPSIS_FRAC}) AS ok_ellipsis,
+         (n_stopwords >= {ta.GOPHER_MIN_STOPWORDS}) AS ok_stopwords
+  FROM feats
+)
+SELECT *,
+       (ok_words AND ok_mean_word_len AND ok_alpha AND ok_symbol
+        AND ok_bullet AND ok_ellipsis AND ok_stopwords) AS keep
+FROM m
+"""
+
+
+@register("text_gopher_rules", _gopher_oracle())
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style heuristic document gate (ta.gopher_rules): raw
+    signals + one boolean per rule + the keep conjunction, all in one
+    map-only codegen pass — the cheap pre-filter a 100 TB corpus runs
+    before any model-based scoring. Identical rule arithmetic in the
+    DuckDB oracle."""
+    docs = spread(load(spark, "documents", sf_dir), "doc_id")
+    return ta.gopher_rules(docs, "text", "doc_id")
+
+
 @register(
     "doc_fingerprint",
     """
@@ -2673,6 +2736,7 @@ _OVERFLOW = [
     "q18_large_orders",  # group-having semi-join ≈ q21 decorrelation + q3 join-agg
     "q19_discounted_revenue",  # OR-of-ANDs conditional revenue ≈ q6
     "dedup_ngram_jaccard",  # IDENTICAL oracle + output as in-window dedup_lsh_verified
+    "text_gopher_rules",  # rule-conjunction gate; signal exprs ≈ text_quality in-window
     # TPC-H completion set: every shape below reuses in-window operator
     # mechanics (decorrelated subqueries → q21/q22, broadcast
     # dim-join aggs → q3/q5/q9, conditional sums → q14); registered

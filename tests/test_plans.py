@@ -178,3 +178,14 @@ def test_q17_correlated_avg_single_fact_scan_per_side(spark):
     pi.assert_broadcast_join(df)
     # decorrelated avg shuffles on partkey once; final agg is 1 row
     assert pi.count_shuffles(df) <= 3, plan
+
+
+def test_scd2_as_of_single_key_window_shuffle(spark):
+    # the point-in-time read costs exactly the build's one key-window
+    # shuffle; both interval bounds are constant-folded filters on the
+    # window output (they cannot reach the parquet scan — valid_from /
+    # valid_until are window-computed — but they add no exchange)
+    df = REGISTRY["scd2_as_of"].fn(spark, SF_DIR)
+    plan = pi.formatted_plan(df)
+    assert pi.count_shuffles(df) == 1, plan
+    assert "Window" in plan, plan
