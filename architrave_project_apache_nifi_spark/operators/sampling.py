@@ -74,6 +74,43 @@ def stratified_sample(
     )
 
 
+def temperature_rates(
+    df: DataFrame,
+    stratum_cols: list[str],
+    alpha: float = 0.5,
+    out_col: str = "rate",
+) -> DataFrame:
+    """Per-stratum keep rates realizing TEMPERATURE (α-) sampling — the
+    standard mixture-flattening rule for multilingual / multi-domain
+    training corpora: target mixture ``p_s ∝ n_s^α`` (α=1 natural,
+    α→0 uniform), achieved without upsampling by keeping each stratum
+    at ``rate_s ∝ n_s^(α−1)``, normalized so the rarest stratum keeps
+    rate 1.0 (the maximal sample consistent with the mixture).
+
+    Returns ``stratum_cols + (n_rows, rate)`` — small (one row per
+    stratum); feed straight into :func:`stratified_sample`, whose
+    broadcast join applies it to the corpus with zero shuffles. One
+    shuffle total (the stratum count aggregation, map-side combined).
+
+    Determinism note: ``pow`` is the one step not guaranteed bit-equal
+    across engines (JVM StrictMath vs libm, ≤1 ulp); a 1-ulp rate
+    difference moves the LCG threshold by ≤1 in 2^31, flipping a row
+    only if its hash equals the boundary exactly (~n/2^31 odds).
+    Everything else (div/mul/floor) is IEEE-exact."""
+    counts = df.groupBy(*stratum_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    w = F.pow(F.col("n_rows").cast("double"), F.lit(float(alpha) - 1.0))
+    weighted = counts.withColumn("__w", w)
+    wmax = weighted.agg(F.max("__w").alias("__wmax"))
+    return (
+        weighted.join(F.broadcast(wmax))
+        .select(
+            *stratum_cols,
+            "n_rows",
+            (F.col("__w") / F.col("__wmax")).alias(out_col),
+        )
+    )
+
+
 def lcg_where_sql(id_expr: str, rate_case_sql: str) -> str:
     """The equivalent ANSI-SQL predicate, for oracle construction:
     ``lcg(id) < floor(rate * 2^31)`` with the same constants."""

@@ -943,6 +943,59 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+_TEMP_ALPHA = 0.5
+
+
+@register(
+    "mixture_temperature_sample",
+    f"""
+WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+), w AS (
+  SELECT lang, n_docs,
+         power(CAST(n_docs AS DOUBLE), {_TEMP_ALPHA} - 1.0) AS wgt
+  FROM c
+), r AS (
+  SELECT lang, n_docs, wgt / (SELECT max(wgt) FROM w) AS rate FROM w
+), k AS (
+  SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept
+  FROM documents d JOIN r ON d.lang = r.lang
+  WHERE {sp.lcg_where_sql("d.doc_id", "r.rate")}
+  GROUP BY d.lang
+)
+SELECT r.lang, r.n_docs, round(r.rate, 6) AS rate,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM r LEFT JOIN k ON r.lang = k.lang
+""",
+)
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (α-) mixture reweighting, the multilingual-corpus
+    flattening rule, composed end-to-end: measure per-lang counts →
+    derive keep rates ∝ n^(α−1) normalized to the rarest lang
+    (sp.temperature_rates) → apply the deterministic LCG sample
+    (sp.stratified_sample, broadcast rates, zero corpus shuffles) →
+    summarize kept counts per lang. Two small aggregations + one
+    map-side filtered pass over the corpus; the oracle replicates the
+    full pipeline including the hash arithmetic."""
+    docs = load(spark, "documents", sf_dir)
+    rates = sp.temperature_rates(docs, ["lang"], alpha=_TEMP_ALPHA)
+    kept = sp.stratified_sample(
+        docs, rates.select("lang", "rate"), ["lang"], "doc_id"
+    )
+    kept_counts = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept")
+    )
+    return (
+        rates.join(kept_counts, "lang", "left")
+        .select(
+            "lang",
+            F.col("n_rows").cast("long").alias("n_docs"),
+            F.round("rate", 6).alias("rate"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
+
+
 _COSINE_THRESHOLD = 0.30
 
 
@@ -2737,6 +2790,7 @@ _OVERFLOW = [
     "q19_discounted_revenue",  # OR-of-ANDs conditional revenue ≈ q6
     "dedup_ngram_jaccard",  # IDENTICAL oracle + output as in-window dedup_lsh_verified
     "text_gopher_rules",  # rule-conjunction gate; signal exprs ≈ text_quality in-window
+    "mixture_temperature_sample",  # rate-derivation + LCG sample ≈ stratified_sample in-window
     # TPC-H completion set: every shape below reuses in-window operator
     # mechanics (decorrelated subqueries → q21/q22, broadcast
     # dim-join aggs → q3/q5/q9, conditional sums → q14); registered

@@ -76,3 +76,27 @@ def test_stratified_sample_default_rate_zero_drops_unknown_strata(spark):
         docs, rates, ["lang"], "doc_id", default_rate=1.0
     ).count()
     assert kept == 50
+
+
+def test_temperature_rates_flatten_mixture(spark):
+    """α-sampling rates: rarest stratum keeps rate 1.0, rates decrease
+    with stratum size (α<1 flattens), and α=1 keeps everything."""
+    from architrave_project_apache_nifi_spark.operators import sampling as sp
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 900 else ("mid" if i < 990 else "small"))
+         for i in range(1000)],
+        "doc_id LONG, lang STRING",
+    )
+    rates = {
+        r.lang: (r.n_rows, r.rate)
+        for r in sp.temperature_rates(df, ["lang"], alpha=0.5).collect()
+    }
+    assert rates["small"][1] == 1.0  # rarest stratum keeps everything
+    assert rates["small"][1] > rates["mid"][1] > rates["big"][1]
+    # rate ratio follows (n_small/n_big)^(1-alpha) = sqrt(10/900)
+    import math
+
+    assert abs(rates["big"][1] - math.sqrt(10 / 900)) < 1e-12
+    flat = {r.lang: r.rate for r in sp.temperature_rates(df, ["lang"], alpha=1.0).collect()}
+    assert set(flat.values()) == {1.0}
