@@ -194,3 +194,51 @@ def test_kafka_loopback_matches_kafka_record_contract(spark, tmp_path):
     assert by_type == {
         "insert": 3, "update": 2, "delete": 1, "begin": 1, "commit": 1,
     }
+
+
+def test_kafka_loopback_starting_offsets_latest(spark, tmp_path):
+    """startingOffsets=latest must skip the backlog present at stream
+    start and deliver only messages produced afterwards — the Kafka
+    semantics a tail-consumer relies on."""
+    import time
+
+    from architrave_project_apache_nifi_spark.sources import kafka_loopback as kl
+
+    kl.register(spark)
+    broker = str(tmp_path / "broker")
+    kl.produce(broker, "cdc", "backlog-1")
+    kl.produce(broker, "cdc", "backlog-2")
+    out = str(tmp_path / "out")
+    stream = (
+        spark.readStream.format(kl.FORMAT_NAME)
+        .option("kafka.bootstrap.servers", broker)
+        .option("subscribe", "cdc")
+        .option("startingOffsets", "latest")
+        .load()
+        .select(F.col("value").cast("string").alias("v"))
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline and not q.recentProgress:
+            time.sleep(0.2)
+        kl.produce(broker, "cdc", "live-1")
+        deadline = time.monotonic() + 60
+
+        def _vals():
+            try:
+                return sorted(r.v for r in spark.read.parquet(out).collect())
+            except Exception:
+                return []
+
+        while time.monotonic() < deadline and _vals() != ["live-1"]:
+            time.sleep(0.3)
+    finally:
+        q.stop()
+    assert _vals() == ["live-1"], "latest must see only post-start messages"
