@@ -120,3 +120,59 @@ def test_stream_feeds_flatten_and_route(spark, tmp_path):
     )
     assert len(out) == 5  # 3 inserts + 2 updates; delete/begin/commit dropped
     assert {r.ProductID for r in out} == {9012, 9013, 9014}
+
+
+def test_kafka_loopback_stream_reader_offsets_property(tmp_path):
+    """Pure-reader property (no Spark needed): for any message layout
+    and any per-batch budget, repeatedly calling read() from the last
+    committed offset delivers every message EXACTLY once, in
+    per-partition offset order, and readBetweenOffsets replays a
+    recorded span byte-identically (the crash-replay contract)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from architrave_project_apache_nifi_spark.sources import kafka_loopback as kl
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        msgs=st.lists(
+            st.tuples(st.binary(min_size=1, max_size=8), st.integers(0, 2)),
+            min_size=1,
+            max_size=30,
+        ),
+        budget=st.integers(1, 7),
+    )
+    def run(msgs, budget):
+        import tempfile
+
+        with tempfile.TemporaryDirectory(dir=str(tmp_path)) as broker:
+            for value, part in msgs:
+                kl.produce(broker, "t", value, partition=part)
+            reader = kl._LoopbackStreamReader(broker, ["t"], "earliest", budget)
+            offset = reader.initialOffset()
+            seen = []
+            spans = []
+            for _ in range(len(msgs) * 3 + 2):
+                rows, nxt = reader.read(offset)
+                rows = list(rows)
+                if not rows and nxt == offset:
+                    break
+                spans.append((offset, nxt, rows))
+                seen.extend(rows)
+                offset = nxt
+            assert len(seen) == len(msgs)  # exactly once, all delivered
+            # per-partition: dense offsets in order, values match produce order
+            by_part = {}
+            for r in seen:
+                by_part.setdefault(r[3], []).append(r)
+            produced = {}
+            for value, part in msgs:
+                produced.setdefault(part, []).append(value)
+            for part, rows in by_part.items():
+                assert [r[4] for r in rows] == list(range(len(rows)))
+                assert [bytes(r[1]) for r in rows] == produced[part]
+            # crash-replay: every recorded span replays identically
+            for lo, hi, rows in spans:
+                assert list(reader.readBetweenOffsets(lo, hi)) == rows
+
+    run()

@@ -193,3 +193,31 @@ def test_ivf_cache_evict(spark):
     # evict-b untouched; rebuilding evict-a is a fresh object
     assert sim.ivf_index_for(emb, cache_key="evict-a", nlist=4) is not idx_a
     assert sim.ivf_evict_all() >= 2
+
+def test_ivf_disk_index_probe_prunes_partitions(spark, tmp_path):
+    """The 100 TB probe contract made physical: probing an on-disk
+    (list_id-partitioned) index puts the probed cell set into the
+    scan's PartitionFilters — whole unprobed list directories are never
+    read. (Asserted on the plan; inputFiles() reflects the unpruned
+    file index, so it is not the right witness.)"""
+    import re
+
+    from architrave_project_apache_nifi_spark.plans import inspect as pi
+
+    emb = _emb(spark)
+    index = sim.ivf_build(emb, nlist=8, materialize=False)
+    path = str(tmp_path / "ix")
+    sim.ivf_save(index, path)
+    loaded = sim.ivf_load(spark, path)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.ivf_probe(loaded, q, k=5, nprobe=2)
+    plan = pi.formatted_plan(out)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf, plan
+    m = re.search(r"list_id#\d+ IN \(([\d,]+)\)", pf[0])
+    assert m, pf[0]
+    probed = m.group(1).split(",")
+    # ≤ n_queries × nprobe cells, strictly fewer than nlist directories
+    assert 0 < len(probed) <= 6 < 8, pf[0]
