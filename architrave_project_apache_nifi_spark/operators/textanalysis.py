@@ -158,6 +158,57 @@ GOPHER_MAX_ELLIPSIS_FRAC = 0.3
 GOPHER_MIN_STOPWORDS = 1
 
 
+def gopher_keep(text: Column) -> Column:
+    """The Gopher/C4 rule conjunction as ONE Column expression — the
+    zero-shuffle form for inlining into a pipeline filter
+    (``df.filter(gopher_keep(col("text")))`` composes with the scan;
+    no join-back of a flags table). Same rules as :func:`gopher_rules`.
+    """
+    t = tokens(text)
+    n = token_count(text)
+    nd = n.cast("double")
+    safe_n = F.when(n == 0, F.lit(1.0)).otherwise(nd)
+    mean_len = (
+        F.aggregate(
+            F.transform(t, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+        ).cast("double")
+        / safe_n
+    )
+    alpha_frac = (
+        F.size(F.filter(t, lambda x: x.rlike("[a-z]"))).cast("double") / safe_n
+    )
+    symbol_ratio = (
+        F.size(F.regexp_extract_all(text, F.lit("([#…])"), F.lit(1))).cast(
+            "double"
+        )
+        / safe_n
+    )
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines).cast("double")
+    bullet_frac = (
+        F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]"))).cast("double")
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$"))).cast(
+            "double"
+        )
+        / n_lines
+    )
+    n_stop = _stop_hits(text, EN_STOPWORDS)
+    return (
+        (n >= GOPHER_MIN_WORDS)
+        & (n <= GOPHER_MAX_WORDS)
+        & (mean_len >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_len <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
+        & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (bullet_frac <= GOPHER_MAX_BULLET_FRAC)
+        & (ellipsis_frac <= GOPHER_MAX_ELLIPSIS_FRAC)
+        & (n_stop >= GOPHER_MIN_STOPWORDS)
+    )
+
+
 def gopher_rules(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Rule-based document filter in the Gopher / C4 style: the cheap
     heuristic gate a training-data pipeline runs BEFORE any model-based

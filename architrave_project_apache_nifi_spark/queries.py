@@ -682,7 +682,7 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", ta.language_id(F.col("text")).alias("lang_guess"))
 
 
-def _gopher_oracle() -> str:
+def _gopher_oracle(src: str = "documents") -> str:
     stop = ", ".join(f"'{w}'" for w in ta.EN_STOPWORDS)
     return f"""
 WITH base AS (
@@ -692,7 +692,7 @@ WITH base AS (
          string_split(text, chr(10)) AS lines,
          CAST(CASE WHEN length(trim(text)) = 0 THEN 0
               ELSE len(string_split_regex(trim(text), '\\s+')) END AS INT) AS n
-  FROM documents
+  FROM {src}
 ), feats AS (
   SELECT doc_id, n,
          CASE WHEN n = 0 THEN 1.0 ELSE CAST(n AS DOUBLE) END AS safe_n,
@@ -993,6 +993,90 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rate", 6).alias("rate"),
             F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
         )
+    )
+
+
+_PIPE_N = 5  # decontamination n-gram width in the composed pipeline
+
+
+def _pipeline_oracle() -> str:
+    gram_expr = (
+        f"CASE WHEN len(t) < {_PIPE_N} THEN [array_to_string(t, ' ')] "
+        f"ELSE list_transform(range(0, len(t) - {_PIPE_N} + 1), "
+        f"i -> array_to_string(t[CAST(i+1 AS INT):CAST(i+{_PIPE_N} AS INT)], ' ')) END"
+    )
+    return f"""
+WITH gate AS (
+  SELECT doc_id FROM ({_gopher_oracle("documents")}) WHERE keep
+), keep1 AS (
+  SELECT d.* FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM gate)
+), dedup_keep AS (
+  SELECT min(doc_id) AS keep_id FROM keep1 GROUP BY text
+), keep2 AS (
+  SELECT d.* FROM keep1 d WHERE d.doc_id IN (SELECT keep_id FROM dedup_keep)
+), ctoks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM keep2 WHERE doc_id % 10 <> 7
+), cgrams AS (
+  SELECT DISTINCT doc_id, unnest({gram_expr}) AS g FROM ctoks
+), btoks AS (
+  SELECT string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents WHERE doc_id % 10 = 7
+), bgrams AS (
+  SELECT DISTINCT unnest({gram_expr}) AS g FROM btoks
+), contaminated AS (
+  SELECT DISTINCT c.doc_id FROM cgrams c JOIN bgrams b ON c.g = b.g
+), keep3 AS (
+  SELECT * FROM keep2
+  WHERE doc_id % 10 <> 7
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+), counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM keep3 GROUP BY lang
+), wgts AS (
+  SELECT lang, power(CAST(n AS DOUBLE), {_TEMP_ALPHA} - 1.0) AS wgt FROM counts
+), rts AS (
+  SELECT lang, wgt / (SELECT max(wgt) FROM wgts) AS rate FROM wgts
+)
+SELECT k.doc_id, k.lang,
+       CAST(CASE WHEN length(trim(k.text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(k.text), '\\s+')) END AS INT)
+         AS n_tokens
+FROM keep3 k JOIN rts r ON k.lang = r.lang
+WHERE {sp.lcg_where_sql("k.doc_id", "r.rate")}
+"""
+
+
+@register("pipeline_clean_corpus", _pipeline_oracle())
+def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's reason to exist, in one composed plan: a
+    training-corpus cleaning pipeline chaining four §2.9 operator
+    families — Gopher-rule gate (map-only Column conjunction, composes
+    with the scan) → exact dedup (min-id per text, one hash agg +
+    semi join) → benchmark n-gram decontamination (broadcast bench
+    grams, corpus never shuffles for the match) → temperature (α=0.5)
+    mixture sampling (one count agg, broadcast rates, map-side
+    filter). The DuckDB oracle replays the ENTIRE chain CTE-by-CTE —
+    the gate's hash equality proves the composition, not just each
+    stage. Shuffle budget: two aggregations (dedup text-groupBy,
+    per-lang counts) + the decontaminate gram join; every other stage
+    is map-only."""
+    docs = load(spark, "documents", sf_dir)
+    keep1 = docs.filter(ta.gopher_keep(F.col("text")))
+    keep_ids = keep1.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    keep2 = keep1.join(keep_ids.select("doc_id"), "doc_id", "left_semi")
+    bench = docs.filter(F.col("doc_id") % 10 == 7)
+    corpus = keep2.filter(F.col("doc_id") % 10 != 7)
+    flags = dc.ngram_decontaminate(corpus, bench, "doc_id", "text", _PIPE_N)
+    clean_ids = flags.filter(F.col("is_contaminated") == 0).select("doc_id")
+    keep3 = corpus.join(clean_ids, "doc_id", "left_semi")
+    rates = sp.temperature_rates(keep3, ["lang"], alpha=_TEMP_ALPHA)
+    kept = sp.stratified_sample(
+        keep3, rates.select("lang", "rate"), ["lang"], "doc_id"
+    )
+    return kept.select(
+        "doc_id",
+        "lang",
+        ta.token_count(F.col("text")).cast("int").alias("n_tokens"),
     )
 
 
@@ -2791,6 +2875,7 @@ _OVERFLOW = [
     "dedup_ngram_jaccard",  # IDENTICAL oracle + output as in-window dedup_lsh_verified
     "text_gopher_rules",  # rule-conjunction gate; signal exprs ≈ text_quality in-window
     "mixture_temperature_sample",  # rate-derivation + LCG sample ≈ stratified_sample in-window
+    "pipeline_clean_corpus",  # composition of four in-window-covered stages
     # TPC-H completion set: every shape below reuses in-window operator
     # mechanics (decorrelated subqueries → q21/q22, broadcast
     # dim-join aggs → q3/q5/q9, conditional sums → q14); registered
