@@ -292,6 +292,27 @@ def gopher_rules(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+# Normalization patterns — shared Java-regex/RE2 syntax so the DuckDB
+# oracle can run the identical chain (same constraint as pii.py).
+URL_PATTERN = r"(https?://\S+|www\.\S+)"
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+CTRL_PATTERN = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def normalize_text(text: Column) -> Column:
+    """Scrape-cleaning normalization, the stage run before tokenizing
+    or fingerprinting: strip URLs, e-mail addresses, and control
+    characters (each replaced by a space so word boundaries survive),
+    then collapse whitespace runs and trim. An ordered
+    ``regexp_replace`` chain — map-only, codegen, streams through the
+    scan; contrast with pii.redact_pii, which MASKS (preserves
+    placeholders for audit) where this REMOVES."""
+    out = F.regexp_replace(text, URL_PATTERN, " ")
+    out = F.regexp_replace(out, EMAIL_PATTERN, " ")
+    out = F.regexp_replace(out, CTRL_PATTERN, " ")
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
 def fingerprint(text: Column) -> Column:
     """Polynomial rolling hash over characters:
     ``fp = fold(chars, (acc, c) -> (acc*31 + ascii(c)) mod 1e9+7)``.

@@ -734,6 +734,39 @@ FROM m
 """
 
 
+@register(
+    "text_normalize",
+    f"""
+SELECT doc_id,
+       trim(regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '{ta.URL_PATTERN}', ' ', 'g'),
+             '{ta.EMAIL_PATTERN}', ' ', 'g'),
+           '{ta.CTRL_PATTERN}', ' ', 'g'),
+         '\\s+', ' ', 'g')) AS norm_text,
+       CAST(len(regexp_extract_all(text, '{ta.URL_PATTERN}')) AS INT) AS n_urls,
+       CAST(len(regexp_extract_all(text, '{ta.EMAIL_PATTERN}')) AS INT) AS n_emails
+FROM documents
+""",
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrape-cleaning normalization (ta.normalize_text): URL / e-mail /
+    control-char removal + whitespace collapse, with removal counts —
+    one map-only regexp chain, identical in the oracle."""
+    docs = spread(load(spark, "documents", sf_dir), "doc_id")
+    return docs.select(
+        "doc_id",
+        ta.normalize_text(F.col("text")).alias("norm_text"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(f"({ta.URL_PATTERN})"), F.lit(1))
+        ).cast("int").alias("n_urls"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(f"({ta.EMAIL_PATTERN})"), F.lit(1))
+        ).cast("int").alias("n_emails"),
+    )
+
+
 @register("text_gopher_rules", _gopher_oracle())
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style heuristic document gate (ta.gopher_rules): raw
@@ -2058,6 +2091,46 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unpivot_event_matrix",
+    """
+WITH p AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+         CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+         CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+         CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
+  FROM events GROUP BY user_id
+)
+SELECT user_id, event_type, n
+FROM p UNPIVOT (n FOR event_type IN (click, error, purchase, signup, view))
+""",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt — the inverse of the pivot entry, closing the
+    wide↔long pair: the user × event-type matrix back to long form via
+    ``stack`` (a 1→5 generator, map-only — no shuffle beyond the
+    pivot's own aggregation; the round trip is the correctness
+    argument, and the oracle uses DuckDB's native UNPIVOT)."""
+    events = load(spark, "events", sf_dir)
+    cols = ("click", "error", "purchase", "signup", "view")
+    wide = (
+        events.groupBy("user_id")
+        .pivot("event_type", list(cols))
+        .count()
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c) for c in cols],
+        )
+    )
+    stack_args = ", ".join(f"'{c}', {c}" for c in cols)
+    return wide.select(
+        "user_id",
+        F.expr(f"stack({len(cols)}, {stack_args}) AS (event_type, n)"),
+    ).select("user_id", "event_type", F.col("n").cast("long").alias("n"))
+
+
+@register(
     "salted_agg_user_stats",
     """
 SELECT user_id, count(event_id) AS n_events, round(sum(value), 2) AS sum_value
@@ -2876,6 +2949,8 @@ _OVERFLOW = [
     "text_gopher_rules",  # rule-conjunction gate; signal exprs ≈ text_quality in-window
     "mixture_temperature_sample",  # rate-derivation + LCG sample ≈ stratified_sample in-window
     "pipeline_clean_corpus",  # composition of four in-window-covered stages
+    "text_normalize",  # regexp_replace chain ≈ pii_redact mechanics in-window
+    "unpivot_event_matrix",  # stack generator ≈ pivot + explode twins in-window
     # TPC-H completion set: every shape below reuses in-window operator
     # mechanics (decorrelated subqueries → q21/q22, broadcast
     # dim-join aggs → q3/q5/q9, conditional sums → q14); registered

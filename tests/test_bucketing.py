@@ -58,3 +58,45 @@ def test_bucketed_agg_skips_shuffle(spark, no_broadcast):
         assert "Exchange" not in formatted_plan(agg)
     finally:
         spark.sql("DROP TABLE IF EXISTS ev_b2")
+
+
+def test_write_sorted_ranges_disjoint_and_sorted(spark, tmp_path):
+    """write_sorted's physical contract: per-file key ranges are
+    pairwise DISJOINT (range partitioning) and rows inside each file
+    are sorted — exactly the layout parquet min/max row-group pruning
+    needs."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from architrave_project_apache_nifi_spark.operators.bucketing import (
+        write_sorted,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = str(tmp_path / "sorted")
+    write_sorted(events, ["ts"], out, n_partitions=8)
+
+    per_file = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert len(per_file) > 1
+    spans = sorted((r.lo, r.hi) for r in per_file)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: {(lo1, hi1)} vs {(lo2, hi2)}"
+    # within-file sortedness: ts equals its sorted self per file
+    unsorted = (
+        spark.read.parquet(out)
+        .withColumn("f", F.input_file_name())
+        .withColumn(
+            "prev",
+            F.lag("ts").over(
+                Window.partitionBy("f").orderBy(F.monotonically_increasing_id())
+            ),
+        )
+        .filter(F.col("prev") > F.col("ts"))
+        .count()
+    )
+    assert unsorted == 0
