@@ -346,7 +346,13 @@ def jdbc_scd2_commit(
     ``batch_id``. Scale shape: both staged writes are parallel batched
     INSERTs (small — proportional to the micro-batch, never the
     history); the UPDATE is one set-based statement the database
-    executes as a join against staging."""
+    executes as a join against staging.
+
+    Single-writer per target table (like the reference's one NiFi
+    flow, and like the parquet store's manifest): the fixed staging
+    table names mean two concurrent committers to the same ``table``
+    would clobber each other's staging — serialize batches per table
+    (foreachBatch already does)."""
     from ..operators.scd2 import scd2_build
 
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
