@@ -23,7 +23,11 @@ them:
   checkpoint (restart replays nothing, loses nothing — the
   DistributedMapCache binlog-position semantics, FT:1519);
 - a producer API appending (key, value, timestamp) messages, with
-  Kafka's default partitioner (hash of key when a key is given).
+  Kafka's default partitioner (hash of key when a key is given);
+- the SINK shape too (batch ``writer`` + ``streamWriter``): rows with
+  ``value`` (+ optional ``key``/``partition``/``timestamp``) append to
+  the topic, streaming commits dedupe on batch id (exactly-once under
+  replay) — so stream → topic → stream chains run end-to-end.
 
 Broker log layout: ``<dir>/<topic>/p<partition>.jsonl``, one JSON
 message per line, offset = line number. Appends are atomic at line
@@ -45,10 +49,15 @@ import json
 import os
 from collections.abc import Iterator
 
+import dataclasses
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     BinaryType,
@@ -243,6 +252,104 @@ class _LoopbackStreamReader(SimpleDataSourceStreamReader):
         pass  # log files are immutable history; offsets live in the checkpoint
 
 
+# ---------------------------------------------------------------------------
+# Writer side (the Kafka SINK shape: rows with value [+ key, partition])
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class _ProducerCommit(WriterCommitMessage):
+    # (key_b64 | None, value_b64, timestamp_ms | None, partition | None)
+    rows: list[tuple]
+
+
+def _encode_row(row) -> tuple:
+    d = row.asDict()
+    if d.get("value") is None:
+        raise ValueError("kafka_loopback sink rows need a non-null 'value'")
+    val = d["value"]
+    vb = val.encode() if isinstance(val, str) else bytes(val)
+    key = d.get("key")
+    kb = None if key is None else (key.encode() if isinstance(key, str) else bytes(key))
+    ts = d.get("timestamp")
+    ts_ms = None if ts is None else int(ts.timestamp() * 1000)
+    part = d.get("partition")
+    return (
+        None if kb is None else base64.b64encode(kb).decode(),
+        base64.b64encode(vb).decode(),
+        ts_ms,
+        None if part is None else int(part),
+    )
+
+
+class _LoopbackWriterBase:
+    """Tasks buffer their rows into the commit message; the DRIVER
+    appends them serially at commit time. That mirrors what the real
+    sink gets from the broker protocol — per-partition append order
+    from one producer, all-or-nothing per job (no partial topic state
+    from a failed job) — and sidesteps concurrent file appends, which
+    a log directory cannot serialize (documented test-double limit)."""
+
+    def __init__(self, broker_dir: str, topic: str, n_partitions: int):
+        self.broker_dir = broker_dir
+        self.topic = topic
+        self.n_partitions = n_partitions
+
+    def write(self, rows) -> _ProducerCommit:
+        return _ProducerCommit(rows=[_encode_row(r) for r in rows])
+
+    def _apply(self, messages: list[_ProducerCommit]) -> None:
+        for m in messages:
+            for k_b64, v_b64, ts_ms, part in m.rows:
+                produce(
+                    self.broker_dir,
+                    self.topic,
+                    base64.b64decode(v_b64),
+                    key=None if k_b64 is None else base64.b64decode(k_b64),
+                    timestamp_ms=ts_ms,
+                    n_partitions=self.n_partitions,
+                    partition=part,
+                )
+
+    def abort(self, *args) -> None:
+        pass  # nothing staged outside commit messages
+
+
+class _LoopbackBatchWriter(_LoopbackWriterBase, DataSourceWriter):
+    def commit(self, messages) -> None:
+        self._apply(list(messages))
+
+
+class _LoopbackStreamWriter(_LoopbackWriterBase, DataSourceStreamWriter):
+    """Exactly-once per micro-batch: committed batch ids are recorded
+    in ``<topic>/_commits.json`` (atomic replace) and replayed ids are
+    skipped — the sink-side dedup a replayed foreachBatch/epoch needs."""
+
+    def _commits_path(self) -> str:
+        return os.path.join(self.broker_dir, self.topic, "_commits.json")
+
+    def _committed(self) -> set[int]:
+        p = self._commits_path()
+        if not os.path.exists(p):
+            return set()
+        with open(p) as fh:
+            return set(json.load(fh)["batches"])
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803 — API name
+        done = self._committed()
+        if batchId in done:
+            return
+        self._apply(list(messages))
+        os.makedirs(os.path.dirname(self._commits_path()), exist_ok=True)
+        tmp = self._commits_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"batches": sorted(done | {batchId})}, fh)
+        os.replace(tmp, self._commits_path())
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803 — API name
+        pass
+
+
 class KafkaLoopbackDataSource(DataSource):
     """``spark.readStream.format("kafka_loopback")`` with the Kafka
     source's option names: ``kafka.bootstrap.servers`` is reinterpreted
@@ -288,6 +395,24 @@ class KafkaLoopbackDataSource(DataSource):
             self.options.get("startingoffsets", "earliest").lower(),
             int(self.options.get("maxrecordsperbatch", 10_000)),
         )
+
+    def _sink_target(self) -> tuple[str, str, int]:
+        broker = self.options.get("kafka.bootstrap.servers") or self.options.get(
+            "path"
+        )
+        topic = self.options.get("topic")
+        if not broker or not topic:
+            raise ValueError(
+                "kafka_loopback sink requires .option('kafka.bootstrap."
+                "servers', <dir>) and .option('topic', <topic>)"
+            )
+        return broker, topic, int(self.options.get("npartitions", 1))
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        return _LoopbackBatchWriter(*self._sink_target())
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> DataSourceStreamWriter:
+        return _LoopbackStreamWriter(*self._sink_target())
 
 
 def register(spark) -> None:

@@ -242,3 +242,33 @@ def test_kafka_loopback_starting_offsets_latest(spark, tmp_path):
     finally:
         q.stop()
     assert _vals() == ["live-1"], "latest must see only post-start messages"
+
+
+def test_kafka_loopback_batch_writer_roundtrip(spark, tmp_path):
+    """Batch sink: keyed rows land in their hash partition and read
+    back byte-identical through the source."""
+    from architrave_project_apache_nifi_spark.sources import kafka_loopback as kl
+
+    kl.register(spark)
+    broker = str(tmp_path / "broker")
+    df = spark.createDataFrame(
+        [("k1", "v-one"), ("k2", "v-two"), (None, "v-unkeyed")],
+        "key STRING, value STRING",
+    )
+    (
+        df.write.format(kl.FORMAT_NAME)
+        .option("kafka.bootstrap.servers", broker)
+        .option("topic", "t")
+        .option("npartitions", "2")
+        .mode("append")
+        .save()
+    )
+    back = (
+        spark.read.format(kl.FORMAT_NAME)
+        .option("kafka.bootstrap.servers", broker)
+        .option("subscribe", "t")
+        .load()
+    )
+    vals = sorted(bytes(r.value).decode() for r in back.collect())
+    assert vals == ["v-one", "v-two", "v-unkeyed"]
+    assert back.filter("key IS NULL").first().partition == 0

@@ -199,3 +199,73 @@ def test_kafka_shaped_source_to_scd2_merge(spark, tmp_path):
     assert [r.Price for r in v9014] == [56.0, 100.0, 120.0]
     assert [r.is_current for r in v9014] == ["N", "N", "Y"]
     assert v9014[0].valid_until == v9014[1].valid_from
+
+
+def test_stream_to_topic_to_stream_scd2(spark, tmp_path):
+    """Full duplex through the Kafka-shaped wire: file CDC stream →
+    streaming WRITE to a (loopback) topic → read_envelope_kafka_stream
+    from that topic → SCD2 merge. Proves the sink half of the loopback
+    (per-batch exactly-once producer) and that the engine can relay a
+    CDC feed through a broker without touching the merge."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from architrave_project_apache_nifi_spark.sources import kafka_loopback as kl
+
+    kl.register(spark)
+    broker = str(tmp_path / "broker")
+    src = str(tmp_path / "in")
+    cdc.write_golden_scenario(src, files=2)
+
+    # leg 1: file envelope stream → topic (value = envelope JSON)
+    env = cdc.read_envelope_stream(spark, src, max_files_per_trigger=1)
+    q1 = (
+        env.select(F.to_json(F.struct(*env.columns)).alias("value"))
+        .writeStream.format(kl.FORMAT_NAME)
+        .option("kafka.bootstrap.servers", broker)
+        .option("topic", "cdc")
+        .option("checkpointLocation", str(tmp_path / "ckpt1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination(120)
+
+    # leg 2: topic → the unmodified Kafka consumer → SCD2 merge
+    stream = cdc.read_envelope_kafka_stream(spark, broker, "cdc", fmt=kl.FORMAT_NAME)
+    hist_path = str(tmp_path / "hist")
+    q2 = run_scd2_stream_from(
+        spark, stream, hist_path, str(tmp_path / "ckpt2"),
+        processing_time="100 milliseconds",
+    )
+
+    def _done() -> bool:
+        try:
+            return read_history(spark, hist_path).count() == 5
+        except Exception:
+            return False
+
+    deadline = time.monotonic() + 120
+    try:
+        while time.monotonic() < deadline and not _done():
+            time.sleep(0.3)
+    finally:
+        q2.stop()
+    assert _done(), "relayed stream did not converge to the golden history"
+    v9014 = sorted(
+        (r for r in read_history(spark, hist_path).collect() if r.ProductID == 9014),
+        key=lambda r: r.valid_from,
+    )
+    assert [r.Price for r in v9014] == [56.0, 100.0, 120.0]
+    assert [r.is_current for r in v9014] == ["N", "N", "Y"]
+
+    # sink-side exactly-once: replaying a committed batch id is a no-op
+    w = kl._LoopbackStreamWriter(broker, "cdc", 1)
+    before = sum(
+        1 for _ in open(tmp_path / "broker" / "cdc" / "p0.jsonl")
+    )
+    committed = sorted(w._committed())
+    assert committed, "stream writer recorded no batch ids"
+    w.commit([kl._ProducerCommit(rows=[(None, "ZHVw", None, None)])], committed[0])
+    after = sum(1 for _ in open(tmp_path / "broker" / "cdc" / "p0.jsonl"))
+    assert after == before, "replayed batch id must not append"
