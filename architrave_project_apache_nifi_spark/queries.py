@@ -162,6 +162,63 @@ def q_scd2_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scd2_temporal_enrich",
+    f"""
+WITH hist AS (
+  SELECT user_id, value AS dim_value,
+         ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_until
+  FROM events
+  WHERE ts < TIMESTAMP '{_MERGE_CUTOFF}'
+)
+SELECT f.event_id, f.user_id, f.ts, h.dim_value, h.valid_from AS version_from
+FROM events f
+JOIN hist h
+  ON f.user_id = h.user_id
+ AND h.valid_from <= f.ts
+ AND (h.valid_until IS NULL OR h.valid_until > f.ts)
+WHERE f.ts >= TIMESTAMP '{_MERGE_CUTOFF}'
+""",
+)
+def q_scd2_temporal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical SCD2 consumption pattern the reference enables but
+    never performs: enrich each fact row with the dimension VERSION
+    valid at the fact's own event time (``scd2_as_of(ts_is_col=True)``
+    as a join — interval containment on the history). Events after the
+    cutoff probe the history built before it. Spark plans the equality
+    key + range predicate as a hash join on user_id with the interval
+    as a post-join filter — one shuffle pair on the key (at 100 TB:
+    broadcast the dim if it fits, else co-bucket both sides on the
+    key; same shape as operators/temporal.py's as-of join)."""
+    events = load(spark, "events", sf_dir)
+    cutoff = F.lit(_MERGE_CUTOFF).cast("timestamp")
+    hist = scd2_build(
+        events.filter(F.col("ts") < cutoff), "user_id", "ts", ("event_id",)
+    ).select(
+        "user_id",
+        F.col("value").alias("dim_value"),
+        "valid_from",
+        "valid_until",
+    )
+    facts = events.filter(F.col("ts") >= cutoff).select("event_id", "user_id", "ts")
+    enriched = facts.join(
+        hist,
+        on=[
+            facts.user_id == hist.user_id,
+            hist.valid_from <= facts.ts,
+            hist.valid_until.isNull() | (hist.valid_until > facts.ts),
+        ],
+    )
+    return enriched.select(
+        facts.event_id,
+        facts.user_id,
+        facts.ts,
+        hist.dim_value,
+        hist.valid_from.alias("version_from"),
+    )
+
+
+@register(
     "scd2_build_with_deletes",
     """
 SELECT user_id, event_id, value, valid_from, valid_until, is_current
@@ -2951,6 +3008,7 @@ _OVERFLOW = [
     "pipeline_clean_corpus",  # composition of four in-window-covered stages
     "text_normalize",  # regexp_replace chain ≈ pii_redact mechanics in-window
     "unpivot_event_matrix",  # stack generator ≈ pivot + explode twins in-window
+    "scd2_temporal_enrich",  # interval-containment join ≈ scd2_as_of + range_join in-window
     # TPC-H completion set: every shape below reuses in-window operator
     # mechanics (decorrelated subqueries → q21/q22, broadcast
     # dim-join aggs → q3/q5/q9, conditional sums → q14); registered

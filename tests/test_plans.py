@@ -193,3 +193,20 @@ def test_scd2_as_of_single_key_window_shuffle(spark):
     plan = pi.formatted_plan(df)
     assert pi.count_shuffles(df) == 1, plan
     assert "Window" in plan, plan
+
+
+def test_pipeline_clean_corpus_broadcasts_and_bounded_shuffles(spark):
+    # the composed pipeline's scale contract: the Gopher gate is a
+    # scan-side filter (no flags-table join-back); the genuinely-small
+    # sides (benchmark grams, per-lang rates) broadcast; the corpus-
+    # sized edges (dedup text-groupBy + id semi-joins, gram explode/
+    # join, per-lang counts) shuffle linearly — every exchange is a
+    # key-hash of corpus-or-smaller data, never a cartesian pair space
+    df = REGISTRY["pipeline_clean_corpus"].fn(spark, SF_DIR)
+    plan = pi.formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    # 1-row scalar broadcasts (the rate normalizer's max) legitimately
+    # plan as BroadcastNestedLoop; an unbroadcast CartesianProduct is
+    # the pair-space blowup this test forbids
+    assert "CartesianProduct" not in plan, plan
+    assert pi.count_shuffles(df) <= 16, plan
