@@ -2188,6 +2188,114 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_rolling_stats",
+    """
+SELECT user_id, event_id,
+       round(avg(value) OVER w, 6) AS roll_avg,
+       min(value) OVER w AS roll_min,
+       max(value) OVER w AS roll_max,
+       CAST(count(*) OVER w AS BIGINT) AS roll_n
+FROM events
+WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+""",
+)
+def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded SLIDING row frame (trailing 5-event stats, excluding the
+    current row — the leakage-safe feature shape for model training):
+    distinct from the running/unbounded frames elsewhere in the
+    registry. One key-window shuffle; the frame is O(1) state per row
+    in Spark's window exec regardless of partition length."""
+    events = load(spark, "events", sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-5, -1)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 6).alias("roll_avg"),
+        F.min("value").over(w).alias("roll_min"),
+        F.max("value").over(w).alias("roll_max"),
+        F.count(F.lit(1)).over(w).alias("roll_n"),
+    )
+
+
+@register(
+    "histogram_value_bins",
+    """
+WITH b AS (
+  SELECT event_type,
+         CAST(floor(value / 25.0) AS BIGINT) AS bin
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, bin,
+       CAST(bin * 25.0 AS DOUBLE) AS bin_lo,
+       CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY event_type, bin
+""",
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width numeric binning (the data-profiling histogram): one
+    map-side bin expression + one hash aggregate — the distributed
+    histogram shape (map-side partials mean the shuffle carries one
+    row per (type, bin), not per event)."""
+    events = load(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    bin_col = F.floor(F.col("value") / 25.0).cast("long")
+    return (
+        events.select("event_type", bin_col.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "bin",
+            (F.col("bin") * 25.0).alias("bin_lo"),
+            "n",
+        )
+    )
+
+
+@register(
+    "profile_orders",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custkeys,
+       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_status,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price,
+       round(avg(o_totalprice), 4) AS avg_price,
+       min(o_orderdate) AS first_order,
+       max(o_orderdate) AS last_order
+FROM orders
+""",
+)
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling in ONE aggregate pass (null rates, cardinality,
+    ranges — what a pipeline runs before trusting a new 100 TB input).
+    Everything except the exact distinct is map-side partial; at scale
+    swap count(DISTINCT) for approx_count_distinct (the sketch twin in
+    sketch_approx_aggs) to drop the distinct's extra exchange."""
+    o = load(spark, "orders", sf_dir)
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_custkeys"),
+        F.sum(
+            F.when(F.col("o_orderstatus").isNull(), 1).otherwise(0)
+        ).cast("long").alias("null_status"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+
+
+@register(
     "salted_agg_user_stats",
     """
 SELECT user_id, count(event_id) AS n_events, round(sum(value), 2) AS sum_value
@@ -3009,6 +3117,9 @@ _OVERFLOW = [
     "text_normalize",  # regexp_replace chain ≈ pii_redact mechanics in-window
     "unpivot_event_matrix",  # stack generator ≈ pivot + explode twins in-window
     "scd2_temporal_enrich",  # interval-containment join ≈ scd2_as_of + range_join in-window
+    "window_rolling_stats",  # sliding row frame ≈ window_running_spend mechanics in-window
+    "histogram_value_bins",  # bin-expr + hash agg ≈ cube/agg twins in-window
+    "profile_orders",  # one-pass profiling agg ≈ agg_percentiles in-window
     # TPC-H completion set: every shape below reuses in-window operator
     # mechanics (decorrelated subqueries → q21/q22, broadcast
     # dim-join aggs → q3/q5/q9, conditional sums → q14); registered
