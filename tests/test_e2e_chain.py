@@ -269,3 +269,83 @@ def test_stream_to_topic_to_stream_scd2(spark, tmp_path):
     w.commit([kl._ProducerCommit(rows=[(None, "ZHVw", None, None)])], committed[0])
     after = sum(1 for _ in open(tmp_path / "broker" / "cdc" / "p0.jsonl"))
     assert after == before, "replayed batch id must not append"
+
+
+def test_streaming_clean_gate_through_topic(spark, tmp_path):
+    """The corpus-cleaning gate in STREAMING mode: documents produced
+    to a (loopback) topic → readStream → Gopher-rule filter +
+    normalization + fingerprint (all map-only Column ops, so they
+    compose with any micro-batch) → streaming write to an output
+    topic. The streamed survivor set must equal the batch computation
+    on the same corpus — streaming and batch share one code path."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from architrave_project_apache_nifi_spark.operators import textanalysis as ta
+    from architrave_project_apache_nifi_spark.sources import kafka_loopback as kl
+
+    kl.register(spark)
+    broker = str(tmp_path / "broker")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    for r in docs.collect():
+        kl.produce(
+            broker, "docs",
+            _json.dumps({"doc_id": r.doc_id, "text": r.text}),
+            key=str(r.doc_id),
+        )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    parsed = (
+        spark.readStream.format(kl.FORMAT_NAME)
+        .option("kafka.bootstrap.servers", broker)
+        .option("subscribe", "docs")
+        .load()
+        .select(F.from_json(F.col("value").cast("string"), schema).alias("d"))
+        .select("d.*")
+    )
+    cleaned = parsed.filter(ta.gopher_keep(F.col("text"))).select(
+        F.col("doc_id").cast("string").alias("key"),
+        F.to_json(
+            F.struct(
+                "doc_id",
+                ta.normalize_text(F.col("text")).alias("norm_text"),
+                ta.fingerprint(F.col("text")).alias("fp"),
+            )
+        ).alias("value"),
+    )
+    q = (
+        cleaned.writeStream.format(kl.FORMAT_NAME)
+        .option("kafka.bootstrap.servers", broker)
+        .option("topic", "clean")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    out = (
+        spark.read.format(kl.FORMAT_NAME)
+        .option("kafka.bootstrap.servers", broker)
+        .option("subscribe", "clean")
+        .load()
+        .select(F.from_json(F.col("value").cast("string"),
+                            "doc_id LONG, norm_text STRING, fp LONG").alias("d"))
+        .select("d.*")
+    )
+    streamed = {(r.doc_id, r.fp) for r in out.collect()}
+    batch = {
+        (r.doc_id, r.fp)
+        for r in docs.filter(ta.gopher_keep(F.col("text")))
+        .select("doc_id", ta.fingerprint(F.col("text")).alias("fp"))
+        .collect()
+    }
+    assert streamed == batch and len(streamed) > 0
