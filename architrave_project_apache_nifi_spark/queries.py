@@ -739,6 +739,57 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", ta.language_id(F.col("text")).alias("lang_guess"))
 
 
+@register(
+    "text_unigram_logprob",
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+), freq AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok
+), total AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS t FROM freq
+)
+SELECT k.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(ln(f.c / total.t)), 6) AS mean_logprob
+FROM toks k JOIN freq f ON k.tok = f.tok CROSS JOIN total
+GROUP BY k.doc_id
+""",
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-statistics quality score (the cheap stand-in for
+    model perplexity): train a unigram distribution over the corpus
+    (one explode + hash agg — the 'train' pass), broadcast it back,
+    and score each document by its mean token log-probability (the
+    'apply' pass). Low scores = rare-token soup (OCR noise, wrong
+    language, boilerplate IDs). The train/apply split is the pattern
+    every corpus-derived filter (TF-IDF, importance weights) follows:
+    statistics shuffle once at vocab size, documents never shuffle —
+    the frequency table broadcasts (at 100 TB: top-K vocabulary +
+    default count, still a broadcast)."""
+    docs = load(spark, "documents", sf_dir).filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = spread(docs, "doc_id").select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").cast("double").alias("t"))
+    return (
+        toks.join(F.broadcast(freq), "tok")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("c") / F.col("t"))), 6).alias(
+                "mean_logprob"
+            ),
+        )
+    )
+
+
 def _gopher_oracle(src: str = "documents") -> str:
     stop = ", ".join(f"'{w}'" for w in ta.EN_STOPWORDS)
     return f"""
@@ -3120,6 +3171,7 @@ _OVERFLOW = [
     "window_rolling_stats",  # sliding row frame ≈ window_running_spend mechanics in-window
     "histogram_value_bins",  # bin-expr + hash agg ≈ cube/agg twins in-window
     "profile_orders",  # one-pass profiling agg ≈ agg_percentiles in-window
+    "text_unigram_logprob",  # explode+agg+broadcast-apply ≈ wordcount + lookup in-window
     # TPC-H completion set: every shape below reuses in-window operator
     # mechanics (decorrelated subqueries → q21/q22, broadcast
     # dim-join aggs → q3/q5/q9, conditional sums → q14); registered
