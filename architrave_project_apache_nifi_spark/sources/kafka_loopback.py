@@ -299,17 +299,30 @@ class _LoopbackWriterBase:
         return _ProducerCommit(rows=[_encode_row(r) for r in rows])
 
     def _apply(self, messages: list[_ProducerCommit]) -> None:
+        # bulk append: route every row to its partition first, then ONE
+        # open+append per partition file (produce() per row would
+        # re-count the log per append — O(n²) in the batch)
+        by_part: dict[int, list[str]] = {}
         for m in messages:
             for k_b64, v_b64, ts_ms, part in m.rows:
-                produce(
-                    self.broker_dir,
-                    self.topic,
-                    base64.b64decode(v_b64),
-                    key=None if k_b64 is None else base64.b64decode(k_b64),
-                    timestamp_ms=ts_ms,
-                    n_partitions=self.n_partitions,
-                    partition=part,
+                if part is None:
+                    kb = None if k_b64 is None else base64.b64decode(k_b64)
+                    part = _default_partition(kb, self.n_partitions)
+                ts = (
+                    ts_ms
+                    if ts_ms is not None
+                    else int(
+                        dt.datetime.now(dt.timezone.utc).timestamp() * 1000
+                    )
                 )
+                by_part.setdefault(int(part), []).append(
+                    json.dumps({"key": k_b64, "value": v_b64, "timestamp": ts})
+                )
+        for part, lines in sorted(by_part.items()):
+            fp = _partition_file(self.broker_dir, self.topic, part)
+            os.makedirs(os.path.dirname(fp), exist_ok=True)
+            with open(fp, "a") as fh:
+                fh.write("\n".join(lines) + "\n")
 
     def abort(self, *args) -> None:
         pass  # nothing staged outside commit messages
