@@ -790,6 +790,68 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_tfidf_keywords",
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+), tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks
+  GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY tok
+), n AS (
+  SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM toks
+), scored AS (
+  SELECT tf.doc_id, tf.tok,
+         round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
+  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+)
+SELECT doc_id, tok, tfidf, CAST(rnk AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, tok) AS rnk
+      FROM scored)
+WHERE rnk <= 3
+""",
+)
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document — the classic corpus-
+    statistics extractor, and the capstone of the train/apply shape:
+    term frequencies aggregate per (doc, term), document frequencies
+    per term (vocab-sized, broadcast back), a scalar corpus size rides
+    a 1-row broadcast, and the per-doc top-k is one key window.
+    Shuffles: the (doc, tok) agg, the vocab agg, and the doc window —
+    all key-hashed linear; documents join the vocab by broadcast."""
+    docs = load(spark, "documents", sf_dir).filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = spread(docs, "doc_id").select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n = toks.agg(F.countDistinct("doc_id").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "tok")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "tok", "tfidf", "rank")
+    )
+
+
 def _gopher_oracle(src: str = "documents") -> str:
     stop = ", ".join(f"'{w}'" for w in ta.EN_STOPWORDS)
     return f"""
@@ -3172,6 +3234,7 @@ _OVERFLOW = [
     "histogram_value_bins",  # bin-expr + hash agg ≈ cube/agg twins in-window
     "profile_orders",  # one-pass profiling agg ≈ agg_percentiles in-window
     "text_unigram_logprob",  # explode+agg+broadcast-apply ≈ wordcount + lookup in-window
+    "text_tfidf_keywords",  # tf/df aggs + per-doc top-k ≈ wordcount + window twins in-window
     # TPC-H completion set: every shape below reuses in-window operator
     # mechanics (decorrelated subqueries → q21/q22, broadcast
     # dim-join aggs → q3/q5/q9, conditional sums → q14); registered
