@@ -1,0 +1,83 @@
+"""End-to-end example: training-corpus cleaning with the §2.9 operators.
+
+Run: python examples/clean_corpus.py   (reads testdata, prints a report)
+
+Chains: Gopher-rule gate → normalization → exact dedup →
+MinHash-LSH near-dup clustering → benchmark decontamination →
+temperature mixture sampling — the pipeline a 100 TB pretraining
+corpus runs, here on the sf0.001 documents table.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+from architrave_project_apache_nifi_spark.operators import (
+    decontaminate as dc,
+)
+from architrave_project_apache_nifi_spark.operators import dedup as dd
+from architrave_project_apache_nifi_spark.operators import sampling as sp
+from architrave_project_apache_nifi_spark.operators import textanalysis as ta
+from architrave_project_apache_nifi_spark.operators.cluster import canonical_docs
+from architrave_project_apache_nifi_spark.session import get_spark
+
+
+def main() -> None:
+    spark = get_spark("example-clean", master="local[4]")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n0 = docs.count()
+
+    # 1. heuristic gate + normalization (map-only, composes with the scan)
+    gated = docs.filter(ta.gopher_keep(F.col("text"))).withColumn(
+        "text", ta.normalize_text(F.col("text"))
+    )
+    n1 = gated.count()
+
+    # 2. exact dedup (keep the smallest id per identical text)
+    keep_ids = gated.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    deduped = gated.join(keep_ids.select("doc_id"), "doc_id", "left_semi")
+    n2 = deduped.count()
+
+    # 3. near-dup clustering: LSH candidates → exact verify → components
+    cands = dd.minhash_lsh_candidates(deduped, "doc_id", "text", 64, 64, 2)
+    pairs = dd.verify_candidate_pairs(deduped, cands, "doc_id", "text", 0.2, 2)
+    decisions = canonical_docs(deduped, pairs, "doc_id", "id_a", "id_b")
+    survivors = deduped.join(
+        decisions.filter(F.col("is_kept") == 1).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    n3 = survivors.count()
+
+    # 4. benchmark decontamination (docs sharing a 5-gram with the bench)
+    bench = docs.filter(F.col("doc_id") % 10 == 7)
+    corpus = survivors.filter(F.col("doc_id") % 10 != 7)
+    flags = dc.ngram_decontaminate(corpus, bench, "doc_id", "text", 5)
+    clean = corpus.join(
+        flags.filter(F.col("is_contaminated") == 0).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    n4 = clean.count()
+
+    # 5. temperature mixture (α=0.5) across languages
+    rates = sp.temperature_rates(clean, ["lang"], alpha=0.5)
+    final = sp.stratified_sample(clean, rates.select("lang", "rate"), ["lang"], "doc_id")
+    n5 = final.count()
+
+    print(f"input        {n0}")
+    print(f"gated        {n1}")
+    print(f"exact-dedup  {n2}")
+    print(f"near-dedup   {n3}")
+    print(f"decontam     {n4}")
+    print(f"sampled      {n5}")
+    final.groupBy("lang").count().orderBy("lang").show()
+
+
+if __name__ == "__main__":
+    main()
