@@ -73,6 +73,12 @@ def compact_parquet_dir(
        them leaves the data intact under the trash name (documented
        single-writer maintenance op, same assumption as the store).
 
+    POSIX-rename semantics assumed (local/HDFS). On object stores,
+    where directory rename is copy+delete, use the manifest-committed
+    store (streaming/history_store.py) whose commit is a file replace,
+    or a table format's rewrite operation — this helper is for the
+    plain-directory case only.
+
     Returns the number of files after compaction."""
     files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
     if not files:
