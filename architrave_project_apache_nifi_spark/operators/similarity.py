@@ -59,19 +59,29 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     k: int = 10,
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Exact top-k by cosine: the query set (small — it is shipped to
-    every task) scores against each corpus partition as one Arrow batch
-    (numpy/BLAS matmul), each task keeps only its local top-k per query
-    under the GLOBAL total order (cosine desc, id asc — so the partial
-    top-k provably contains the global one), and a final window
+    """Exact top-k by similarity: the query set (small — it is shipped
+    to every task) scores against each corpus partition as one Arrow
+    batch (numpy/BLAS matmul), each task keeps only its local top-k per
+    query under the GLOBAL total order (score desc, id asc — so the
+    partial top-k provably contains the global one), and a final window
     row_number merges the ≤ k·n_queries·n_partitions survivors.
+
+    ``metric``: ``cosine`` (angle), ``dot`` (inner product — the MIPS
+    ranking recommendation models use), or ``l2`` (ranked by NEGATED
+    euclidean distance so 'higher is closer' holds for the shared
+    top-k machinery). All three are one BLAS matmul per batch; the
+    output score column is named ``cosine`` for schema compatibility
+    and carries the chosen metric's value.
 
     At 100 TB: corpus stays partitioned, the scan is embarrassingly
     parallel, and the only shuffle is the tiny survivor set."""
     import numpy as np
     import pandas as pd
 
+    if metric not in ("cosine", "dot", "l2"):
+        raise ValueError(f"metric must be cosine|dot|l2, got {metric!r}")
     q_rows = queries.select(query_id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
@@ -83,8 +93,19 @@ def brute_force_topk(
                 continue
             ids = pdf[id_col].to_numpy()
             X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            nrm = np.sqrt((X * X).sum(axis=1))
-            S = (X @ Q.T) / np.outer(nrm, q_nrm)
+            G = X @ Q.T
+            if metric == "cosine":
+                nrm = np.sqrt((X * X).sum(axis=1))
+                S = G / np.outer(nrm, q_nrm)
+            elif metric == "dot":
+                S = G
+            else:  # l2, negated: ||x-q||² = ||x||² - 2x·q + ||q||²
+                S = -np.sqrt(
+                    np.maximum(
+                        (X * X).sum(axis=1)[:, None] - 2 * G + (q_nrm**2)[None, :],
+                        0.0,
+                    )
+                )
             out_q, out_n, out_c = [], [], []
             for j, qid in enumerate(q_ids):
                 mask = ids != qid

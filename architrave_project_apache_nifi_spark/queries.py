@@ -1464,6 +1464,39 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_dedup_sha256",
+    """
+WITH m AS (
+  SELECT doc_id, sha256(text) AS payload_sha FROM documents
+)
+SELECT payload_sha,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM m GROUP BY payload_sha
+""",
+)
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup of BINARY media payloads by content hash — the
+    multimodal twin of dedup_exact: the shuffle key is the 32-byte
+    sha-256, never the payload itself (at 100 TB the blobs stay in
+    place; only hashes move). Runs over the attach_media payload
+    column so the hash sees exactly the bytes a real image/audio
+    column would carry."""
+    docs = load(spark, "documents", sf_dir)
+    media = mm.attach_media(docs, "text", "text/plain")
+    return (
+        media.select(
+            "doc_id", F.sha2(F.col("media.payload"), 256).alias("payload_sha")
+        )
+        .groupBy("payload_sha")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@register(
     "cube_grouping_sets",
     """
 SELECT 'cube' AS gset, event_type, user_id % 10 AS user_bucket,
@@ -3235,6 +3268,7 @@ _OVERFLOW = [
     "profile_orders",  # one-pass profiling agg ≈ agg_percentiles in-window
     "text_unigram_logprob",  # explode+agg+broadcast-apply ≈ wordcount + lookup in-window
     "text_tfidf_keywords",  # tf/df aggs + per-doc top-k ≈ wordcount + window twins in-window
+    "media_dedup_sha256",  # hash-groupBy ≈ dedup_exact + multimodal_meta in-window
     # TPC-H completion set: every shape below reuses in-window operator
     # mechanics (decorrelated subqueries → q21/q22, broadcast
     # dim-join aggs → q3/q5/q9, conditional sums → q14); registered

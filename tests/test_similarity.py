@@ -221,3 +221,33 @@ def test_ivf_disk_index_probe_prunes_partitions(spark, tmp_path):
     probed = m.group(1).split(",")
     # ≤ n_queries × nprobe cells, strictly fewer than nlist directories
     assert 0 < len(probed) <= 6 < 8, pf[0]
+
+def test_brute_force_metrics_agree_with_numpy(spark):
+    """dot and l2 metrics: top-1 neighbor must match the numpy argmax/
+    argmin on the same data (cosine already covered); l2 scores are
+    negated distances so the shared 'higher is better' rank order holds."""
+    import numpy as np
+
+    emb = _emb(spark).limit(60)
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    q = emb.filter(F.col("vec_id") == rows[0].vec_id).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    qv = X[0]
+
+    for metric in ("dot", "l2"):
+        got = sim.brute_force_topk(emb, q, k=1, metric=metric).collect()[0]
+        if metric == "dot":
+            scores = X @ qv
+        else:
+            scores = -np.sqrt(((X - qv) ** 2).sum(axis=1))
+        scores[0] = -np.inf  # exclude the query itself, as the operator does
+        best = ids[int(np.argmax(scores))]
+        assert got.neighbor_id == best, metric
+
+    import pytest
+
+    with pytest.raises(ValueError, match="metric"):
+        sim.brute_force_topk(emb, q, k=1, metric="hamming")
