@@ -1464,6 +1464,59 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cohort_retention",
+    """
+WITH first_seen AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cohort_week FROM events
+  GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(datediff('week', f.cohort_week, date_trunc('week', e.ts))
+              AS BIGINT) AS week_offset
+  FROM events e JOIN first_seen f ON e.user_id = f.user_id
+)
+SELECT cohort_week, week_offset, CAST(count(*) AS BIGINT) AS n_users
+FROM activity
+GROUP BY cohort_week, week_offset
+""",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (signup week × weeks-since-signup active
+    user counts) — the classic product-analytics shape: a per-user min
+    aggregation (the cohort), joined back onto the fact stream, then a
+    distinct + count per (cohort, offset) cell. The per-user cohort
+    table is user-dim sized, so at 100 TB it broadcasts or co-buckets
+    with the fact's user key; the distinct is partial-aggregated
+    map-side before the (cohort, offset) shuffle."""
+    events = load(spark, "events", sf_dir)
+    wk = F.date_trunc("week", F.col("ts"))
+    first_seen = events.groupBy("user_id").agg(
+        F.min(wk).alias("cohort_week")
+    )
+    activity = (
+        events.join(F.broadcast(first_seen), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            ).cast("long").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            "week_offset",
+            "n_users",
+        )
+    )
+
+
+@register(
     "media_dedup_sha256",
     """
 WITH m AS (
@@ -3269,6 +3322,7 @@ _OVERFLOW = [
     "text_unigram_logprob",  # explode+agg+broadcast-apply ≈ wordcount + lookup in-window
     "text_tfidf_keywords",  # tf/df aggs + per-doc top-k ≈ wordcount + window twins in-window
     "media_dedup_sha256",  # hash-groupBy ≈ dedup_exact + multimodal_meta in-window
+    "cohort_retention",  # min-agg + join-back + distinct-agg ≈ q13/set_ops twins in-window
     # TPC-H completion set: every shape below reuses in-window operator
     # mechanics (decorrelated subqueries → q21/q22, broadcast
     # dim-join aggs → q3/q5/q9, conditional sums → q14); registered
