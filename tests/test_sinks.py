@@ -295,3 +295,68 @@ def test_streaming_scd2_to_jdbc_exactly_once(spark, tmp_path):
     # replay over the same checkpoint: no new batches, no duplicates
     _run()
     assert _rows() == rows
+
+
+def test_jdbc_scd2_commit_equals_rebuild_property(spark):
+    """Merge-equals-rebuild, through the database: committing a random
+    event stream in arbitrary batch splits (each batch one atomic
+    two-sink transaction) must leave the JDBC table equal to
+    scd2_build over the whole stream — the same invariant the parquet
+    merge path holds (test_scd2_properties), now for the JDBC sink."""
+    import itertools
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from architrave_project_apache_nifi_spark.operators.scd2 import scd2_build
+
+    ids = itertools.count()
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        data=st.lists(
+            st.tuples(st.integers(1, 3), st.floats(1, 100, allow_nan=False)),
+            min_size=1,
+            max_size=10,
+        ),
+        split=st.integers(1, 9),
+    )
+    def run(data, split):
+        tbl = f"prop_hist_{next(ids)}"
+        url = _url(f"propdb_{tbl}")
+        sinks.execute_sql(
+            spark, url,
+            f"CREATE TABLE {tbl} (pid INT, price DOUBLE, ts TIMESTAMP, "
+            "valid_from TIMESTAMP, valid_until TIMESTAMP, is_current VARCHAR(1))",
+        )
+        rows = [
+            (pid, round(price, 2), f"2024-01-01 00:{i:02d}:00")
+            for i, (pid, price) in enumerate(data)
+        ]
+
+        def _df(rs):
+            return spark.createDataFrame(
+                rs, "pid INT, price DOUBLE, ts STRING"
+            ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+        cut = min(split, len(rows))
+        for bid, chunk in enumerate([rows[:cut], rows[cut:]]):
+            if chunk:
+                sinks.jdbc_scd2_commit(
+                    _df(chunk), url, tbl, "pid", "ts", DERBY_PROPS, batch_id=bid
+                )
+
+        got = sorted(
+            (r.PID, r.PRICE, str(r.VALID_FROM), str(r.VALID_UNTIL), r.IS_CURRENT)
+            for r in spark.read.jdbc(url, tbl, properties=DERBY_PROPS).collect()
+        )
+        want = sorted(
+            (r.pid, r.price, str(r.valid_from), str(r.valid_until), r.is_current)
+            for r in scd2_build(_df(rows), "pid", "ts").select(
+                "pid", "price", "valid_from", "valid_until", "is_current"
+            ).collect()
+        )
+        assert got == want
+
+    run()
