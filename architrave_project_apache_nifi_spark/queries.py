@@ -1516,6 +1516,70 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ENSEMBLE_COSINE = 0.0
+
+
+@register(
+    "dedup_ensemble",
+    f"""
+WITH {_JACCARD_CTES}, jac AS (
+  SELECT id_a, id_b,
+         round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6)
+           AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+        >= {_JACCARD_THRESHOLD}
+), e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+)
+SELECT j.id_a, j.id_b, j.jaccard,
+       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+FROM jac j
+JOIN n a ON a.vec_id = j.id_a
+JOIN n b ON b.vec_id = j.id_b
+WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {_ENSEMBLE_COSINE}
+""",
+)
+def q_dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup decision: a pair counts as duplicate only when
+    the TEXT signal (LSH candidates → exact n-gram Jaccard ≥ t) and
+    the EMBEDDING signal (cosine ≥ t) BOTH agree — the ensemble rule
+    real pipelines use to cut each detector's false positives. Plan
+    shape: the composed LSH→verify pipeline (candidate-bounded) left
+    of a doc_id equi-join onto the embeddings (the small verified-pair
+    set joins the corpus — at 100 TB the pair side is the broadcast
+    side), then a JVM-side fold for the cosine; no new pair space is
+    ever generated."""
+    docs = load(spark, "documents", sf_dir)
+    cands = dd.minhash_lsh_candidates(docs, "doc_id", "text", 64, 64, _SHINGLE_N)
+    pairs = dd.verify_candidate_pairs(
+        docs, cands, "doc_id", "text", _JACCARD_THRESHOLD, _SHINGLE_N
+    )
+    emb = load(spark, "embeddings", sf_dir).select(
+        "vec_id", sim._as_double(F.col("embedding")).alias("__v")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("__v").alias("__va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("__v").alias("__vb")
+    )
+    cos = sim.dot(F.col("__va"), F.col("__vb")) / (
+        sim.l2_norm(F.col("__va")) * sim.l2_norm(F.col("__vb"))
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("__cos", cos)
+        .filter(F.col("__cos") >= _ENSEMBLE_COSINE)  # unrounded, like the oracle
+        .select("id_a", "id_b", "jaccard", F.round("__cos", 6).alias("cosine"))
+    )
+
+
 @register(
     "media_dedup_sha256",
     """
@@ -3323,6 +3387,7 @@ _OVERFLOW = [
     "text_tfidf_keywords",  # tf/df aggs + per-doc top-k ≈ wordcount + window twins in-window
     "media_dedup_sha256",  # hash-groupBy ≈ dedup_exact + multimodal_meta in-window
     "cohort_retention",  # min-agg + join-back + distinct-agg ≈ q13/set_ops twins in-window
+    "dedup_ensemble",  # lsh_verified ∘ neardup_cosine — both stages in-window
     # TPC-H completion set: every shape below reuses in-window operator
     # mechanics (decorrelated subqueries → q21/q22, broadcast
     # dim-join aggs → q3/q5/q9, conditional sums → q14); registered
