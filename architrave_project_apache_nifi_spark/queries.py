@@ -219,6 +219,70 @@ def q_scd2_temporal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scd1_scd3_dimensions",
+    """
+SELECT user_id,
+       'scd1' AS kind,
+       value AS current_value,
+       CAST(NULL AS DOUBLE) AS previous_value,
+       n_versions
+FROM (
+  SELECT user_id, value,
+         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_versions,
+         row_number() OVER w AS rn
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+) WHERE rn = 1
+UNION ALL
+SELECT user_id,
+       'scd3' AS kind,
+       value AS current_value,
+       prev_value AS previous_value,
+       n_versions
+FROM (
+  SELECT user_id, value,
+         lead(value) OVER w AS prev_value,
+         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_versions,
+         row_number() OVER w AS rn
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+) WHERE rn = 1
+""",
+)
+def q_scd1_scd3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD family beside type 2 (COVERAGE: a user switching from
+    the reference gets the whole dimension-modeling menu): SCD1 =
+    overwrite-in-place (latest value per key, history discarded),
+    SCD3 = latest plus ONE previous-value column. Both are one key
+    window over the change stream — same single shuffle as scd2_build,
+    no interval bookkeeping; tagged union so the gate checks both."""
+    events = load(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = events.select(
+        "user_id",
+        "value",
+        F.lead("value").over(w).alias("prev_value"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n_versions"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    scd1 = ranked.select(
+        "user_id",
+        F.lit("scd1").alias("kind"),
+        F.col("value").alias("current_value"),
+        F.lit(None).cast("double").alias("previous_value"),
+        "n_versions",
+    )
+    scd3 = ranked.select(
+        "user_id",
+        F.lit("scd3").alias("kind"),
+        F.col("value").alias("current_value"),
+        F.col("prev_value").alias("previous_value"),
+        "n_versions",
+    )
+    return scd1.unionByName(scd3)
+
+
+@register(
     "scd2_build_with_deletes",
     """
 SELECT user_id, event_id, value, valid_from, valid_until, is_current
@@ -3388,6 +3452,7 @@ _OVERFLOW = [
     "media_dedup_sha256",  # hash-groupBy ≈ dedup_exact + multimodal_meta in-window
     "cohort_retention",  # min-agg + join-back + distinct-agg ≈ q13/set_ops twins in-window
     "dedup_ensemble",  # lsh_verified ∘ neardup_cosine — both stages in-window
+    "scd1_scd3_dimensions",  # key-window argmax + lag ≈ scd2/current + window twins in-window
     # TPC-H completion set: every shape below reuses in-window operator
     # mechanics (decorrelated subqueries → q21/q22, broadcast
     # dim-join aggs → q3/q5/q9, conditional sums → q14); registered
