@@ -271,6 +271,66 @@ def ivf_save(index: IvfIndex, path: str) -> None:
     ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
+def ivf_assign(
+    index: IvfIndex,
+    vectors: DataFrame,
+    id_col: str | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign vectors to the index's EXISTING cells (no retraining):
+    nearest centroid of the L2-normalized vector — the same spherical
+    rule the quantizer was trained under, evaluated per Arrow batch
+    against the broadcast nlist×dim centroid matrix. Returns rows in
+    the inverted-list layout (id, list_id, __cv, __cn)."""
+    import numpy as np
+    import pandas as pd
+
+    id_col = id_col or index.id_col
+    C = np.array(index.centroids, dtype=np.float64)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["__cv"].to_numpy()).astype(np.float64)
+            nrm = np.sqrt((X * X).sum(1))
+            Xn = X / np.where(nrm == 0, 1.0, nrm)[:, None]
+            d2 = (Xn * Xn).sum(1)[:, None] - 2 * Xn @ C.T + (C * C).sum(1)[None, :]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "list_id": np.argmin(d2, axis=1).astype(np.int32),
+                    "__cv": pdf["__cv"],
+                    "__cn": nrm,
+                }
+            )
+
+    prepped = vectors.select(
+        id_col, _as_double(F.col(vec_col)).alias("__cv")
+    )
+    return prepped.mapInPandas(
+        assign, f"{id_col} long, list_id int, __cv array<double>, __cn double"
+    )
+
+
+def ivf_append(spark, path: str, vectors: DataFrame, vec_col: str = "embedding") -> int:
+    """Incrementally extend a SAVED index (ivf_save layout) with new
+    vectors — the serving-path update that avoids retraining: vectors
+    are assigned to existing cells (``ivf_assign``) and appended as
+    new parquet files under their ``list_id=`` partitions, so the next
+    ``ivf_load`` + probe sees them behind the same partition pruning.
+    Returns the number of vectors appended.
+
+    The coarse quantizer drifts as the corpus grows — rebuild
+    (``ivf_build``/``ivf_save``) when cell sizes skew (the same
+    rebucketing judgement as the SCD2 store's ``rebucket``)."""
+    index = ivf_load(spark, path)
+    assigned = ivf_assign(index, vectors, vec_col=vec_col)
+    n = assigned.count()
+    assigned.write.partitionBy("list_id").mode("append").parquet(f"{path}/lists")
+    return n
+
+
 def ivf_load(spark, path: str) -> IvfIndex:
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     assigned = spark.read.parquet(f"{path}/lists")

@@ -251,3 +251,33 @@ def test_brute_force_metrics_agree_with_numpy(spark):
 
     with pytest.raises(ValueError, match="metric"):
         sim.brute_force_topk(emb, q, k=1, metric="hamming")
+
+def test_ivf_append_without_retraining(spark, tmp_path):
+    """Serving-path index update: append vectors to a SAVED index (no
+    retraining); a probe after reload must surface an appended
+    near-duplicate of the query as its top neighbor, and the appended
+    rows must land inside the existing list_id partition layout."""
+    emb = _emb(spark)
+    index = sim.ivf_build(emb, nlist=8, materialize=False)
+    path = str(tmp_path / "ix")
+    sim.ivf_save(index, path)
+
+    # craft a near-duplicate of query 0's vector with a fresh id
+    qvec = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    near = [float(x) * 1.01 for x in qvec]
+    new = spark.createDataFrame(
+        [(100000, near)], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    assert sim.ivf_append(spark, path, new) == 1
+
+    loaded = sim.ivf_load(spark, path)
+    assert loaded.assigned.count() == emb.count() + 1
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = (
+        sim.ivf_probe(loaded, q, k=1, nprobe=2)
+        .collect()[0]
+    )
+    assert top.neighbor_id == 100000  # scaled copy ⇒ cosine ≈ 1, rank 1
+    assert abs(top.cosine - 1.0) < 1e-9
