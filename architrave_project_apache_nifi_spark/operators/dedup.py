@@ -382,3 +382,123 @@ def embedding_neardup_pairs(
         )
 
     return base.groupBy(blk).applyInPandas(gram, "id_a long, id_b long, cosine double")
+
+
+def content_fingerprints(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(``fp``, ``first_id``) — the 8-byte exact-content fingerprint
+    store: one row per distinct text, keyed by ``xxhash64(text)`` with
+    the smallest id that carried it. This is the persistable artifact
+    incremental dedup joins against: 16 bytes/distinct-doc, so the
+    store for a 100 TB corpus is ~100 GB — write it partitioned by
+    ``pmod(fp, N)`` and the incremental anti-join co-partitions on the
+    same key without touching document text."""
+    return (
+        df.select(
+            F.xxhash64(F.col(text_col)).alias("fp"),
+            F.col(id_col).cast("long").alias("__id"),
+        )
+        .groupBy("fp")
+        .agg(F.min("__id").alias("first_id"))
+    )
+
+
+def dedup_incremental(
+    new_docs: DataFrame,
+    store: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Dedup an incoming batch against an existing fingerprint store
+    WITHOUT rescanning the historical corpus — the append-path dedup a
+    continuously-ingesting pipeline runs per batch.
+
+    ``store`` is a :func:`content_fingerprints` output (or a parquet
+    read of one). A new document survives iff (a) its content hash is
+    absent from the store and (b) it is the min-id holder of that hash
+    within its own batch. Returns every incoming row annotated:
+    (``id``, ``fp``, ``dup_of_store``, ``is_kept``).
+
+    Scale: the batch never carries text past the first projection —
+    both the store join and the within-batch argmin run on the 8-byte
+    hash. The store side is a parquet scan of (fp, first_id) only;
+    with both sides bucketed by ``pmod(fp, N)`` the anti-join is
+    Exchange-free. One window on fp (batch-sized), one join.
+    """
+    fps = new_docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.xxhash64(F.col(text_col)).alias("fp"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp").orderBy(id_col)
+    ranked = fps.withColumn(
+        "__rk", F.row_number().over(w)
+    )
+    st = store.select(F.col("fp"), F.lit(1).alias("__seen"))
+    return (
+        ranked.join(st, "fp", "left")
+        .select(
+            id_col,
+            "fp",
+            F.coalesce(F.col("__seen"), F.lit(0)).cast("int").alias("dup_of_store"),
+            (
+                (F.col("__rk") == 1) & F.col("__seen").isNull()
+            ).cast("int").alias("is_kept"),
+        )
+    )
+
+
+def span_duplication(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_n: int = 8,
+    drop_threshold: float = 0.5,
+) -> DataFrame:
+    """Exact substring-level duplication score (the Spark-first shape
+    of suffix-array substring dedup, Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): for each document,
+    the fraction of its ``span_n``-token windows that also appear
+    verbatim in at least one OTHER document.
+
+    Returns (``id``, ``n_spans``, ``n_dup_spans``, ``dup_frac``,
+    ``is_dropped``) with ``is_dropped`` = 1 when ``dup_frac`` ≥
+    ``drop_threshold`` — the "mostly boilerplate" removal decision.
+
+    Scale: spans are hashed to 8-byte longs map-side (the shingle
+    machinery of :func:`_shingle_sets`); the cross-document span index
+    is ONE hash aggregate on the span hash producing (span → the one
+    or two doc-ids that carry it — ``min``/``max`` suffice to decide
+    "appears elsewhere", so the agg state is O(1) per span, never a
+    doc-id list); scoring is one join back on the span hash + one
+    per-doc count. No self-join, no pair explosion: total shuffle =
+    2 passes over the exploded span rows, linear in corpus tokens.
+    """
+    sh = _shingle_sets(df, id_col, text_col, span_n).select(
+        "__id", F.explode("__shs").alias("__sp")
+    )
+    # Span index: min/max carrier ids decide multi-doc presence in O(1)
+    # agg state (a span is duplicated across docs iff min != max).
+    idx = sh.groupBy("__sp").agg(
+        F.min("__id").alias("__lo"), F.max("__id").alias("__hi")
+    )
+    scored = (
+        sh.join(idx, "__sp")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(
+                (F.col("__lo") != F.col("__hi")).cast("bigint")
+            ).alias("n_dup_spans"),
+        )
+    )
+    dup_frac = F.col("n_dup_spans") / F.col("n_spans")
+    return scored.select(
+        F.col("__id").alias(id_col),
+        "n_spans",
+        "n_dup_spans",
+        F.round(dup_frac, 6).alias("dup_frac"),
+        (dup_frac >= drop_threshold).cast("int").alias("is_dropped"),
+    )

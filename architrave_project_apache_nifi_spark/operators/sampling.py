@@ -118,3 +118,47 @@ def lcg_where_sql(id_expr: str, rate_case_sql: str) -> str:
         f"(({id_expr} % {_LCG_MOD}) * {_LCG_MUL} + {_LCG_INC}) % {_LCG_RANGE}"
         f" < CAST(floor(({rate_case_sql}) * {_LCG_RANGE}.0) AS BIGINT)"
     )
+
+
+def token_budget_filter(
+    df: DataFrame,
+    stratum_cols: list[str],
+    id_col: str,
+    n_tokens_col,
+    budget: int,
+) -> DataFrame:
+    """Per-stratum token-budget cut: keep documents in deterministic
+    ``id_col`` order until the stratum's cumulative token count reaches
+    ``budget`` — the "sample each source down to N tokens" mixture
+    primitive (budgets in tokens, not rows, is how training mixtures
+    are actually specified).
+
+    Returns every row annotated (``cum_tokens`` INCLUSIVE of the row,
+    ``in_budget`` = 1 iff the row fits entirely under the budget), so
+    callers can either filter ``in_budget = 1`` or inspect the
+    boundary. A document is never truncated — it fits or it doesn't.
+
+    Scale: one window partitioned by the stratum — parallel across
+    strata, which is the real-world shape (a mixture has tens of
+    sources, each internally ordered by id). For a single pathological
+    stratum larger than one task, swap the window for the sharded
+    prefix-sum in operators/packing.py (same arithmetic, documented
+    there); the oracle below is identical either way.
+    """
+    c = F.col(n_tokens_col) if isinstance(n_tokens_col, str) else n_tokens_col
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*stratum_cols)
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn("__n_tok", c.cast("bigint")).select(
+        *stratum_cols,
+        id_col,
+        F.col("__n_tok").alias("n_tokens"),
+        F.sum("__n_tok").over(w).alias("cum_tokens"),
+        (F.sum("__n_tok").over(w) <= F.lit(int(budget)))
+        .cast("int")
+        .alias("in_budget"),
+    )

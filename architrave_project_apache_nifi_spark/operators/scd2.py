@@ -264,3 +264,65 @@ def scd2_invariants(
         .select(*keys, F.lit("broken_interval_chain").alias("violation"))
     )
     return cur.unionByName(open_expired).unionByName(chain)
+
+
+def widen_like(
+    df: DataFrame, other: DataFrame, exclude: Sequence[str] = ()
+) -> DataFrame:
+    """``df`` extended with NULL-typed copies of every column present
+    only in ``other`` — the union-compatibility half of schema
+    evolution. Column order: ``df``'s own columns, then the adopted
+    ones in ``other``'s order (deterministic output schema).
+    ``exclude`` names are never adopted (case-insensitive)."""
+    have = {c.lower() for c in df.columns} | {c.lower() for c in exclude}
+    adopted = [
+        F.lit(None).cast(f.dataType).alias(f.name)
+        for f in other.schema.fields
+        if f.name.lower() not in have
+    ]
+    return df.select("*", *adopted) if adopted else df
+
+
+def scd2_apply_evolved(
+    history: DataFrame,
+    changes: DataFrame,
+    key_cols: str | Sequence[str],
+    ts_col: str,
+    order_cols: Sequence[str] = (),
+    **kwargs,
+) -> DataFrame:
+    """:func:`scd2_apply` with SCHEMA EVOLUTION: a batch carrying
+    attribute columns the history has never seen (or missing columns
+    the history has) merges anyway — the history widens, closed rows
+    backfill NULL for adopted columns, and new versions carry them.
+
+    This is reference parity the strongly-typed engine would otherwise
+    lose: NiFi infers schema per record (JsonTreeReader,
+    SURVEY.md §1.4), so a new column in the MySQL table simply flows
+    through the reference DAG. Here both sides are widened to the
+    union schema (map-only ``select``, zero shuffles) before the
+    standard merge; key/timestamp/SCD2-protocol columns must exist on
+    both sides and are validated rather than NULL-filled.
+    """
+    keys = _as_list(key_cols)
+    required = set(k.lower() for k in keys) | {ts_col.lower()}
+    for name, df in (("history", history), ("changes", changes)):
+        missing = required - {c.lower() for c in df.columns}
+        if missing:
+            raise ValueError(
+                f"scd2_apply_evolved: {name} lacks protocol columns "
+                f"{sorted(missing)} — schema evolution applies to "
+                "attribute columns only"
+            )
+    # The changes side never adopts SCD2 protocol columns — scd2_apply
+    # stamps them itself via scd2_build; adopting NULL copies first
+    # would shadow the stamping.
+    protocol = ("valid_from", "valid_until", "is_current")
+    return scd2_apply(
+        widen_like(history, changes, exclude=(ts_col,)),
+        widen_like(changes, history, exclude=protocol),
+        key_cols,
+        ts_col,
+        order_cols,
+        **kwargs,
+    )

@@ -328,3 +328,42 @@ def fingerprint(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, c: (acc * FINGERPRINT_BASE + c) % FINGERPRINT_MOD,
     )
+
+
+def adaptive_percentile_filter(
+    df: DataFrame,
+    id_col: str,
+    metric,
+    p: float = 0.25,
+) -> DataFrame:
+    """Corpus-adaptive quality cut: keep rows whose ``metric`` is at or
+    above the corpus-wide exact ``p``-quantile of that metric — the
+    threshold adapts to the corpus instead of being hand-tuned (the
+    practical form of "drop the worst quartile").
+
+    Returns (``id``, ``metric``, ``threshold``, ``is_kept``). The
+    threshold is computed with the exact ``percentile`` aggregate
+    (linear interpolation at rank p·(n−1) — the same definition DuckDB's
+    ``quantile_cont`` uses, so the oracle reproduces it bit-for-bit on
+    integer metrics, where the interpolation arithmetic is exact).
+
+    Scale: one aggregation to a single scalar (exact percentile is a
+    sort-based agg — at 100 TB swap in ``approx_percentile`` with a
+    documented error bound; the plan shape is identical), broadcast
+    back via a literal-free cross join of a 1-row DataFrame; the corpus
+    itself is filtered map-only, no shuffle.
+    """
+    m = F.col(metric) if isinstance(metric, str) else metric
+    scored = df.select(F.col(id_col), m.cast("bigint").alias("metric"))
+    thr = scored.agg(
+        F.expr(f"percentile(metric, {p})").alias("threshold")
+    )
+    return (
+        scored.join(F.broadcast(thr))
+        .select(
+            id_col,
+            "metric",
+            F.round("threshold", 6).alias("threshold"),
+            (F.col("metric") >= F.col("threshold")).cast("int").alias("is_kept"),
+        )
+    )

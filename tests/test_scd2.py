@@ -283,3 +283,62 @@ def test_scd2_invariants_allow_gaps_for_tombstoned_history(spark):
     )
     assert scd2_invariants(bad, "ProductID", allow_gaps=True).count() == 1
     assert scd2_invariants(bad, "ProductID").count() == 1
+
+
+def test_scd2_apply_evolved_new_column_widens_history(spark):
+    from architrave_project_apache_nifi_spark.operators.scd2 import (
+        scd2_apply_evolved,
+        scd2_build,
+        scd2_invariants,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 10.0), (1, "2024-01-02 00:00:00", 11.0)],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    hist = scd2_build(old, "user_id", "ts")
+    # The batch carries a column history has never seen (CDC schema
+    # drift — the MySQL table gained `region`), and lacks none.
+    batch = spark.createDataFrame(
+        [(1, "2024-01-03 00:00:00", 12.0, "eu")],
+        "user_id long, ts string, value double, region string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    merged = scd2_apply_evolved(hist, batch, "user_id", "ts")
+    assert "region" in merged.columns
+    rows = {r["valid_from"].isoformat(): r for r in merged.collect()}
+    # Closed/old rows backfill NULL; the new version carries the value.
+    assert rows["2024-01-01T00:00:00"]["region"] is None
+    assert rows["2024-01-03T00:00:00"]["region"] == "eu"
+    assert rows["2024-01-03T00:00:00"]["is_current"] == "Y"
+    assert scd2_invariants(merged, "user_id").isEmpty()
+    # And equals the full rebuild over the widened union.
+    from architrave_project_apache_nifi_spark.operators.scd2 import widen_like
+
+    full = scd2_build(
+        widen_like(old, batch, exclude=("valid_from", "valid_until", "is_current")).unionByName(batch),
+        "user_id",
+        "ts",
+    )
+    assert sorted(
+        (r["valid_from"], r["value"], r["region"]) for r in full.collect()
+    ) == sorted((r["valid_from"], r["value"], r["region"]) for r in merged.collect())
+
+
+def test_scd2_apply_evolved_rejects_missing_protocol_columns(spark):
+    import pytest
+
+    from architrave_project_apache_nifi_spark.operators.scd2 import (
+        scd2_apply_evolved,
+        scd2_build,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 10.0)],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    hist = scd2_build(old, "user_id", "ts")
+    batch_no_key = spark.createDataFrame(
+        [("2024-01-03 00:00:00", 12.0)], "ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(ValueError, match="protocol columns"):
+        scd2_apply_evolved(hist, batch_no_key, "user_id", "ts")
