@@ -162,3 +162,88 @@ def token_budget_filter(
         .cast("int")
         .alias("in_budget"),
     )
+
+
+def replicate_by_rate(
+    df: DataFrame,
+    rates: DataFrame,
+    stratum_cols: list[str],
+    id_col: str,
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic UPSAMPLING — the other half of mixture shaping
+    (``stratified_sample`` can only keep ≤ 1 copy): each row is
+    replicated ``floor(rate)`` times plus one more iff its LCG hash
+    falls under ``frac(rate)``, so a stratum with rate 2.3 emits
+    exactly-reproducible 2-or-3 copies averaging 2.3×.
+
+    Output = input columns + ``copy_idx`` (1-based). Map-only after the
+    broadcast rates join: the fan-out is an ``explode(sequence(...))``
+    generator — no shuffle, bounded per-row expansion; at 100 TB the
+    blow-up is governed by the rates table, which the mixture spec
+    already fixes. Oracle-exact: the same integer LCG threshold as
+    :func:`stratified_sample`, never float multiplication of row
+    counts."""
+    keyed = rates.select(
+        *stratum_cols, F.col("rate").cast("double").alias("__rate")
+    )
+    with_rate = df.join(F.broadcast(keyed), stratum_cols, "left").withColumn(
+        "__rate", F.coalesce("__rate", F.lit(float(default_rate)))
+    )
+    base = F.floor(F.col("__rate")).cast("long")
+    frac = F.col("__rate") - F.floor(F.col("__rate"))
+    extra = (
+        sample_hash(id_col)
+        < F.floor(frac * F.lit(float(_LCG_RANGE))).cast("long")
+    ).cast("long")
+    n_copies = (base + extra).alias("__n_copies")
+    return (
+        with_rate.withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .withColumn("copy_idx", F.explode(F.sequence(F.lit(1), F.col("__n"))))
+        .drop("__rate", "__n")
+    )
+
+
+def shuffle_rank(
+    df: DataFrame, id_col: str, n_shards: int = 1024
+) -> DataFrame:
+    """Deterministic global training-order permutation: every row gets
+    a dense 0-based ``rank`` in the order of its LCG hash (ties broken
+    by id) — the "shuffle the corpus before training" step, replayable
+    across runs and engines.
+
+    Distributed the same way as packing's prefix sum: the hash space is
+    cut into ``n_shards`` contiguous ranges, rows rank locally within
+    their shard (parallel windows), and shard row-counts (≤ n_shards
+    tiny rows) prefix-sum on a broadcastable side to offset the local
+    ranks — no corpus-wide single-reducer window. Because shards are
+    contiguous HASH RANGES, local-rank + shard-offset IS the global
+    hash-order rank."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    width = (_LCG_RANGE + n_shards - 1) // n_shards
+    base = df.withColumn("__h", sample_hash(id_col)).withColumn(
+        "__shard", F.floor(F.col("__h") / width).cast("long")
+    )
+    from pyspark.sql import Window
+
+    in_shard = Window.partitionBy("__shard").orderBy("__h", id_col)
+    local = base.withColumn("__local", F.row_number().over(in_shard))
+    shard_sizes = base.groupBy("__shard").agg(F.count(F.lit(1)).alias("__n"))
+    offsets = shard_sizes.withColumn(
+        "__offset",
+        F.coalesce(
+            F.sum("__n").over(
+                Window.orderBy("__shard").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("__shard", "__offset")
+    return (
+        local.join(F.broadcast(offsets), "__shard")
+        .withColumn("rank", (F.col("__offset") + F.col("__local") - 1))
+        .drop("__h", "__shard", "__local", "__offset")
+    )

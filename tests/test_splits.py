@@ -133,3 +133,35 @@ def test_adaptive_percentile_filter_quartile(spark):
     assert rows[1]["is_kept"] == 0
     assert all(rows[i]["is_kept"] == 1 for i in (2, 3, 4))
     assert abs(rows[1]["threshold"] - 1.75) < 1e-9
+
+
+def test_replicate_by_rate_copy_counts(spark):
+    docs = _docs(spark)
+    rates = spark.createDataFrame(
+        [("de", 2.0), ("zh", 0.0)], "lang string, rate double"
+    )
+    out = sp.replicate_by_rate(docs, rates, ["lang"], "doc_id")
+    # Integer rate 2.0 → exactly 2 copies of every de row.
+    de_in = docs.filter(F.col("lang") == "de").count()
+    assert out.filter(F.col("lang") == "de").count() == 2 * de_in
+    per_doc = (
+        out.filter(F.col("lang") == "de").groupBy("doc_id").count().collect()
+    )
+    assert all(r["count"] == 2 for r in per_doc)
+    # Rate 0 → stratum vanishes; absent strata default to 1 copy.
+    assert out.filter(F.col("lang") == "zh").isEmpty()
+    en_in = docs.filter(F.col("lang") == "en").count()
+    assert out.filter(F.col("lang") == "en").count() == en_in
+
+
+def test_shuffle_rank_is_dense_permutation_and_shard_invariant(spark):
+    docs = _docs(spark)
+    n = docs.count()
+    r8 = sp.shuffle_rank(docs, "doc_id", n_shards=8)
+    ranks = sorted(r["rank"] for r in r8.select("rank").collect())
+    assert ranks == list(range(n))
+    r1 = sp.shuffle_rank(docs, "doc_id", n_shards=1)
+    joined = r8.select("doc_id", F.col("rank").alias("r8")).join(
+        r1.select("doc_id", F.col("rank").alias("r1")), "doc_id"
+    )
+    assert joined.filter(F.col("r8") != F.col("r1")).isEmpty()
