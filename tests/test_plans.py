@@ -210,3 +210,54 @@ def test_pipeline_clean_corpus_broadcasts_and_bounded_shuffles(spark):
     # the pair-space blowup this test forbids
     assert "CartesianProduct" not in plan, plan
     assert pi.count_shuffles(df) <= 16, plan
+
+
+def test_dedup_incremental_joins_on_hash_never_text(spark):
+    df = REGISTRY["dedup_incremental"].fn(spark, SF_DIR)
+    plan = pi.formatted_plan(df)
+    # The store side aggregates/joins on the 8-byte fp — document text
+    # must not appear in any join condition or shuffle key.
+    join_lines = [
+        ln for ln in plan.splitlines() if "Join" in ln or "hashpartitioning" in ln
+    ]
+    assert join_lines and not any("text" in ln for ln in join_lines), plan
+
+
+def test_quality_adaptive_floor_broadcasts_scalar_threshold(spark):
+    df = REGISTRY["quality_adaptive_floor"].fn(spark, SF_DIR)
+    pi.assert_broadcast_join(df)
+    # The corpus branch is map-only into the join: the plan's only
+    # exchanges feed the scalar percentile aggregation (≤2: partials →
+    # ObjectHashAggregate), never re-partition the documents.
+    plan = pi.formatted_plan(df)
+    assert pi.count_shuffles(df) <= 2, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_mixture_upsample_is_broadcast_plus_generator(spark):
+    df = REGISTRY["mixture_upsample"].fn(spark, SF_DIR)
+    pi.assert_broadcast_join(df)
+    plan = pi.formatted_plan(df)
+    assert "Generate" in plan, plan  # explode(sequence(...)) fan-out
+    # Map-only after the broadcast: the corpus never hits an exchange.
+    assert pi.count_shuffles(df) == 0, plan
+
+
+def test_token_budget_single_stratum_shuffle(spark):
+    df = REGISTRY["token_budget_per_source"].fn(spark, SF_DIR)
+    # One exchange total: hash partitioning by source for the window.
+    assert pi.count_shuffles(df) == 1, pi.formatted_plan(df)
+
+
+def test_training_order_no_corpus_single_partition_window(spark):
+    df = REGISTRY["training_order"].fn(spark, SF_DIR)
+    plan = pi.formatted_plan(df)
+    # The corpus windows per hash-range shard (hashpartitioning); the
+    # only SinglePartition exchange feeds the <= n_shards offset rows.
+    corpus_single = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange SinglePartition" in ln
+    ]
+    assert len(corpus_single) <= 1, plan
+    assert "hashpartitioning(__shard" in plan, plan
