@@ -1,0 +1,73 @@
+"""Data-quality constraint checking (Deequ-style, Spark-first).
+
+The reference flow has no validation stage — malformed events simply
+corrupt the history (SURVEY.md §2.8 Bugs 1-3 are partly data-quality
+failures). This module turns declarative constraints into ONE
+aggregation pass producing a violation report, the guard a pipeline
+runs before committing a batch to the SCD2 store or a training corpus.
+
+Scale: every row-level rule compiles to a conditional count inside one
+hash aggregate — adding rules adds expressions, not passes or
+shuffles. Uniqueness is the one rule that genuinely needs its own
+shuffle (a groupBy on the key columns); it is a separate function so
+the caller pays for it explicitly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def check_constraints(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """One row per rule: (``rule``, ``n_rows``, ``n_violations``,
+    ``passed``). Each rule is a boolean Column where True = row OK;
+    NULL counts as a violation (unknown is not OK — the Deequ
+    convention). All rules evaluate in a single aggregation pass."""
+    if not rules:
+        raise ValueError("check_constraints needs at least one rule")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, cond in rules.items():
+        aggs.append(
+            F.sum(
+                F.when(cond.isNull() | ~cond, 1).otherwise(0)
+            ).alias(f"__v_{name}")
+        )
+    wide = df.agg(*aggs)
+    reports = [
+        wide.select(
+            F.lit(name).alias("rule"),
+            F.col("n_rows"),
+            F.col(f"__v_{name}").cast("bigint").alias("n_violations"),
+            (F.col(f"__v_{name}") == 0).cast("int").alias("passed"),
+        )
+        for name in rules
+    ]
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def check_unique(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Uniqueness constraint as the same report shape: one row
+    (``rule`` = 'unique(<cols>)') counting rows that share their key
+    with at least one other row. One shuffle on the key columns."""
+    dup_rows = (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .agg(
+            F.coalesce(F.sum("__n"), F.lit(0)).cast("bigint").alias("n_violations")
+        )
+    )
+    total = df.agg(F.count(F.lit(1)).alias("n_rows"))
+    return (
+        total.join(F.broadcast(dup_rows))
+        .select(
+            F.lit(f"unique({','.join(cols)})").alias("rule"),
+            "n_rows",
+            "n_violations",
+            (F.col("n_violations") == 0).cast("int").alias("passed"),
+        )
+    )

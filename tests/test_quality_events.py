@@ -1,0 +1,105 @@
+"""Data-quality constraints and event-sequence analytics semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from architrave_project_apache_nifi_spark.operators.events import (
+    anomaly_zscore,
+    funnel_conversion,
+    gapfill_daily_counts,
+)
+from architrave_project_apache_nifi_spark.operators.quality import (
+    check_constraints,
+    check_unique,
+)
+
+
+def test_check_constraints_counts_nulls_as_violations(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None)], "id long, price double"
+    )
+    out = {
+        r["rule"]: r
+        for r in check_constraints(
+            df, {"price_positive": F.col("price") > 0}
+        ).collect()
+    }
+    r = out["price_positive"]
+    # -5 violates; NULL price is unknown → also a violation.
+    assert r["n_rows"] == 3 and r["n_violations"] == 2 and r["passed"] == 0
+
+
+def test_check_constraints_requires_rules(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="at least one rule"):
+        check_constraints(df, {})
+
+
+def test_check_unique_counts_all_rows_of_dup_groups(spark):
+    df = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,)], "k long"
+    )
+    r = check_unique(df, ["k"]).collect()[0]
+    # All 3 rows of the k=1 group are violations, not 2 "extras".
+    assert r["n_violations"] == 3 and r["passed"] == 0
+    clean = check_unique(df.dropDuplicates(["k"]), ["k"]).collect()[0]
+    assert clean["n_violations"] == 0 and clean["passed"] == 1
+
+
+def test_funnel_requires_strict_order(spark):
+    rows = [
+        # user 1: click BEFORE the first view → stage 2 never reached.
+        (1, "2024-01-01 09:00:00", "click"),
+        (1, "2024-01-01 10:00:00", "view"),
+        # user 2: full ordered funnel.
+        (2, "2024-01-01 09:00:00", "view"),
+        (2, "2024-01-01 10:00:00", "click"),
+        (2, "2024-01-01 11:00:00", "purchase"),
+        # user 3: purchase before click → stage 3 unreached.
+        (3, "2024-01-01 09:00:00", "view"),
+        (3, "2024-01-01 09:30:00", "purchase"),
+        (3, "2024-01-01 10:00:00", "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r["user_id"]: r
+        for r in funnel_conversion(df, ["view", "click", "purchase"]).collect()
+    }
+    assert out[1]["stage_2_ts"] is None and out[1]["stage_3_ts"] is None
+    assert out[2]["stage_3_ts"] is not None
+    assert out[3]["stage_2_ts"] is not None and out[3]["stage_3_ts"] is None
+
+
+def test_gapfill_emits_zero_rows_for_silent_days(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 12:00:00"), (1, "2024-01-03 12:00:00")],
+        "user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r["day"].isoformat(): r["n_events"]
+        for r in gapfill_daily_counts(df, "2024-01-01", "2024-01-04").collect()
+    }
+    assert out == {
+        "2024-01-01": 1,
+        "2024-01-02": 0,
+        "2024-01-03": 1,
+        "2024-01-04": 0,
+    }
+
+
+def test_anomaly_zscore_flags_outlier(spark):
+    # Max attainable |z| is (n-1)/sqrt(n), so one outlier among 9
+    # inliers can never cross 3; use 29 inliers + 1 outlier.
+    vals = [10.0, 11.0, 9.0, 10.0, 12.0, 8.0] * 5
+    vals[-1] = 100.0
+    df = spark.createDataFrame(
+        [(i, "t", v) for i, v in enumerate(vals)],
+        "event_id long, event_type string, value double",
+    )
+    out = anomaly_zscore(df, "event_type", "value", 3.0)
+    flagged = [r["event_id"] for r in out.filter("is_anomaly = 1").collect()]
+    assert flagged == [len(vals) - 1]
