@@ -22,6 +22,7 @@ REPO = os.path.join(os.path.dirname(__file__), "..")
         ("examples/cdc_to_scd2.py", "streamed history rows: 5"),
         ("examples/clean_corpus.py", "sampled"),
         ("examples/similarity_search.py", "IVF probe"),
+        ("examples/assemble_dataset.py", "packed sequences:"),
     ],
 )
 def test_example_runs(script, expect):
