@@ -103,3 +103,45 @@ def test_anomaly_zscore_flags_outlier(spark):
     out = anomaly_zscore(df, "event_type", "value", 3.0)
     flagged = [r["event_id"] for r in out.filter("is_anomaly = 1").collect()]
     assert flagged == [len(vals) - 1]
+
+
+def test_streaming_quality_gate_routes_batches(spark, tmp_path):
+    from architrave_project_apache_nifi_spark.streaming.quality_gate import (
+        run_quality_gate_stream,
+    )
+
+    landing = str(tmp_path / "landing")
+    root = str(tmp_path / "gate")
+    ckpt = str(tmp_path / "ckpt")
+    clean = spark.createDataFrame(
+        [(1, 10.0), (2, 5.0)], "id long, price double"
+    )
+    dirty = spark.createDataFrame(
+        [(3, 7.0), (4, -1.0)], "id long, price double"
+    )
+    clean.coalesce(1).write.parquet(landing + "/f0")
+    stream = spark.readStream.schema(clean.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(landing + "/*")
+    rules = {"price_positive": F.col("price") > 0}
+    q = run_quality_gate_stream(stream, root, ckpt, rules)
+    q.awaitTermination(120)
+    dirty.coalesce(1).write.parquet(landing + "/f1")
+    stream2 = spark.readStream.schema(clean.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(landing + "/*")
+    q2 = run_quality_gate_stream(stream2, root, ckpt, rules)
+    q2.awaitTermination(120)
+
+    import os
+
+    accepted = spark.read.parquet(os.path.join(root, "accepted", "*"))
+    assert sorted(r["id"] for r in accepted.collect()) == [1, 2]
+    quarantined = spark.read.parquet(
+        os.path.join(root, "quarantine", "batch=1")
+    )
+    assert sorted(r["id"] for r in quarantined.collect()) == [3, 4]
+    report = spark.read.parquet(
+        os.path.join(root, "quarantine", "batch=1_report")
+    ).collect()
+    assert report[0]["rule"] == "price_positive" and report[0]["passed"] == 0
