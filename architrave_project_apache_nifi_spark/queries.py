@@ -3683,6 +3683,49 @@ def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_trailing_24h_spend",
+    """
+SELECT event_id, user_id, ts,
+       round(sum(value) OVER (
+         PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+         RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW), 2)
+         AS spend_24h,
+       CAST(count(*) OVER (
+         PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+         RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_24h
+FROM events
+WHERE event_type = 'purchase'
+""",
+)
+def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-RANGE window frame (vs the row frames elsewhere): each
+    purchase's trailing-24-hour spend and event count per user — a
+    value-based ``rangeBetween`` over epoch seconds, the sliding
+    aggregation that needs NO self-join and no explicit window table.
+    One shuffle on user_id; the frame bound is evaluated during the
+    single sorted pass. (Epoch-seconds ordering makes Spark and DuckDB
+    agree exactly on the RANGE frame arithmetic; sub-second ties are
+    summed identically because ties share a frame.)"""
+    events = load(spark, "events", sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    sec = F.col("ts").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-86400, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum("value").over(w), 2).alias("spend_24h"),
+        F.count(F.lit(1)).over(w).alias("n_24h"),
+    )
+
+
+@register(
     "constraint_report",
     """
 SELECT 'totalprice_positive' AS rule, count(*) AS n_rows,
@@ -3880,6 +3923,7 @@ _OVERFLOW = [
     "quality_adaptive_floor",
     "mixture_upsample",
     "training_order",
+    "window_trailing_24h_spend",
     "constraint_report",
     "funnel_view_click_purchase",
     "timeseries_gapfill",
