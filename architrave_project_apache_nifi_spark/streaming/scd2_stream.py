@@ -53,8 +53,14 @@ def _merge_batch(
     handle_deletes: bool = False,
     compact_every: int | None = None,
     retain_snapshots: int = 1,
+    flatten_fn=None,
 ) -> None:
     """Merge one micro-batch into the incremental history store.
+
+    ``flatten_fn(batch, keep)`` overrides the envelope→columns pivot
+    (default: the products_catalog flatten, ``cdc.flatten_events``) —
+    the hook the multi-table demux (multi_table.py) uses to give each
+    routed table its own column set and types.
 
     Closed SCD2 rows are immutable, so the merge runs against the
     current-rows snapshot only (``scd2_apply`` never modifies
@@ -84,8 +90,9 @@ def _merge_batch(
     wanted = ("insert", "update", "delete") if handle_deletes else (
         "insert", "update"
     )
+    flatten = flatten_fn if flatten_fn is not None else cdc.flatten_events
     changes = (
-        cdc.flatten_events(
+        flatten(
             batch.filter(F.col("type").isin(*wanted)),
             keep=("type", "timestamp", "cdc_sequence_id"),
         )
