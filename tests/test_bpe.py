@@ -1,0 +1,108 @@
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from architrave_project_apache_nifi_spark.operators.bpe import (
+    END,
+    bpe_encode,
+    bpe_token_count,
+    bpe_train,
+    word_freqs,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _corpus(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+@pytest.fixture(scope="module")
+def toy(spark):
+    # the classic BPE walkthrough vocabulary (Sennrich et al. 2016):
+    # low×5, lower×2, newest×6, widest×3
+    texts = (
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    return _corpus(spark, [" ".join(texts)])
+
+
+def test_word_freqs_matches_counter(spark):
+    texts = ["the cat sat", "the cat", "sat sat SAT"]
+    df = _corpus(spark, texts)
+    got = {r["word"]: r["freq"] for r in word_freqs(df, "text").collect()}
+    want = Counter(w for t in texts for w in t.lower().split())
+    assert got == dict(want)
+
+
+def test_train_reproduces_classic_merges(spark, toy):
+    wf = word_freqs(toy, "text")
+    merges = bpe_train(wf, n_merges=5)
+    # e+s appears 9× (newest 6 + widest 3) — the classic first merge,
+    # then es+t (9), then est+</w> (9)
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t")
+    assert merges[2] == ("est", END)
+
+
+def test_train_is_deterministic(spark, toy):
+    wf = word_freqs(toy, "text")
+    assert bpe_train(wf, n_merges=8) == bpe_train(wf, n_merges=8)
+
+
+def test_encode_applies_merges(spark, toy):
+    wf = word_freqs(toy, "text")
+    merges = bpe_train(wf, n_merges=3)
+    df = _corpus(spark, ["newest"])
+    out = bpe_encode(df, "text", merges).collect()[0]["bpe_tokens"]
+    assert out == ["n", "e", "w", f"est{END}"]
+
+
+def test_encode_round_trips_text(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(30)
+    wf = word_freqs(docs, "text")
+    merges = bpe_train(wf, n_merges=50)
+    enc = bpe_encode(docs, "text", merges)
+    # concatenating subwords and restoring word boundaries at </w>
+    # must reproduce the lowercased token stream exactly
+    check = enc.select(
+        F.col("text"),
+        F.array_join(F.col("bpe_tokens"), "").alias("glued"),
+    ).collect()
+    for r in check:
+        want = "".join(w + END for w in r["text"].lower().split())
+        assert r["glued"] == want
+
+
+def test_more_merges_never_increase_count(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(30)
+    wf = word_freqs(docs, "text")
+    m10 = bpe_train(wf, n_merges=10)
+    m50 = bpe_train(wf, n_merges=50)
+    c10 = bpe_token_count(docs, "text", m10).agg(F.sum("n_bpe_tokens")).collect()[0][0]
+    c50 = bpe_token_count(docs, "text", m50).agg(F.sum("n_bpe_tokens")).collect()[0][0]
+    c0 = bpe_token_count(docs, "text", []).agg(F.sum("n_bpe_tokens")).collect()[0][0]
+    assert c50 <= c10 <= c0
+    # zero merges = chars + one end marker per word
+    want0 = docs.select(
+        F.aggregate(
+            F.split(F.lower(F.trim("text")), r"\s+"),
+            F.lit(0),
+            lambda acc, w: acc + F.length(w) + 1,
+        ).alias("n")
+    ).agg(F.sum("n")).collect()[0][0]
+    assert c0 == want0
+
+
+def test_merge_prefix_stability(spark, toy):
+    """BPE merges are greedy: the first k merges do not depend on
+    n_merges — training longer only appends."""
+    wf = word_freqs(toy, "text")
+    short = bpe_train(wf, n_merges=3)
+    long = bpe_train(wf, n_merges=8)
+    assert long[:3] == short
