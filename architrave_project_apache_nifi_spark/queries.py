@@ -4038,6 +4038,114 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "incremental_agg_merge",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(value) AS BIGINT) AS value_count,
+       round(sum(value), 6) AS value_sum_r,
+       round(min(value), 6) AS value_min_r,
+       round(max(value), 6) AS value_max_r,
+       round(sum(value) / count(value), 6) AS value_avg_r
+FROM events GROUP BY event_type
+""",
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance
+    (operators/incremental_agg.py): the fact stream is split into an
+    'historical' 3/4 and a 'delta' 1/4 (event_id mod 4); the stored
+    state is refreshed by aggregating ONLY the delta and folding it
+    in — O(delta + groups), never a history rescan. The oracle is the
+    full recompute over all events: equality proves
+    state(A ∪ B) == merge(state(A), state(B))."""
+    from .operators.incremental_agg import (
+        agg_state,
+        finalize,
+        incremental_refresh,
+    )
+
+    events = load(spark, "events", sf_dir)
+    hist = events.filter(F.col("event_id") % 4 != 0)
+    delta = events.filter(F.col("event_id") % 4 == 0)
+    state = agg_state(hist, ["event_type"], ["value"])
+    refreshed = finalize(
+        incremental_refresh(state, delta, ["event_type"], ["value"]), ["value"]
+    )
+    return refreshed.select(
+        "event_type",
+        F.col("n_rows").cast("long"),
+        F.col("value_count").cast("long").alias("value_count"),
+        F.round("value_sum", 6).alias("value_sum_r"),
+        F.round("value_min", 6).alias("value_min_r"),
+        F.round("value_max", 6).alias("value_max_r"),
+        F.round("value_avg", 6).alias("value_avg_r"),
+    )
+
+
+_Z_BITS = 8
+_Z_TOP = (1 << _Z_BITS) - 1
+_Z_TERMS = " | ".join(
+    f"(((qa >> {i}) & 1) << {2 * i}) | (((qb >> {i}) & 1) << {2 * i + 1})"
+    for i in range(_Z_BITS)
+)
+
+
+@register(
+    "zorder_code",
+    f"""
+WITH b AS (
+  SELECT CAST(min(user_id) AS DOUBLE) AS alo, CAST(max(user_id) AS DOUBLE) AS ahi,
+         min(value) AS blo, max(value) AS bhi
+  FROM events
+), q AS (
+  SELECT event_id,
+    CAST(least(greatest(CASE WHEN ahi = alo THEN 0
+      ELSE floor((CAST(user_id AS DOUBLE) - alo) / (ahi - alo) * {_Z_TOP}.0) END,
+      0), {_Z_TOP}) AS BIGINT) AS qa,
+    CAST(least(greatest(CASE WHEN bhi = blo THEN 0
+      ELSE floor((value - blo) / (bhi - blo) * {_Z_TOP}.0) END,
+      0), {_Z_TOP}) AS BIGINT) AS qb
+  FROM events, b
+)
+SELECT event_id, qa, qb, ({_Z_TERMS}) AS zcode
+FROM q
+""",
+)
+def q_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) code over (user_id, value)
+    (operators/zorder.py): min/max quantization to 8 bits per
+    dimension + static bit interleave — the multi-dimensional
+    data-skipping layout key (`write_zorder` range-partitions on it;
+    per-file bounding-box shrinkage is asserted physically in
+    test_zorder.py). One 1-row bounds agg broadcast; everything else
+    map-only codegen. The oracle replays the identical quantization
+    and interleave arithmetic."""
+    from .operators.zorder import quantize_minmax, morton_interleave
+
+    events = load(spark, "events", sf_dir)
+    bounds = events.agg(
+        F.min("user_id").cast("double").alias("__alo"),
+        F.max("user_id").cast("double").alias("__ahi"),
+        F.min("value").alias("__blo"),
+        F.max("value").alias("__bhi"),
+    )
+    joined = events.crossJoin(F.broadcast(bounds))
+    qa = quantize_minmax(
+        F.col("user_id"), F.col("__alo"), F.col("__ahi"), _Z_BITS
+    ).alias("qa")
+    qb = quantize_minmax(
+        F.col("value"), F.col("__blo"), F.col("__bhi"), _Z_BITS
+    ).alias("qb")
+    out = joined.select("event_id", qa, qb)
+    return out.select(
+        "event_id",
+        "qa",
+        "qb",
+        morton_interleave(F.col("qa"), F.col("qb"), _Z_BITS).alias("zcode"),
+    )
+
+
 @register("bpe_tokenize", None)
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer train + encode (operators/bpe.py, arXiv:1508.07909):
@@ -4132,6 +4240,8 @@ _OVERFLOW = [
     "semdedup_prune",
     "bloom_pruned_join",
     "embedding_quantize_int8",  # map-only transform; codes exact ints both sides
+    "incremental_agg_merge",  # split+merge == full recompute; agg twins in-window
+    "zorder_code",  # closed-form layout key; physical skipping asserted in pytest
 ]
 
 

@@ -1,0 +1,97 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from architrave_project_apache_nifi_spark.operators.incremental_agg import (
+    agg_state,
+    finalize,
+    incremental_refresh,
+    merge_states,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+
+def _canon(df):
+    return sorted(
+        tuple(round(v, 9) if isinstance(v, float) else v for v in r)
+        for r in df.collect()
+    )
+
+
+def test_split_merge_equals_full(spark, events):
+    """state(A ∪ B) == merge(state(A), state(B)) — the associativity
+    invariant, over an arbitrary 3-way split."""
+    parts = [events.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    full = agg_state(events, ["event_type"], ["value"])
+    merged = merge_states(
+        merge_states(
+            agg_state(parts[0], ["event_type"], ["value"]),
+            agg_state(parts[1], ["event_type"], ["value"]),
+            ["event_type"],
+            ["value"],
+        ),
+        agg_state(parts[2], ["event_type"], ["value"]),
+        ["event_type"],
+        ["value"],
+    )
+    assert _canon(full.select(sorted(full.columns))) == _canon(
+        merged.select(sorted(merged.columns))
+    )
+
+
+def test_groups_on_one_side_only_pass_through(spark):
+    a = spark.createDataFrame([("x", 1.0)], "k string, v double")
+    b = spark.createDataFrame([("y", 2.0), ("y", 4.0)], "k string, v double")
+    m = merge_states(
+        agg_state(a, ["k"], ["v"]), agg_state(b, ["k"], ["v"]), ["k"], ["v"]
+    )
+    rows = {r["k"]: r for r in m.collect()}
+    assert rows["x"]["v_sum"] == 1.0 and rows["x"]["n_rows"] == 1
+    assert rows["y"]["v_sum"] == 6.0 and rows["y"]["n_rows"] == 2
+
+
+def test_nulls_follow_sql_semantics(spark):
+    df = spark.createDataFrame(
+        [("g", None), ("g", 3.0), ("g", None)], "k string, v double"
+    )
+    st = finalize(agg_state(df, ["k"], ["v"]), ["v"]).collect()[0]
+    assert st["n_rows"] == 3 and st["v_count"] == 1
+    assert st["v_sum"] == 3.0 and st["v_avg"] == 3.0
+    all_null = spark.createDataFrame([("g", None)], "k string, v double")
+    st2 = finalize(agg_state(all_null, ["k"], ["v"]), ["v"]).collect()[0]
+    assert st2["v_count"] == 0 and st2["v_avg"] is None and st2["v_sum"] is None
+
+
+def test_refresh_bootstrap_then_fold(spark, events):
+    old = events.filter(F.col("event_id") % 2 == 0)
+    new = events.filter(F.col("event_id") % 2 == 1)
+    s0 = incremental_refresh(None, old, ["event_type"], ["value"])
+    s1 = incremental_refresh(s0, new, ["event_type"], ["value"])
+    full = agg_state(events, ["event_type"], ["value"])
+    assert _canon(s1.select(sorted(s1.columns))) == _canon(
+        full.select(sorted(full.columns))
+    )
+
+
+def test_merge_shuffles_state_rows_not_facts(spark, events):
+    """The merge plan's exchanges hash-partition the state tables (by
+    the group key), and the fact scan feeds only the delta's own
+    partial agg — no second scan of history facts."""
+    old_state = agg_state(
+        events.filter(F.col("event_id") % 2 == 0), ["event_type"], ["value"]
+    )
+    delta = events.filter(F.col("event_id") % 2 == 1)
+    plan = (
+        incremental_refresh(old_state, delta, ["event_type"], ["value"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # partial agg before every exchange: HashAggregate appears both
+    # below (partial) and above (final) the exchanges
+    assert plan.count("HashAggregate") >= 4
