@@ -119,6 +119,8 @@ def semdedup_prune(
     k: int = 8,
     threshold: float = 0.95,
     centroids: DataFrame | None = None,
+    max_cluster_rows: int | None = None,
+    sub_bucket_planes: int = 4,
 ) -> DataFrame:
     """SemDeDup: assign clusters (seeded deterministic centroids unless
     a trained table is passed), find within-cluster cosine-similar
@@ -130,14 +132,50 @@ def semdedup_prune(
     Output: the surviving rows (id, cluster) — join back to the corpus
     for payloads. Shuffles: one k-row sort (seeding), one hash agg
     (assignment), one cluster-keyed exchange (gram tasks), one
-    broadcast-able anti join over the dropped-id set."""
+    broadcast-able anti join over the dropped-id set.
+
+    **Sizing k is the scale lever**: each cluster is ONE O(c²·dim)
+    gram task, so pick k ≈ corpus / target_cluster_size (the SemDeDup
+    paper uses tens of thousands of clusters at web scale).
+    ``max_cluster_rows`` is the skew guard for when the data defeats
+    that sizing: clusters above the cap are split by a deterministic
+    LSH sub-bucket (``sub_bucket_planes`` hyperplanes → ≤ 2^planes
+    splits), which bounds every task at the cost of missing pairs
+    that straddle sub-buckets of the SAME oversized cluster — an
+    explicit, documented recall tradeoff (near-identical vectors
+    land in the same sub-bucket with high probability). Leave it None
+    for exact within-cluster semantics (the oracle-checked mode)."""
     cents = centroids if centroids is not None else seed_centroids(
         df, id_col, vec_col, k
     )
     assigned = assign_clusters(df, cents, id_col, vec_col)
-    pairs = embedding_neardup_pairs(
-        assigned, id_col, vec_col, threshold, block_col="cluster"
-    )
+    if max_cluster_rows is not None:
+        from .similarity import lsh_bucket
+
+        sizes = assigned.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("__csize")
+        )
+        sub = lsh_bucket(
+            assigned, vec_col, n_planes=sub_bucket_planes, out_col="__sub"
+        )
+        assigned_blocked = (
+            sub.join(F.broadcast(sizes), "cluster")
+            .withColumn(
+                "__blk",
+                F.when(
+                    F.col("__csize") > max_cluster_rows,
+                    F.concat_ws(":", F.col("cluster"), F.col("__sub")),
+                ).otherwise(F.concat_ws(":", F.col("cluster"), F.lit("*"))),
+            )
+            .drop("__csize", "__sub")
+        )
+        pairs = embedding_neardup_pairs(
+            assigned_blocked, id_col, vec_col, threshold, block_col="__blk"
+        )
+    else:
+        pairs = embedding_neardup_pairs(
+            assigned, id_col, vec_col, threshold, block_col="cluster"
+        )
     dropped = pairs.select(F.col("id_b").alias("__drop")).distinct()
     return assigned.select(F.col(id_col), F.col("cluster")).join(
         F.broadcast(dropped),

@@ -110,3 +110,29 @@ def test_assignment_plan_broadcasts_centroids(spark, emb):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_skew_guard_bounds_blocks_and_stays_valid(spark, emb):
+    """With a tiny cluster cap, oversized clusters split into LSH
+    sub-buckets: every output row is still a valid input row, exact
+    duplicates still drop (same sub-bucket by construction), and the
+    kept set can only GROW vs exact mode (sub-bucketing sees fewer
+    pairs)."""
+    exact = semdedup_prune(emb, "vec_id", "embedding", k=4, threshold=0.35)
+    guarded = semdedup_prune(
+        emb, "vec_id", "embedding", k=4, threshold=0.35, max_cluster_rows=50
+    )
+    n_exact, n_guarded = exact.count(), guarded.count()
+    assert n_guarded >= n_exact
+    assert guarded.join(
+        emb.select("vec_id"), "vec_id", "left_anti"
+    ).count() == 0
+    # identical vectors share every LSH sub-bucket → still deduped
+    dup = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(10_000_001).alias("vec_id"), "embedding", "label"
+    )
+    kept = semdedup_prune(
+        emb.unionByName(dup), "vec_id", "embedding",
+        k=4, threshold=0.999, max_cluster_rows=10,
+    )
+    assert kept.filter(F.col("vec_id") == 10_000_001).count() == 0
