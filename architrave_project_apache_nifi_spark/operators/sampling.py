@@ -247,3 +247,35 @@ def shuffle_rank(
         .withColumn("rank", (F.col("__offset") + F.col("__local") - 1))
         .drop("__h", "__shard", "__local", "__offset")
     )
+
+
+def weighted_priority_key(id_col, weight_col) -> F.Column:
+    """Sequential-Poisson sampling key (Ohlsson 1998, public method):
+    ``u / w`` with ``u = (lcg(id) + 1) / 2^31`` uniform in (0, 1].
+    Taking the n SMALLEST keys draws an (approximately
+    probability-proportional-to-size) weighted sample — deterministic,
+    replayable, and IEEE-exact: only division is involved (no ln/pow,
+    whose last-ulp rounding differs across engines), so the DuckDB
+    oracle reproduces the identical ranking bit-for-bit."""
+    w = (F.col(weight_col) if isinstance(weight_col, str) else weight_col).cast(
+        "double"
+    )
+    u = (sample_hash(id_col) + 1).cast("double") / F.lit(float(_LCG_RANGE))
+    return u / w
+
+
+def weighted_sample(
+    df: DataFrame, id_col: str, weight_col: str, n: int
+) -> DataFrame:
+    """Deterministic weighted sample of ``n`` rows (sequential Poisson
+    / PPS-approximate): rows with weight w are drawn with probability
+    ≈ proportional to w. Zero/negative weights never selected (key =
+    +inf is filtered). ``orderBy().limit(n)`` plans as
+    TakeOrderedAndProject — per-partition top-n, no global sort; the
+    corpus never shuffles."""
+    keyed = df.withColumn(
+        "__wkey", weighted_priority_key(id_col, weight_col)
+    ).filter(F.col(weight_col) > 0)
+    return (
+        keyed.orderBy(F.col("__wkey"), F.col(id_col)).limit(n).drop("__wkey")
+    )

@@ -4146,6 +4146,71 @@ def q_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "fuzzy_join_part_names",
+    """
+WITH p AS (SELECT p_partkey AS id, p_name AS name FROM part),
+cand AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.name AS na, b.name AS nb
+  FROM (SELECT id, name, substr(name, 1, 3) AS k FROM p) a
+  JOIN (SELECT id, name, substr(name, 1, 3) AS k FROM p) b
+    ON a.k = b.k AND a.id < b.id
+  UNION
+  SELECT a.id, b.id, a.name, b.name
+  FROM (SELECT id, name, substr(name, -3, 3) AS k FROM p) a
+  JOIN (SELECT id, name, substr(name, -3, 3) AS k FROM p) b
+    ON a.k = b.k AND a.id < b.id
+)
+SELECT id_a, id_b, CAST(levenshtein(na, nb) AS INT) AS dist
+FROM cand
+WHERE levenshtein(na, nb) <= 2
+""",
+)
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join (record linkage,
+    operators/fuzzyjoin.py): part names within 2 edits, candidates
+    from 3-prefix ∪ 3-suffix blocking (two hash joins on short keys —
+    never a cartesian), verified by JVM ``levenshtein``. The oracle
+    replays the identical blocking + verification; blocking recall vs
+    brute force is measured in test_fuzzyjoin.py."""
+    from .operators.fuzzyjoin import fuzzy_self_join
+
+    parts = load(spark, "part", sf_dir).select(
+        F.col("p_partkey").alias("id"), F.col("p_name").alias("name")
+    )
+    out = fuzzy_self_join(parts, "id", "name", max_dist=2)
+    return out.select("id_a", "id_b", "dist")
+
+
+@register(
+    "weighted_sample_events",
+    """
+WITH k AS (
+  SELECT event_id, event_type, value,
+         (CAST((event_id % 2147483647) * 1103515245 + 12345 AS BIGINT)
+            % 2147483648 + 1) / 2147483648.0 / value AS wkey
+  FROM events WHERE value > 0
+)
+SELECT event_id, event_type, round(value, 6) AS value_r
+FROM k ORDER BY wkey, event_id LIMIT 500
+""",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (sequential Poisson / PPS —
+    Ohlsson 1998; operators/sampling.py::weighted_sample): priority
+    key u/w from the engine's LCG hash, n smallest win. IEEE-exact
+    arithmetic only (no ln/pow), so the oracle reproduces the ranking
+    bit-for-bit; orderBy+limit plans as distributed TakeOrdered — the
+    corpus never shuffles."""
+    from .operators.sampling import weighted_sample
+
+    events = load(spark, "events", sf_dir)
+    out = weighted_sample(events, "event_id", "value", 500)
+    return out.select(
+        "event_id", "event_type", F.round("value", 6).alias("value_r")
+    )
+
+
 @register("bpe_tokenize", None)
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer train + encode (operators/bpe.py, arXiv:1508.07909):
@@ -4242,6 +4307,8 @@ _OVERFLOW = [
     "embedding_quantize_int8",  # map-only transform; codes exact ints both sides
     "incremental_agg_merge",  # split+merge == full recompute; agg twins in-window
     "zorder_code",  # closed-form layout key; physical skipping asserted in pytest
+    "fuzzy_join_part_names",  # blocked candidates + exact verify ≈ LSH-verify twins
+    "weighted_sample_events",  # LCG priority key ≈ stratified_sample arithmetic
 ]
 
 

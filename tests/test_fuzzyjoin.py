@@ -1,0 +1,107 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from architrave_project_apache_nifi_spark.operators.fuzzyjoin import (
+    block_length_band,
+    block_prefix,
+    block_suffix,
+    fuzzy_join,
+    fuzzy_self_join,
+)
+from architrave_project_apache_nifi_spark.operators.sampling import (
+    weighted_sample,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _names(spark, rows):
+    return spark.createDataFrame(rows, "id long, name string")
+
+
+def test_self_join_finds_typo_pairs(spark):
+    df = _names(
+        spark,
+        [
+            (1, "john smith"),
+            (2, "jon smith"),  # dist 1, shares suffix
+            (3, "john smyth"),  # dist 1 vs 1, shares prefix
+            (4, "completely different"),
+        ],
+    )
+    out = fuzzy_self_join(df, "id", "name", max_dist=2)
+    pairs = {(r["id_a"], r["id_b"]): r["dist"] for r in out.collect()}
+    assert pairs[(1, 2)] == 1
+    assert pairs[(1, 3)] == 1
+    assert all(4 not in p for p in pairs)
+
+
+def test_self_join_no_duplicate_pairs_across_blocks(spark):
+    # identical strings share BOTH prefix and suffix blocks — the pair
+    # must still appear exactly once
+    df = _names(spark, [(1, "same name"), (2, "same name")])
+    out = fuzzy_self_join(df, "id", "name", max_dist=0)
+    assert out.count() == 1
+
+
+def test_recall_vs_bruteforce_on_parts(spark):
+    parts = (
+        spark.read.parquet(f"{SF_DIR}/part.parquet")
+        .select(F.col("p_partkey").alias("id"), F.col("p_name").alias("name"))
+        .limit(300)
+    )
+    blocked = fuzzy_self_join(parts, "id", "name", max_dist=2)
+    a = parts.select(F.col("id").alias("ia"), F.col("name").alias("na"))
+    b = parts.select(F.col("id").alias("ib"), F.col("name").alias("nb"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("ia") < F.col("ib"))
+        .filter(F.levenshtein("na", "nb") <= 2)
+    )
+    got = {(r["id_a"], r["id_b"]) for r in blocked.collect()}
+    want = {(r["ia"], r["ib"]) for r in brute.collect()}
+    assert got <= want  # blocking never invents pairs
+    recall = len(got & want) / max(len(want), 1)
+    assert recall >= 0.8, f"recall {recall}"
+
+
+def test_two_table_join_and_column_guard(spark):
+    left = spark.createDataFrame([(1, "acme corp")], "lid long, lname string")
+    right = spark.createDataFrame([(9, "acme korp")], "rid long, rname string")
+    out = fuzzy_join(left, right, "lname", "rname", max_dist=1)
+    assert out.count() == 1 and out.collect()[0]["dist"] == 1
+    with pytest.raises(ValueError):
+        fuzzy_join(left, left, "lname", "lname")
+
+
+def test_length_band_blocker(spark):
+    df = _names(spark, [(1, "ab"), (2, "abc"), (3, "abcdefghij")])
+    out = fuzzy_self_join(
+        df, "id", "name", max_dist=2, blockers=[lambda c: block_length_band(c, 4)]
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+def test_weighted_sample_deterministic_and_biased(spark):
+    rows = [(i, "heavy" if i % 2 == 0 else "light", 10.0 if i % 2 == 0 else 1.0)
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, grp string, w double")
+    s1 = weighted_sample(df, "id", "w", 200)
+    s2 = weighted_sample(df, "id", "w", 200)
+    assert sorted(r["id"] for r in s1.collect()) == sorted(
+        r["id"] for r in s2.collect()
+    )
+    counts = {r["grp"]: r["count"] for r in s1.groupBy("grp").count().collect()}
+    # 10:1 weights → heavy rows dominate the sample decisively
+    assert counts.get("heavy", 0) > 3 * counts.get("light", 1)
+
+
+def test_weighted_sample_excludes_nonpositive(spark):
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -1.0), (3, 5.0)], "id long, w double"
+    )
+    ids = {r["id"] for r in weighted_sample(df, "id", "w", 10).collect()}
+    assert ids == {3}
