@@ -23,6 +23,7 @@ REPO = os.path.join(os.path.dirname(__file__), "..")
         ("examples/clean_corpus.py", "sampled"),
         ("examples/similarity_search.py", "IVF probe"),
         ("examples/assemble_dataset.py", "packed sequences:"),
+        ("examples/tokenizer_dataset.py", "sampled windows:"),
     ],
 )
 def test_example_runs(script, expect):
