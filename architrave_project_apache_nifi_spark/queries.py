@@ -4211,6 +4211,84 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "snapshot_diff_cdc",
+    """
+WITH latest_all AS (
+  SELECT user_id, etype, value FROM (
+    SELECT user_id, event_type AS etype, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE user_id % 11 != 0) WHERE rn = 1
+), latest_old AS (
+  SELECT user_id, etype, value FROM (
+    SELECT user_id, event_type AS etype, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE event_id % 4 != 0 AND user_id % 13 != 0) WHERE rn = 1
+), j AS (
+  SELECT o.user_id AS ouid, o.etype AS oet, o.value AS ov,
+         n.user_id AS nuid, n.etype AS net, n.value AS nv
+  FROM latest_old o FULL OUTER JOIN latest_all n ON o.user_id = n.user_id
+), d AS (
+  SELECT *,
+    CASE WHEN ouid IS NULL THEN 'insert'
+         WHEN nuid IS NULL THEN 'delete'
+         WHEN NOT (oet IS NOT DISTINCT FROM net) OR NOT (ov IS NOT DISTINCT FROM nv) THEN 'update'
+    END AS diff_type,
+    array_to_string(list_sort(list_filter([
+      CASE WHEN NOT (oet IS NOT DISTINCT FROM net) THEN 'etype' END,
+      CASE WHEN NOT (ov IS NOT DISTINCT FROM nv) THEN 'value' END
+    ], x -> x IS NOT NULL)), ',') AS ch
+  FROM j
+)
+SELECT coalesce(nuid, ouid) AS user_id,
+       CASE WHEN diff_type = 'delete' THEN oet ELSE net END AS etype,
+       round(CASE WHEN diff_type = 'delete' THEN ov ELSE nv END, 6) AS value_r,
+       diff_type,
+       CASE WHEN diff_type = 'update' THEN ch ELSE '' END AS changed_cols
+FROM d WHERE diff_type IS NOT NULL
+""",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff → CDC changeset (operators/snapshot_diff.py):
+    two per-user latest-state snapshots (carved deterministically so
+    inserts, updates, AND deletes all occur), full-outer joined on the
+    key with NULL-safe whole-row compare; output speaks the engine's
+    CDC dialect and feeds scd2_build directly (tested round trip in
+    test_snapshot_diff.py). One key shuffle per side — zero with a
+    co-bucketed layout."""
+    from .operators.snapshot_diff import snapshot_diff
+
+    events = load(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def latest(src):
+        return (
+            src.select(
+                "user_id",
+                F.col("event_type").alias("etype"),
+                "value",
+                F.row_number().over(w).alias("__rn"),
+            )
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    old = latest(
+        events.filter((F.col("event_id") % 4 != 0) & (F.col("user_id") % 13 != 0))
+    )
+    new = latest(events.filter(F.col("user_id") % 11 != 0))
+    diff = snapshot_diff(old, new, "user_id", value_cols=["etype", "value"])
+    return diff.select(
+        "user_id",
+        "etype",
+        F.round("value", 6).alias("value_r"),
+        F.col("event_type").alias("diff_type"),
+        "changed_cols",
+    )
+
+
 @register("bpe_tokenize", None)
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer train + encode (operators/bpe.py, arXiv:1508.07909):
@@ -4309,6 +4387,7 @@ _OVERFLOW = [
     "zorder_code",  # closed-form layout key; physical skipping asserted in pytest
     "fuzzy_join_part_names",  # blocked candidates + exact verify ≈ LSH-verify twins
     "weighted_sample_events",  # LCG priority key ≈ stratified_sample arithmetic
+    "snapshot_diff_cdc",  # outer-join diff ≈ q13 outer-join + scd2 merge twins
 ]
 
 
