@@ -1,0 +1,140 @@
+"""Distribution-drift detection between two dataset versions —
+the monitoring counterpart of `quality.py`'s one-shot constraint
+checks. A training pipeline re-ingesting a source weekly needs to
+know when the NEW batch stopped looking like the OLD one before the
+model does.
+
+Population Stability Index (PSI — the standard model-monitoring drift
+score, public credit-scoring literature):
+
+    PSI = Σ_bins (p_new − p_old) · ln(p_new / p_old)
+
+with the bin grid FROZEN on the reference (old) dataset — fixed-width
+over the reference min/max for numeric columns, category identity for
+categorical ones. Conventional reading: <0.1 stable, 0.1-0.25 drifting,
+>0.25 shifted.
+
+Scale notes: one pass over each side — binning is a map-side closed-
+form expression (no quantile job), counts partial-aggregate, and the
+two ≤(bins+2)-row count tables join broadcast. Empty bins get a
+configurable epsilon so the logarithm is defined (standard practice);
+out-of-range new values land in dedicated underflow/overflow bins —
+drift BEYOND the reference range is exactly what must not be silently
+clipped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EPS = 1e-6
+
+
+def _numeric_bin(x: Column, lo: Column, hi: Column, bins: int) -> Column:
+    """Bin index in [0, bins-1] over [lo, hi]; -1 = underflow,
+    ``bins`` = overflow; NULLs → bin -2 (their own category — a NULL
+    rate change is drift too)."""
+    span = hi - lo
+    raw = F.floor((x - lo) / span * bins)
+    idx = (
+        F.when(x.isNull(), F.lit(-2))
+        .when(x < lo, F.lit(-1))
+        .when(x > hi, F.lit(bins))
+        .otherwise(F.least(raw.cast("long"), F.lit(bins - 1)))
+    )
+    return idx
+
+
+def _shares(df: DataFrame, bin_col: Column, alias: str) -> DataFrame:
+    counts = df.groupBy(bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    total = counts.agg(F.sum("__n").alias("__t"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "bin", (F.col("__n") / F.col("__t")).alias(alias)
+    )
+
+
+def psi_numeric(
+    old: DataFrame, new: DataFrame, col: str, bins: int = 10
+) -> DataFrame:
+    """Per-bin PSI contributions for a numeric column; grid frozen on
+    ``old``'s min/max. Returns (bin, p_old, p_new, psi) — sum ``psi``
+    for the headline score (``psi_report`` does)."""
+    b = old.agg(
+        F.min(col).cast("double").alias("__lo"),
+        F.max(col).cast("double").alias("__hi"),
+    )
+    o = old.crossJoin(F.broadcast(b))
+    n = new.crossJoin(F.broadcast(b))
+    ob = _shares(
+        o, _numeric_bin(F.col(col).cast("double"), F.col("__lo"), F.col("__hi"), bins),
+        "p_old",
+    )
+    nb = _shares(
+        n, _numeric_bin(F.col(col).cast("double"), F.col("__lo"), F.col("__hi"), bins),
+        "p_new",
+    )
+    joined = ob.join(nb, "bin", "full_outer").select(
+        "bin",
+        F.coalesce("p_old", F.lit(0.0)).alias("p_old"),
+        F.coalesce("p_new", F.lit(0.0)).alias("p_new"),
+    )
+    po = F.greatest(F.col("p_old"), F.lit(EPS))
+    pn = F.greatest(F.col("p_new"), F.lit(EPS))
+    return joined.withColumn("psi", (pn - po) * F.log(pn / po))
+
+
+def psi_categorical(old: DataFrame, new: DataFrame, col: str) -> DataFrame:
+    """Per-category PSI contributions; categories absent on one side
+    get share 0 (→ epsilon). NULL is its own category."""
+    key = F.coalesce(F.col(col).cast("string"), F.lit("__null__"))
+    ob = _shares(old, key, "p_old").withColumnRenamed("bin", "category")
+    nb = _shares(new, key, "p_new").withColumnRenamed("bin", "category")
+    joined = ob.join(nb, "category", "full_outer").select(
+        "category",
+        F.coalesce("p_old", F.lit(0.0)).alias("p_old"),
+        F.coalesce("p_new", F.lit(0.0)).alias("p_new"),
+    )
+    po = F.greatest(F.col("p_old"), F.lit(EPS))
+    pn = F.greatest(F.col("p_new"), F.lit(EPS))
+    return joined.withColumn("psi", (pn - po) * F.log(pn / po))
+
+
+def psi_report(
+    old: DataFrame,
+    new: DataFrame,
+    numeric_cols: list[str] | None = None,
+    categorical_cols: list[str] | None = None,
+    bins: int = 10,
+) -> DataFrame:
+    """One row per monitored column: (column, psi, verdict). Verdict
+    thresholds follow the conventional 0.1 / 0.25 bands. Each column
+    costs two scans' worth of counts; all columns could share one pass
+    via a single multi-column agg — split per column here for clarity,
+    and because monitoring runs off sampled sides anyway."""
+    parts = []
+    for c in numeric_cols or []:
+        parts.append(
+            psi_numeric(old, new, c, bins).agg(
+                F.lit(c).alias("column"), F.sum("psi").alias("psi")
+            )
+        )
+    for c in categorical_cols or []:
+        parts.append(
+            psi_categorical(old, new, c).agg(
+                F.lit(c).alias("column"), F.sum("psi").alias("psi")
+            )
+        )
+    if not parts:
+        raise ValueError("psi_report: no columns given")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn(
+        "verdict",
+        F.when(F.col("psi") < 0.1, F.lit("stable"))
+        .when(F.col("psi") < 0.25, F.lit("drifting"))
+        .otherwise(F.lit("shifted")),
+    )

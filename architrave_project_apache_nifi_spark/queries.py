@@ -4289,6 +4289,56 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "drift_psi_value",
+    """
+WITH o AS (SELECT value FROM events WHERE event_id % 2 = 0),
+n AS (SELECT value FROM events WHERE event_id % 2 = 1),
+b AS (SELECT CAST(min(value) AS DOUBLE) AS lo, CAST(max(value) AS DOUBLE) AS hi FROM o),
+obins AS (
+  SELECT CASE WHEN value IS NULL THEN -2 WHEN value < lo THEN -1 WHEN value > hi THEN 10
+         ELSE least(CAST(floor((value - lo) / (hi - lo) * 10) AS BIGINT), 9) END AS bin
+  FROM o, b),
+nbins AS (
+  SELECT CASE WHEN value IS NULL THEN -2 WHEN value < lo THEN -1 WHEN value > hi THEN 10
+         ELSE least(CAST(floor((value - lo) / (hi - lo) * 10) AS BIGINT), 9) END AS bin
+  FROM n, b),
+ob AS (SELECT bin, CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM obins) AS p_old
+       FROM obins GROUP BY bin),
+nb AS (SELECT bin, CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM nbins) AS p_new
+       FROM nbins GROUP BY bin),
+j AS (
+  SELECT coalesce(ob.bin, nb.bin) AS bin,
+         coalesce(p_old, 0.0) AS p_old, coalesce(p_new, 0.0) AS p_new
+  FROM ob FULL OUTER JOIN nb ON ob.bin = nb.bin)
+SELECT bin, round(p_old, 6) AS p_old_r, round(p_new, 6) AS p_new_r,
+       round((greatest(p_new, 0.000001) - greatest(p_old, 0.000001))
+             * ln(greatest(p_new, 0.000001) / greatest(p_old, 0.000001)), 6) AS psi_r
+FROM j
+""",
+)
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift check (operators/drift.py):
+    even-id events are the frozen reference, odd-id events the new
+    batch; per-bin shares + PSI contributions with the grid frozen on
+    the reference min/max (underflow/overflow/null get their own
+    bins). One pass per side, counts partial-aggregate, ≤12-row
+    broadcast join. The oracle replays the identical binning and
+    epsilon-guarded log arithmetic."""
+    from .operators.drift import psi_numeric
+
+    events = load(spark, "events", sf_dir)
+    old = events.filter(F.col("event_id") % 2 == 0)
+    new = events.filter(F.col("event_id") % 2 == 1)
+    out = psi_numeric(old, new, "value", bins=10)
+    return out.select(
+        "bin",
+        F.round("p_old", 6).alias("p_old_r"),
+        F.round("p_new", 6).alias("p_new_r"),
+        F.round("psi", 6).alias("psi_r"),
+    )
+
+
 @register("bpe_tokenize", None)
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer train + encode (operators/bpe.py, arXiv:1508.07909):
@@ -4388,6 +4438,7 @@ _OVERFLOW = [
     "fuzzy_join_part_names",  # blocked candidates + exact verify ≈ LSH-verify twins
     "weighted_sample_events",  # LCG priority key ≈ stratified_sample arithmetic
     "snapshot_diff_cdc",  # outer-join diff ≈ q13 outer-join + scd2 merge twins
+    "drift_psi_value",  # bin+share arithmetic ≈ histogram/profile twins
 ]
 
 
