@@ -4149,7 +4149,7 @@ def q_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fuzzy_join_part_names",
     """
-WITH p AS (SELECT p_partkey AS id, p_name AS name FROM part),
+WITH p AS (SELECT min(p_partkey) AS id, p_name AS name FROM part GROUP BY p_name),
 cand AS (
   SELECT a.id AS id_a, b.id AS id_b, a.name AS na, b.name AS nb
   FROM (SELECT id, name, substr(name, 1, 3) AS k FROM p) a
@@ -4168,15 +4168,20 @@ WHERE levenshtein(na, nb) <= 2
 )
 def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy self-join (record linkage,
-    operators/fuzzyjoin.py): part names within 2 edits, candidates
-    from 3-prefix ∪ 3-suffix blocking (two hash joins on short keys —
-    never a cartesian), verified by JVM ``levenshtein``. The oracle
-    replays the identical blocking + verification; blocking recall vs
+    operators/fuzzyjoin.py): DISTINCT part names within 2 edits —
+    linkage runs over entities, not raw rows (the dedup-first step is
+    what keeps block sizes data-bounded: raw rows with a duplicated
+    name would square inside every block). Candidates from 3-prefix ∪
+    3-suffix blocking (two hash joins on short keys — never a
+    cartesian), verified by JVM ``levenshtein``. The oracle replays
+    the identical dedup + blocking + verification; blocking recall vs
     brute force is measured in test_fuzzyjoin.py."""
     from .operators.fuzzyjoin import fuzzy_self_join
 
-    parts = load(spark, "part", sf_dir).select(
-        F.col("p_partkey").alias("id"), F.col("p_name").alias("name")
+    parts = (
+        load(spark, "part", sf_dir)
+        .groupBy(F.col("p_name").alias("name"))
+        .agg(F.min("p_partkey").alias("id"))
     )
     out = fuzzy_self_join(parts, "id", "name", max_dist=2)
     return out.select("id_a", "id_b", "dist")
