@@ -261,3 +261,55 @@ def test_training_order_no_corpus_single_partition_window(spark):
     ]
     assert len(corpus_single) <= 1, plan
     assert "hashpartitioning(__shard" in plan, plan
+
+
+# --- round-3 session-3 extension entries -----------------------------------
+
+
+def test_doc_chunking_is_shuffle_free(spark):
+    df = REGISTRY["doc_chunking"].fn(spark, SF_DIR)
+    pi.assert_no_shuffle(df)
+    pi.assert_pruned_columns(df, 2)  # doc_id + text only
+
+
+def test_quantize_is_shuffle_free_and_pruned(spark):
+    df = REGISTRY["embedding_quantize_int8"].fn(spark, SF_DIR)
+    pi.assert_no_shuffle(df)
+
+
+def test_unit_dedup_two_row_sized_shuffles(spark):
+    df = REGISTRY["dedup_unit_firstseen"].fn(spark, SF_DIR)
+    # unit-hash window + doc-id regroup; nothing else
+    assert pi.count_shuffles(df) == 2, pi.formatted_plan(df)
+
+
+def test_incremental_agg_partial_before_every_exchange(spark):
+    df = REGISTRY["incremental_agg_merge"].fn(spark, SF_DIR)
+    plan = pi.formatted_plan(df)
+    # two state builds + one merge, each with map-side partial aggs
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_weighted_sample_plans_as_take_ordered(spark):
+    df = REGISTRY["weighted_sample_events"].fn(spark, SF_DIR)
+    plan = pi.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_zorder_code_single_bounds_exchange(spark):
+    df = REGISTRY["zorder_code"].fn(spark, SF_DIR)
+    plan = pi.formatted_plan(df)
+    # the 1-row bounds agg broadcasts; the events side stays map-only
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "Exchange hashpartitioning(event_id" not in plan, plan
+
+
+def test_snapshot_diff_one_key_shuffle_per_side(spark):
+    df = REGISTRY["snapshot_diff_cdc"].fn(spark, SF_DIR)
+    plan = pi.formatted_plan(df)
+    assert "SortMergeJoin FullOuter" in plan or "ShuffledHashJoin FullOuter" in plan or "FullOuter" in plan, plan
+
+
+def test_bloom_bitmap_broadcasts(spark):
+    df = REGISTRY["bloom_pruned_join"].fn(spark, SF_DIR)
+    pi.assert_broadcast_join(df)
