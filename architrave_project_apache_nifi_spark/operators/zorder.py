@@ -38,43 +38,62 @@ def quantize_minmax(x: Column, lo: Column, hi: Column, bits: int) -> Column:
     return F.least(F.greatest(scaled.cast("long"), F.lit(0)), top.cast("long"))
 
 
-def morton_interleave(qa: Column, qb: Column, bits: int) -> Column:
-    """Interleave the low ``bits`` bits of two quantized keys: bit i of
-    ``qa`` lands at position 2i, bit i of ``qb`` at 2i+1. Unrolled to a
-    static sum of masked shifts — stays in codegen, no UDF, and the
-    identical arithmetic runs in ANSI SQL."""
+def morton_interleave_n(qs: list[Column], bits: int) -> Column:
+    """Interleave the low ``bits`` bits of n quantized keys: bit i of
+    key j lands at position ``i*n + j``. Unrolled to a static sum of
+    masked shifts — stays in codegen, no UDF, and the identical
+    arithmetic runs in ANSI SQL. Requires ``n*bits <= 62`` (the code
+    must fit a positive BIGINT)."""
+    n = len(qs)
+    if n < 2:
+        raise ValueError("morton_interleave_n: need at least 2 keys")
+    if n * bits > 62:
+        raise ValueError(
+            f"morton_interleave_n: {n} keys × {bits} bits = {n * bits} "
+            "code bits exceeds the 62-bit BIGINT budget — lower bits"
+        )
     terms = []
     for i in range(bits):
-        terms.append(
-            F.shiftleft(F.shiftright(qa, i).bitwiseAND(F.lit(1)), 2 * i)
-        )
-        terms.append(
-            F.shiftleft(F.shiftright(qb, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        )
+        for j, q in enumerate(qs):
+            terms.append(
+                F.shiftleft(F.shiftright(q, i).bitwiseAND(F.lit(1)), i * n + j)
+            )
     code = terms[0]
     for t in terms[1:]:
         code = code.bitwiseOR(t)
     return code
 
 
+def morton_interleave(qa: Column, qb: Column, bits: int) -> Column:
+    """Two-key special case of :func:`morton_interleave_n` (bit i of
+    ``qa`` at position 2i, of ``qb`` at 2i+1)."""
+    return morton_interleave_n([qa, qb], bits)
+
+
+def with_zorder_code_n(
+    df: DataFrame, cols: list[str], bits: int = 16, out_col: str = "zcode"
+) -> DataFrame:
+    """Append the Morton code over any number of layout columns.
+    Bounds come from one tiny aggregate crossed back in (broadcast —
+    1 row); everything else is map-only."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+    bounds = df.agg(*aggs)
+    joined = df.crossJoin(F.broadcast(bounds))
+    qs = [
+        quantize_minmax(F.col(c), F.col(f"__lo_{c}"), F.col(f"__hi_{c}"), bits)
+        for c in cols
+    ]
+    drop = [f"__lo_{c}" for c in cols] + [f"__hi_{c}" for c in cols]
+    return joined.withColumn(out_col, morton_interleave_n(qs, bits)).drop(*drop)
+
+
 def with_zorder_code(
     df: DataFrame, col_a: str, col_b: str, bits: int = 16, out_col: str = "zcode"
 ) -> DataFrame:
-    """Append the Morton code over (col_a, col_b). Bounds come from one
-    tiny aggregate crossed back in (broadcast — 1 row); everything else
-    is map-only."""
-    bounds = df.agg(
-        F.min(col_a).alias("__alo"),
-        F.max(col_a).alias("__ahi"),
-        F.min(col_b).alias("__blo"),
-        F.max(col_b).alias("__bhi"),
-    )
-    joined = df.crossJoin(F.broadcast(bounds))
-    qa = quantize_minmax(F.col(col_a), F.col("__alo"), F.col("__ahi"), bits)
-    qb = quantize_minmax(F.col(col_b), F.col("__blo"), F.col("__bhi"), bits)
-    return joined.withColumn(out_col, morton_interleave(qa, qb, bits)).drop(
-        "__alo", "__ahi", "__blo", "__bhi"
-    )
+    """Two-column convenience form of :func:`with_zorder_code_n`."""
+    return with_zorder_code_n(df, [col_a, col_b], bits, out_col)
 
 
 def write_zorder(
@@ -91,6 +110,27 @@ def write_zorder(
     locality, and drop the code — the layout IS the artifact; readers
     prune from ordinary column statistics with no schema change."""
     coded = with_zorder_code(df, col_a, col_b, bits)
+    parts = n_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        coded.repartitionByRange(parts, F.col("zcode"))
+        .sortWithinPartitions("zcode")
+        .drop("zcode")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def write_zorder_n(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    n_files: int | None = None,
+) -> None:
+    """n-column :func:`write_zorder` (e.g. (tenant, day, user) — three
+    predicate dimensions pruned from one layout). Same budget: one
+    bounds agg + one range exchange."""
+    coded = with_zorder_code_n(df, cols, bits)
     parts = n_files or df.sparkSession.sparkContext.defaultParallelism
     (
         coded.repartitionByRange(parts, F.col("zcode"))

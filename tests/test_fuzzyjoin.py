@@ -105,3 +105,32 @@ def test_weighted_sample_excludes_nonpositive(spark):
     )
     ids = {r["id"] for r in weighted_sample(df, "id", "w", 10).collect()}
     assert ids == {3}
+
+
+def test_entity_resolution_composition(spark):
+    """fuzzy pairs → connected components → canonical entity per
+    typo-cluster: the full record-linkage pipeline composes from
+    existing operators."""
+    from architrave_project_apache_nifi_spark.operators.cluster import (
+        canonical_docs,
+    )
+
+    df = _names(
+        spark,
+        [
+            (1, "john smith"),
+            (2, "jon smith"),   # ~1 edit from 1
+            (3, "john smyth"),  # ~1 edit from 1 (chained into the same entity)
+            (7, "acme corp"),
+            (8, "acme korp"),
+            (9, "zebra unrelated"),
+        ],
+    )
+    pairs = fuzzy_self_join(df, "id", "name", max_dist=2)
+    decisions = canonical_docs(df, pairs, id_col="id")
+    canon = {r["id"]: r["canonical_id"] for r in decisions.collect()}
+    assert canon[1] == canon[2] == canon[3] == 1
+    assert canon[7] == canon[8] == 7
+    assert canon[9] == 9
+    kept = {r["id"] for r in decisions.filter(F.col("is_kept") == 1).collect()}
+    assert kept == {1, 7, 9}

@@ -84,3 +84,37 @@ def test_quantization_plan_is_map_only(spark, emb):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_quantized_codes_compose_with_ivf(spark, emb):
+    """int8 codes feed the IVF index unchanged: dequantize → build →
+    probe finds the planted exact query among top hits (the
+    quantization error is far below cluster granularity)."""
+    from architrave_project_apache_nifi_spark.operators.similarity import (
+        ivf_build,
+        ivf_probe,
+    )
+
+    # plant copies of the queries under NEW ids (probe excludes
+    # self-ids) — the quantized index must still find them near-exactly
+    planted = emb.unionByName(
+        emb.filter(F.col("vec_id") < 3).select(
+            (F.col("vec_id") + 10_000).alias("vec_id"), "embedding", "label"
+        )
+    )
+    q = dequantize_int8(quantize_int8(planted, "embedding"), out_col="deq")
+    corpus = q.select("vec_id", F.col("deq").alias("embedding"))
+    index = ivf_build(corpus, "vec_id", "embedding", nlist=8)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    hits = ivf_probe(index, queries, k=5, nprobe=4)
+    by_q = {}
+    for r in hits.collect():
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == 3
+    for qid, rows in by_q.items():
+        assert any(
+            r["neighbor_id"] == qid + 10_000 and r["cosine"] > 0.999
+            for r in rows
+        ), (qid, rows)

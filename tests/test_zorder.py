@@ -110,3 +110,33 @@ def test_zorder_write_round_trips_rows(spark, events, tmp_path):
     assert back.select(sorted(back.columns)).exceptAll(
         events.select(sorted(events.columns))
     ).count() == 0
+
+
+def test_three_column_interleave_and_budget(spark, events):
+    from architrave_project_apache_nifi_spark.operators.zorder import (
+        morton_interleave_n,
+        with_zorder_code_n,
+    )
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(0b1, 0b1, 0b1)], "a long, b long, c long")
+    z = df.select(
+        morton_interleave_n([F.col("a"), F.col("b"), F.col("c")], 2).alias("z")
+    ).collect()[0]["z"]
+    assert z == 0b111  # bit 0 of each key at positions 0,1,2
+
+    coded = with_zorder_code_n(events, ["user_id", "value", "event_id"], bits=8)
+    stats = coded.agg(F.min("zcode"), F.max("zcode")).collect()[0]
+    assert 0 <= stats[0] and stats[1] < (1 << 24)
+
+    with _pytest.raises(ValueError, match="62-bit"):
+        morton_interleave_n([F.col("a")] * 4, 16)
+
+
+def test_three_column_write_shrinks_all_boxes(spark, events, tmp_path):
+    from architrave_project_apache_nifi_spark.operators.zorder import write_zorder_n
+
+    p = str(tmp_path / "z3")
+    write_zorder_n(events, p, ["user_id", "value", "event_id"], bits=8, n_files=8)
+    back = spark.read.parquet(p)
+    assert back.count() == events.count()
