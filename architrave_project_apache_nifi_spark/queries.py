@@ -4429,16 +4429,18 @@ _OVERFLOW = [
     "q16_supplier_part_counts",
     "q17_small_quantity_revenue",
     "q20_potential_promotion",
-    # round-3 session additions (this session) — chunking/unit-dedup ≈
+    # round-3 session-3 rotation: semdedup_prune and
+    # incremental_agg_merge (flagship new families) ENTER the window;
+    # the two below leave, each with an in-window mechanical twin:
+    "salted_join_order_volume_by_nation",  # salting ≈ salted_agg_user_stats in-window; join ≈ q5
+    "multimodal_meta",  # payload-column attach/projection ≈ multimodal_decode_stub/frame_sample in-window
+    # round-3 session additions — chunking/unit-dedup ≈
     # wordcount explode + dedup_exact window mechanics in-window;
-    # semdedup ≈ neardup_cosine (same blocked gram stage) + lookup
-    # broadcast; bloom join's oracle IS the plain join covered by q3/q5:
+    # bloom join's oracle IS the plain join covered by q3/q5:
     "doc_chunking",
     "dedup_unit_firstseen",
-    "semdedup_prune",
     "bloom_pruned_join",
     "embedding_quantize_int8",  # map-only transform; codes exact ints both sides
-    "incremental_agg_merge",  # split+merge == full recompute; agg twins in-window
     "zorder_code",  # closed-form layout key; physical skipping asserted in pytest
     "fuzzy_join_part_names",  # blocked candidates + exact verify ≈ LSH-verify twins
     "weighted_sample_events",  # LCG priority key ≈ stratified_sample arithmetic
