@@ -180,3 +180,24 @@ def bpe_token_count(
     smaller output, same cost)."""
     enc = bpe_encode(df, text_col, merges, out_col="__toks")
     return enc.withColumn(out_col, F.size("__toks").cast("int")).drop("__toks")
+
+
+def bpe_save(merges: list[tuple[str, str]], path: str) -> None:
+    """Persist the ordered merge list as a JSON artifact (the
+    tokenizer's whole state — rank = list position), alongside the
+    index-style artifacts (ivf_save): train once, encode everywhere."""
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump([[a, b] for a, b in merges], f)
+    os.replace(tmp, path)  # atomic — readers never see a partial vocab
+
+
+def bpe_load(path: str) -> list[tuple[str, str]]:
+    import json
+
+    with open(path) as f:
+        return [tuple(p) for p in json.load(f)]

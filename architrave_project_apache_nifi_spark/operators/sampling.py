@@ -279,3 +279,104 @@ def weighted_sample(
     return (
         keyed.orderBy(F.col("__wkey"), F.col(id_col)).limit(n).drop("__wkey")
     )
+
+
+def negative_pairs(
+    df: DataFrame,
+    id_col: str,
+    k: int = 4,
+    dense: bool = False,
+) -> DataFrame:
+    """Deterministic negative sampling (contrastive-training pairs):
+    for each anchor row, ``k`` pseudo-random partner ids drawn by pure
+    LCG arithmetic over the id domain — replayable across runs and
+    engines, no RNG state.
+
+    ``dense=True`` asserts ids are exactly 0..n-1 (the candidate is
+    the arithmetic value itself); otherwise candidates map into the
+    actual id set via a rank table (one extra row-sized shuffle).
+    Accidental self-pairs advance to the next slot (candidate+1 mod n)
+    — closed-form, so the SQL oracle replays it exactly.
+
+    Output: (anchor id, ``neg_id``, ``slot`` 0..k-1). Map-only in the
+    dense case; the fan-out is the k× generator, exactly like
+    ``mixture_upsample``'s explode."""
+    n = df.count()  # one scalar to the driver — the id-domain size
+    if n < 2:
+        raise ValueError("negative_pairs: need at least 2 rows")
+    anchors = df.select(F.col(id_col))
+    slots = anchors.select(
+        id_col, F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("slot")
+    )
+    cand = F.pmod(
+        (F.col(id_col).cast("long") * _LCG_MUL + F.col("slot") * 40503 + _LCG_INC),
+        F.lit(n),
+    )
+    if dense:
+        # dense: the candidate index IS the id — self-avoidance compares
+        # them directly
+        cand = F.when(
+            cand == F.col(id_col), F.pmod(cand + 1, F.lit(n))
+        ).otherwise(cand)
+        return slots.withColumn("__cand", cand.cast("long")).select(
+            id_col, F.col("__cand").alias("neg_id"), "slot"
+        )
+    paired = slots.withColumn("__cand", cand.cast("long"))
+    # rank table (i-th smallest id ← candidate i) built with the
+    # sharded prefix-sum decomposition (training_order's trick, id
+    # VALUE ranges instead of hash ranges) — no corpus-wide
+    # single-reducer window.
+    from pyspark.sql import Window
+
+    ids = df.select(F.col(id_col).alias("neg_id"))
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    bounds = ids.agg(
+        F.min("neg_id").alias("__lo"), F.max("neg_id").alias("__hi")
+    )
+    sharded = ids.crossJoin(F.broadcast(bounds)).withColumn(
+        "__shard",
+        F.least(
+            (
+                (F.col("neg_id") - F.col("__lo"))
+                * parts
+                / (F.col("__hi") - F.col("__lo") + 1)
+            ).cast("long"),
+            F.lit(parts - 1),
+        ),
+    )
+    in_shard = Window.partitionBy("__shard").orderBy("neg_id")
+    local = sharded.withColumn("__local", F.row_number().over(in_shard))
+    offsets = (
+        sharded.groupBy("__shard")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.orderBy("__shard").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__shard", "__offset")
+    )
+    ranked = (
+        local.join(F.broadcast(offsets), "__shard")
+        .withColumn("__cand", F.col("__offset") + F.col("__local") - 1)
+        .select("neg_id", "__cand")
+    )
+    # sparse self-avoidance must compare RANKS, not ids: look up the
+    # anchor's own rank and bump colliding candidates to the next slot
+    anchor_rank = ranked.select(
+        F.col("neg_id").alias(id_col), F.col("__cand").alias("__self")
+    )
+    adjusted = paired.join(anchor_rank, id_col).withColumn(
+        "__cand",
+        F.when(
+            F.col("__cand") == F.col("__self"),
+            F.pmod(F.col("__cand") + 1, F.lit(n)),
+        ).otherwise(F.col("__cand")),
+    )
+    return adjusted.join(ranked, "__cand").select(id_col, "neg_id", "slot")

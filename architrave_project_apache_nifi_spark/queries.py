@@ -4344,6 +4344,35 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "negative_pairs_dense",
+    """
+WITH nn AS (SELECT count(*) AS cnt FROM embeddings),
+s AS (SELECT vec_id, unnest(generate_series(0, 3)) AS slot FROM embeddings),
+c AS (SELECT vec_id, slot,
+        (vec_id * 1103515245 + slot * 40503 + 12345) % (SELECT cnt FROM nn) AS cand
+      FROM s)
+SELECT vec_id,
+       CAST(CASE WHEN cand = vec_id THEN (cand + 1) % (SELECT cnt FROM nn)
+            ELSE cand END AS BIGINT) AS neg_id,
+       CAST(slot AS INT) AS slot
+FROM c
+""",
+)
+def q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training
+    (operators/sampling.py::negative_pairs, dense-id path): k=4
+    pseudo-random partners per anchor from pure LCG arithmetic —
+    map-only k× generator, replayable across runs/engines (the oracle
+    replays the identical modular arithmetic including the
+    self-collision bump)."""
+    from .operators.sampling import negative_pairs
+
+    emb = load(spark, "embeddings", sf_dir)
+    out = negative_pairs(emb, "vec_id", k=4, dense=True)
+    return out.select("vec_id", "neg_id", F.col("slot").cast("int"))
+
+
 @register("bpe_tokenize", None)
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer train + encode (operators/bpe.py, arXiv:1508.07909):
@@ -4446,6 +4475,7 @@ _OVERFLOW = [
     "weighted_sample_events",  # LCG priority key ≈ stratified_sample arithmetic
     "snapshot_diff_cdc",  # outer-join diff ≈ q13 outer-join + scd2 merge twins
     "drift_psi_value",  # bin+share arithmetic ≈ histogram/profile twins
+    "negative_pairs_dense",  # LCG modular arithmetic ≈ stratified/upsample twins
 ]
 
 

@@ -106,3 +106,20 @@ def test_merge_prefix_stability(spark, toy):
     short = bpe_train(wf, n_merges=3)
     long = bpe_train(wf, n_merges=8)
     assert long[:3] == short
+
+
+def test_save_load_round_trip(spark, toy, tmp_path):
+    from architrave_project_apache_nifi_spark.operators.bpe import (
+        bpe_load,
+        bpe_save,
+    )
+
+    wf = word_freqs(toy, "text")
+    merges = bpe_train(wf, n_merges=20)
+    p = str(tmp_path / "vocab.json")
+    bpe_save(merges, p)
+    loaded = bpe_load(p)
+    assert loaded == merges
+    a = bpe_encode(_corpus(spark, ["lowest newest"]), "text", merges).collect()
+    b = bpe_encode(_corpus(spark, ["lowest newest"]), "text", loaded).collect()
+    assert a[0]["bpe_tokens"] == b[0]["bpe_tokens"]

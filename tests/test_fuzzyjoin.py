@@ -134,3 +134,35 @@ def test_entity_resolution_composition(spark):
     assert canon[9] == 9
     kept = {r["id"] for r in decisions.filter(F.col("is_kept") == 1).collect()}
     assert kept == {1, 7, 9}
+
+
+def test_negative_pairs_deterministic_and_valid(spark):
+    from architrave_project_apache_nifi_spark.operators.sampling import (
+        negative_pairs,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = negative_pairs(emb, "vec_id", k=4, dense=True)
+    rows = out.collect()
+    assert len(rows) == emb.count() * 4
+    ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    for r in rows:
+        assert r["neg_id"] in ids and r["neg_id"] != r["vec_id"]
+    again = negative_pairs(emb, "vec_id", k=4, dense=True).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_negative_pairs_sparse_ids_map_into_actual_set(spark):
+    from architrave_project_apache_nifi_spark.operators.sampling import (
+        negative_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(7,), (100,), (5003,), (9000,), (12345,)], "id long"
+    )
+    out = negative_pairs(df, "id", k=3)
+    rows = out.collect()
+    assert len(rows) == 15
+    ids = {7, 100, 5003, 9000, 12345}
+    for r in rows:
+        assert r["neg_id"] in ids and r["neg_id"] != r["id"]
