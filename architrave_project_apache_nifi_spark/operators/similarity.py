@@ -554,3 +554,76 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, F.col(id_col).alias("neighbor_id"), "cosine", "rank")
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    anchor_id_col: str = "anchor_id",
+    k: int = 10,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    k most cosine-similar corpus items with a DIFFERENT label — the
+    standard "closest wrong answers" curriculum (vs
+    ``sampling.negative_pairs``' uniform negatives).
+
+    Same distributed shape as ``brute_force_topk``: the anchor block
+    (ids + labels + unit vectors) ships to every task, each corpus
+    partition scores one BLAS matmul, keeps its local top-k per anchor
+    under the global total order WITH the label exclusion applied
+    before truncation, and a final window merges the survivor sets —
+    the corpus never shuffles.
+
+    ``anchors`` must carry (anchor_id_col, vec_col, label_col)."""
+    import numpy as np
+    import pandas as pd
+
+    a_rows = anchors.select(anchor_id_col, vec_col, label_col).collect()
+    if not a_rows:
+        raise ValueError("hard_negatives: empty anchor set")
+    a_ids = np.array([r[anchor_id_col] for r in a_rows], dtype=np.int64)
+    a_lab = np.array([r[label_col] for r in a_rows])
+    Q = np.array([list(r[vec_col]) for r in a_rows], dtype=np.float64)
+    q_nrm = np.maximum(np.sqrt((Q * Q).sum(axis=1)), 1e-300)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            labs = pdf[label_col].to_numpy()
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            nrm = np.maximum(np.sqrt((X * X).sum(axis=1)), 1e-300)
+            S = (X @ Q.T) / np.outer(nrm, q_nrm)
+            out_q, out_n, out_c = [], [], []
+            for j in range(len(a_ids)):
+                mask = labs != a_lab[j]
+                cand_ids, cand_s = ids[mask], S[mask, j]
+                order = np.lexsort((cand_ids, -cand_s))[:k]
+                out_q.append(np.full(len(order), a_ids[j]))
+                out_n.append(cand_ids[order])
+                out_c.append(cand_s[order])
+            yield pd.DataFrame(
+                {
+                    anchor_id_col: np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+
+    from ..tables import spread
+
+    scored = spread(corpus.select(id_col, vec_col, label_col), id_col).mapInPandas(
+        score, f"{anchor_id_col} long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy(anchor_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(anchor_id_col, "neighbor_id", "cosine", F.col("rank").cast("long"))
+    )

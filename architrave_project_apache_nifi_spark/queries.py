@@ -4373,6 +4373,44 @@ def q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "neg_id", F.col("slot").cast("int"))
 
 
+@register(
+    "hard_negatives_topk",
+    f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+nrm AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nn FROM e),
+a AS (SELECT vec_id AS anchor_id, label AS alab, v AS av, nn AS an
+      FROM nrm WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT a.anchor_id, e.vec_id AS neighbor_id,
+         list_dot_product(e.v, a.av) / (e.nn * a.an) AS c
+  FROM nrm e CROSS JOIN a
+  WHERE e.label <> a.alab
+)
+SELECT anchor_id, neighbor_id, round(c, 6) AS cosine, CAST(rnk AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id ORDER BY c DESC, neighbor_id) AS rnk
+      FROM scored)
+WHERE rnk <= {_TOP_K}
+""",
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.py::hard_negatives):
+    per anchor, the top-k most cosine-similar items with a DIFFERENT
+    label — the "closest wrong answers" a contrastive curriculum
+    trains against. Exact brute-force shape (partition-local BLAS +
+    provable top-k merge; corpus never shuffles) with the label
+    exclusion applied before local truncation."""
+    from .operators.similarity import hard_negatives
+
+    emb = load(spark, "embeddings", sf_dir)
+    anchors = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("anchor_id"), "embedding", "label"
+    )
+    out = hard_negatives(emb, anchors, k=_TOP_K)
+    return out.select(
+        "anchor_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
 @register("bpe_tokenize", None)
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer train + encode (operators/bpe.py, arXiv:1508.07909):
@@ -4476,6 +4514,7 @@ _OVERFLOW = [
     "snapshot_diff_cdc",  # outer-join diff ≈ q13 outer-join + scd2 merge twins
     "drift_psi_value",  # bin+share arithmetic ≈ histogram/profile twins
     "negative_pairs_dense",  # LCG modular arithmetic ≈ stratified/upsample twins
+    "hard_negatives_topk",  # label-excluded top-k ≈ ann_topk_bruteforce in-window
 ]
 
 

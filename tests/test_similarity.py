@@ -281,3 +281,41 @@ def test_ivf_append_without_retraining(spark, tmp_path):
     )
     assert top.neighbor_id == 100000  # scaled copy ⇒ cosine ≈ 1, rank 1
     assert abs(top.cosine - 1.0) < 1e-9
+
+
+def test_hard_negatives_exclude_same_label_and_match_numpy(spark):
+    import numpy as np
+    from architrave_project_apache_nifi_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    anchors = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("anchor_id"), "embedding", "label"
+    )
+    out = hard_negatives(emb, anchors, k=5)
+    rows = out.collect()
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    a_labels = {r["anchor_id"]: None for r in rows}
+    anchor_lab = {
+        r["anchor_id"]: r["label"]
+        for r in anchors.select("anchor_id", "label").collect()
+    }
+    for r in rows:
+        assert labels[r["neighbor_id"]] != anchor_lab[r["anchor_id"]]
+
+    # exact vs numpy for anchor 0
+    data = emb.select("vec_id", "embedding", "label").collect()
+    ids = np.array([d["vec_id"] for d in data])
+    labs = np.array([d["label"] for d in data])
+    X = np.stack([np.asarray(d["embedding"], dtype=np.float64) for d in data])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    a = Xn[list(ids).index(0)]
+    sims = Xn @ a
+    mask = labs != anchor_lab[0]
+    order = np.lexsort((ids[mask], -sims[mask]))[:5]
+    want = list(ids[mask][order])
+    got = [r["neighbor_id"] for r in sorted(
+        (r for r in rows if r["anchor_id"] == 0), key=lambda r: r["rank"]
+    )]
+    assert got == want
