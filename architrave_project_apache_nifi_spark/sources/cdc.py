@@ -280,3 +280,54 @@ def write_golden_scenario(path: str, files: int = 1) -> list[str]:
                 fh.write(json.dumps(e) + "\n")
         out.append(fp)
     return out
+
+
+def to_envelope(
+    changes: DataFrame,
+    key_cols: "Sequence[str]",
+    value_cols: "Sequence[str]",
+    event_type_col: str = "event_type",
+    ts_col: str = "snapshot_ts",
+    database: str = "sample_data",
+    table_name: str = "products_catalog",
+) -> DataFrame:
+    """Serialize engine changesets BACK into the reference's CDC
+    envelope JSON (CaptureChangeMySQL wire shape, SURVEY.md §1.2 /
+    FT:4368-4382) — the interop closure: ``snapshot_diff`` output
+    rendered as the very JSON the reference flow consumes, so
+    ``to_envelope ∘ snapshot_diff`` feeds ``parse_envelope`` →
+    ``flatten`` → ``scd2_build`` unchanged (round trip tested). Pure
+    Column expressions (``to_json`` over a struct) — map-only.
+
+    Output: one ``value`` STRING column of envelope JSON, ordered by
+    nothing (attach your own sequencing; ``cdc_sequence_id`` is a
+    row-local hash of key+ts for determinism, not a global order)."""
+    from collections.abc import Sequence  # noqa: F401 (doc type)
+
+    cols = [*key_cols, *value_cols]
+    col_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("id"),
+                F.lit(c).alias("name"),
+                F.col(c).cast("string").alias("value"),
+                F.lit(None).cast("string").alias("last_value"),
+            )
+            for i, c in enumerate(cols)
+        ]
+    )
+    env = F.struct(
+        F.col(event_type_col).alias("type"),
+        F.col(ts_col).cast("long").alias("timestamp"),
+        F.lit(database).alias("database"),
+        F.lit(table_name).alias("table_name"),
+        F.abs(
+            F.xxhash64(*[F.col(c) for c in key_cols], F.col(ts_col))
+        ).alias("cdc_sequence_id"),
+        col_structs.alias("columns"),
+    )
+    # ignoreNullFields=false: the reference envelope carries explicit
+    # nulls (a NULL column value is data, not absence)
+    return changes.select(
+        F.to_json(env, {"ignoreNullFields": "false"}).alias("value")
+    )
