@@ -24,6 +24,7 @@ REPO = os.path.join(os.path.dirname(__file__), "..")
         ("examples/similarity_search.py", "IVF probe"),
         ("examples/assemble_dataset.py", "packed sequences:"),
         ("examples/tokenizer_dataset.py", "sampled windows:"),
+        ("examples/monitoring_pipeline.py", "rollup equals recompute over accepted batches: True"),
     ],
 )
 def test_example_runs(script, expect):
