@@ -36,7 +36,11 @@ def _numeric_bin(x: Column, lo: Column, hi: Column, bins: int) -> Column:
     ``bins`` = overflow; NULLs → bin -2 (their own category — a NULL
     rate change is drift too)."""
     span = hi - lo
-    raw = F.floor((x - lo) / span * bins)
+    # a constant reference column (lo == hi) degenerates to one bin:
+    # guard the divisor (ANSI mode raises on /0) and send in-range
+    # values — necessarily == lo — to bin 0
+    safe_span = F.when(span == 0, F.lit(1.0)).otherwise(span)
+    raw = F.floor((x - lo) / safe_span * bins)
     idx = (
         F.when(x.isNull(), F.lit(-2))
         .when(x < lo, F.lit(-1))
