@@ -4411,6 +4411,66 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "event_trigram_counts",
+    """
+WITH g AS (
+  SELECT user_id,
+         lag(event_type, 2) OVER w AS a,
+         lag(event_type, 1) OVER w AS b,
+         event_type AS c
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT a || '>' || b || '>' || c AS gram,
+       CAST(count(*) AS BIGINT) AS occurrences,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_entities
+FROM g WHERE a IS NOT NULL AND b IS NOT NULL
+GROUP BY 1
+""",
+)
+def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining (operators/sequences.py): per-user
+    ordered event-type trigrams → corpus-wide pattern frequencies.
+    One user-keyed window (lags build the gram — pattern length adds
+    expressions, not passes) + one hash agg over the tiny
+    |types|³ key space."""
+    from .operators.sequences import ngram_counts
+
+    events = load(spark, "events", sf_dir)
+    return ngram_counts(events, "user_id", ["ts", "event_id"], "event_type", 3)
+
+
+@register(
+    "event_transition_matrix",
+    """
+WITH p AS (
+  SELECT lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS f,
+         event_type AS t
+  FROM events
+), c AS (SELECT f AS from_state, t AS to_state, count(*) AS n
+         FROM p WHERE f IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT from_state, sum(n) AS tt FROM c GROUP BY 1)
+SELECT c.from_state, c.to_state, CAST(c.n AS BIGINT) AS n,
+       round(c.n / tot.tt, 6) AS p_r
+FROM c JOIN tot USING (from_state)
+""",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transitions between event types
+    (operators/sequences.py::transition_matrix): next-event modeling
+    statistics — one keyed window + one agg + a broadcast per-state
+    total joined back."""
+    from .operators.sequences import transition_matrix
+
+    events = load(spark, "events", sf_dir)
+    out = transition_matrix(events, "user_id", ["ts", "event_id"], "event_type")
+    return out.select(
+        "from_state", "to_state", F.col("n").cast("long"),
+        F.round("p", 6).alias("p_r"),
+    )
+
+
 @register("bpe_tokenize", None)
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer train + encode (operators/bpe.py, arXiv:1508.07909):
@@ -4515,6 +4575,8 @@ _OVERFLOW = [
     "drift_psi_value",  # bin+share arithmetic ≈ histogram/profile twins
     "negative_pairs_dense",  # LCG modular arithmetic ≈ stratified/upsample twins
     "hard_negatives_topk",  # label-excluded top-k ≈ ann_topk_bruteforce in-window
+    "event_trigram_counts",  # keyed-window lags + agg ≈ window/sessionize twins
+    "event_transition_matrix",  # lag pairs + share ≈ window + lookup twins
 ]
 
 
