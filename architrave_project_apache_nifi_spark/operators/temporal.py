@@ -171,3 +171,55 @@ def sessionize(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: Sequence[str],
+    right_order_cols: Sequence[str] = (),
+    prefix: str = "next_",
+) -> DataFrame:
+    """Forward as-of: for each left row, the EARLIEST right row with
+    ``right_ts >= left_ts`` per key (the "next event after" join —
+    e.g. each impression picks the user's next purchase). Mirror of
+    :func:`asof_join`: the union scans in DESCENDING time order, so
+    the last right seen at a left row is the nearest one at-or-after
+    it. Ties on the timestamp resolve to the right row SMALLEST under
+    ``right_order_cols`` (pass the event sequence id for
+    determinism). Same budget: one keyed shuffle, no pair space."""
+    keys = _as_list(key_cols)
+    rv = F.struct(*[F.col(c) for c in right_value_cols])
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        *[F.col(c) for c in right_order_cols],
+        rv.alias("__rv"),
+    ).withColumn("__is_left", F.lit(0))
+    l = left.withColumn("__ts", F.col(left_ts)).withColumn("__is_left", F.lit(1))
+    merged = l.unionByName(r, allowMissingColumns=True)
+
+    # descending time; rights before lefts at equal ts (inclusive
+    # match); equal-ts rights ordered DESC so the smallest order_col
+    # is seen last and wins the `last()` scan
+    order = [F.col("__ts").desc(), F.col("__is_left").asc()]
+    order += [F.col(c).desc() for c in right_order_cols]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        merged.withColumn("__last_rv", F.last("__rv", ignorenulls=True).over(w))
+        .filter(F.col("__is_left") == 1)
+        .drop(
+            "__rv", "__ts", "__is_left",
+            *[c for c in right_order_cols if c not in left.columns],
+        )
+    )
+    for c in right_value_cols:
+        out = out.withColumn(f"{prefix}{c}", F.col("__last_rv").getField(c))
+    return out.drop("__last_rv")

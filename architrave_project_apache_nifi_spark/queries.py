@@ -4471,6 +4471,42 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "asof_join_next_purchase",
+    """
+SELECT c.event_id, c.user_id, c.ts, c.value,
+       (SELECT p.value FROM events p
+        WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+          AND p.ts >= c.ts
+        ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS next_value
+FROM events c WHERE c.event_type = 'click'
+""",
+)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each click picks the user's EARLIEST
+    purchase at-or-after it (operators/temporal.asof_join_forward —
+    the mirror of the backward entry: descending-time union scan, one
+    keyed shuffle, no pair space)."""
+    from .operators.temporal import asof_join_forward
+
+    events = load(spark, "events", sf_dir)
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return asof_join_forward(
+        clicks,
+        purchases,
+        "user_id",
+        "ts",
+        "ts",
+        right_value_cols=("value",),
+        right_order_cols=("event_id",),
+    )
+
+
 @register("bpe_tokenize", None)
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer train + encode (operators/bpe.py, arXiv:1508.07909):
@@ -4577,6 +4613,7 @@ _OVERFLOW = [
     "hard_negatives_topk",  # label-excluded top-k ≈ ann_topk_bruteforce in-window
     "event_trigram_counts",  # keyed-window lags + agg ≈ window/sessionize twins
     "event_transition_matrix",  # lag pairs + share ≈ window + lookup twins
+    "asof_join_next_purchase",  # mirror of in-window asof_join_last_click
 ]
 
 

@@ -99,3 +99,43 @@ def test_sessionize_gap_splits(spark):
     out = sessionize(df, "user_id", "ts", gap_s=1800.0, order_cols=("event_id",))
     got = {r.event_id: r.session_id for r in out.collect()}
     assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_asof_forward_mirrors_backward(spark):
+    from architrave_project_apache_nifi_spark.operators.temporal import (
+        asof_join_forward,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 25, 101), (2, 5, 102)], "k long, ts long, lid long"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 7.0, 1), (1, 20, 8.0, 2), (1, 30, 9.0, 3), (2, 1, 5.0, 4)],
+        "k long, ts long, v double, seq long",
+    )
+    out = {
+        r["lid"]: r["next_v"]
+        for r in asof_join_forward(
+            left, right, "k", "ts", "ts",
+            right_value_cols=("v",), right_order_cols=("seq",),
+        ).collect()
+    }
+    assert out[100] == 7.0  # inclusive: right at ts=10 matches left ts=10
+    assert out[101] == 9.0  # next at-or-after 25 is ts=30
+    assert out[102] is None  # no right at-or-after ts=5 for key 2
+
+
+def test_asof_forward_tie_resolves_to_smallest_seq(spark):
+    from architrave_project_apache_nifi_spark.operators.temporal import (
+        asof_join_forward,
+    )
+
+    left = spark.createDataFrame([(1, 10, 100)], "k long, ts long, lid long")
+    right = spark.createDataFrame(
+        [(1, 10, 1.0, 9), (1, 10, 2.0, 3)], "k long, ts long, v double, seq long"
+    )
+    out = asof_join_forward(
+        left, right, "k", "ts", "ts",
+        right_value_cols=("v",), right_order_cols=("seq",),
+    ).collect()[0]
+    assert out["next_v"] == 2.0  # seq 3 < seq 9
