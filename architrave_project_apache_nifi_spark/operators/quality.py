@@ -71,3 +71,37 @@ def check_unique(df: DataFrame, cols: list[str]) -> DataFrame:
             (F.col("n_violations") == 0).cast("int").alias("passed"),
         )
     )
+
+
+def winsorize(
+    df: DataFrame,
+    col: str,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Percentile clipping (winsorization) — the feature-prep pass
+    that tames heavy tails before normalization: values below the
+    ``p_lo`` exact percentile clamp up to it, above ``p_hi`` clamp
+    down. NULLs pass through.
+
+    One exact-percentile aggregate (1 row) broadcast back + a map-only
+    clamp — the same plan shape as the adaptive quality floor; at
+    100 TB substitute ``approx_percentile(ε)`` for the exact one
+    (identical plan, stated error bound)."""
+    if not (0.0 <= p_lo < p_hi <= 1.0):
+        raise ValueError(f"winsorize: need 0 <= p_lo < p_hi <= 1, got {p_lo}, {p_hi}")
+    bounds = df.agg(
+        F.percentile(F.col(col), F.lit(p_lo)).alias("__lo"),
+        F.percentile(F.col(col), F.lit(p_hi)).alias("__hi"),
+    )
+    target = out_col or col
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            target,
+            F.when(F.col(col).isNull(), F.lit(None))
+            .otherwise(F.least(F.greatest(F.col(col), F.col("__lo")), F.col("__hi"))),
+        )
+        .drop("__lo", "__hi")
+    )

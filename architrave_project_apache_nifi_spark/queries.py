@@ -4507,6 +4507,30 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "winsorize_values",
+    """
+WITH b AS (
+  SELECT quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+  FROM events
+)
+SELECT event_id,
+       round(least(greatest(value, lo), hi), 6) AS value_w
+FROM events, b
+""",
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile clipping (operators/quality.py::winsorize): heavy
+    tails clamp to the exact [p5, p95] band — one 1-row percentile
+    aggregate broadcast back + a map-only clamp (Spark `percentile`
+    == DuckDB `quantile_cont`, the established parity)."""
+    from .operators.quality import winsorize
+
+    events = load(spark, "events", sf_dir)
+    out = winsorize(events, "value", 0.05, 0.95, out_col="value_w")
+    return out.select("event_id", F.round("value_w", 6).alias("value_w"))
+
+
 @register("bpe_tokenize", None)
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer train + encode (operators/bpe.py, arXiv:1508.07909):
@@ -4614,6 +4638,7 @@ _OVERFLOW = [
     "event_trigram_counts",  # keyed-window lags + agg ≈ window/sessionize twins
     "event_transition_matrix",  # lag pairs + share ≈ window + lookup twins
     "asof_join_next_purchase",  # mirror of in-window asof_join_last_click
+    "winsorize_values",  # percentile broadcast + clamp ≈ quality_adaptive_floor
 ]
 
 

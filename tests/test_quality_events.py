@@ -145,3 +145,21 @@ def test_streaming_quality_gate_routes_batches(spark, tmp_path):
         os.path.join(root, "quarantine", "batch=1_report")
     ).collect()
     assert report[0]["rule"] == "price_positive" and report[0]["passed"] == 0
+
+
+def test_winsorize_clamps_tails_only(spark):
+    from architrave_project_apache_nifi_spark.operators.quality import winsorize
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)] + [(999, None)],
+        "id long, v double",
+    )
+    out = {r["id"]: r["v"] for r in winsorize(df, "v", 0.10, 0.90).collect()}
+    assert out[1] == out[5] == out[min(10, 11)]  # low tail clamped up
+    assert out[100] == out[95]  # high tail clamped down
+    assert out[50] == 50.0  # interior untouched
+    assert out[999] is None  # NULL passes through
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        winsorize(df, "v", 0.9, 0.1)
