@@ -4531,6 +4531,63 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", F.round("value_w", 6).alias("value_w"))
 
 
+@register(
+    "neardup_graph_stats",
+    f"""
+WITH en AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), nn AS (
+  SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM en
+), e0 AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM nn a JOIN nn b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {_COSINE_THRESHOLD}
+), deg AS (
+  SELECT id, count(*) AS degree FROM (
+    SELECT id_a AS id FROM e0 UNION ALL SELECT id_b FROM e0) GROUP BY id
+), w AS (
+  SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+  FROM e0 e1 JOIN e0 e2 ON e1.id_b = e2.id_a
+), tri AS (
+  SELECT a, b, c FROM w
+  WHERE EXISTS (SELECT 1 FROM e0 WHERE e0.id_a = w.a AND e0.id_b = w.c)
+), pt AS (
+  SELECT id, count(*) AS n_triangles FROM (
+    SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri) GROUP BY id
+)
+SELECT deg.id, CAST(degree AS BIGINT) AS degree,
+       CAST(coalesce(n_triangles, 0) AS BIGINT) AS n_triangles,
+       round(CASE WHEN degree > 1
+             THEN 2.0 * coalesce(n_triangles, 0) / (degree * (degree - 1))
+             ELSE 0 END, 6) AS coeff_r
+FROM deg LEFT JOIN pt USING (id)
+""",
+)
+def q_neardup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph statistics over the near-dup pair graph
+    (operators/graph_stats.py): per-node degree, exact triangle
+    participation (ordered two-join wedge closure — each triangle
+    found once), and clustering coefficient — the density signal that
+    separates true duplicate clusters (→1) from shingle-hub artifacts
+    (→0). The pair generation is the in-window neardup_cosine entry's;
+    the oracle replays both it and the graph SQL."""
+    from .operators.dedup import embedding_neardup_pairs
+    from .operators.graph_stats import clustering_coefficient
+
+    emb = load(spark, "embeddings", sf_dir)
+    pairs = embedding_neardup_pairs(
+        emb, "vec_id", "embedding", _COSINE_THRESHOLD, block_col="label"
+    )
+    out = clustering_coefficient(pairs)
+    return out.select(
+        "id",
+        F.col("degree").cast("long"),
+        F.col("n_triangles").cast("long"),
+        F.round("coeff", 6).alias("coeff_r"),
+    )
+
+
 @register("bpe_tokenize", None)
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer train + encode (operators/bpe.py, arXiv:1508.07909):
@@ -4639,6 +4696,7 @@ _OVERFLOW = [
     "event_transition_matrix",  # lag pairs + share ≈ window + lookup twins
     "asof_join_next_purchase",  # mirror of in-window asof_join_last_click
     "winsorize_values",  # percentile broadcast + clamp ≈ quality_adaptive_floor
+    "neardup_graph_stats",  # pair gen = in-window neardup_cosine; joins ≈ cluster twins
 ]
 
 
