@@ -4588,6 +4588,115 @@ def q_neardup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_SQL_CORE = r"""
+t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+base AS (SELECT doc_id, toks, len(toks) AS dl FROM t),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM base),
+dfs AS (SELECT
+    sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS df0,
+    sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS df1
+  FROM base),
+tf AS (SELECT doc_id, dl,
+         CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf0,
+         CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf1
+       FROM base),
+scored AS (
+  SELECT doc_id,
+    ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * tf0 * 2.2
+      / (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+    + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * tf1 * 2.2
+      / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS score
+  FROM tf, stats, dfs
+),
+kw AS (
+  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+  FROM scored WHERE score > 0
+)
+"""
+
+
+@register(
+    "keyword_bm25_topk",
+    f"""
+WITH {_BM25_SQL_CORE}
+SELECT doc_id, round(score, 6) AS score_r, CAST(rnk AS BIGINT) AS rank
+FROM kw WHERE rnk <= 10
+""",
+)
+def q_keyword_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search (operators/retrieval.py): Lucene-practical
+    BM25 over query terms ['spark', 'join'] — df/avgdl from two tiny
+    broadcast aggregates, scoring map-only, top-k via distributed
+    TakeOrdered. The oracle replays the identical formula (k1=1.2,
+    b=0.75, +1 idf)."""
+    from .operators.retrieval import keyword_topk
+
+    docs = load(spark, "documents", sf_dir)
+    out = keyword_topk(docs, ["spark", "join"], k=10)
+    return out.select(
+        "doc_id", F.round("score", 6).alias("score_r"),
+        F.col("rank").cast("long"),
+    )
+
+
+@register(
+    "hybrid_search_rrf",
+    f"""
+WITH {_BM25_SQL_CORE},
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+ann_scored AS (
+  SELECT e.vec_id AS doc_id,
+         list_dot_product(e.v, q.qv)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS c
+  FROM e CROSS JOIN q WHERE e.vec_id <> 0
+),
+ann AS (
+  SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id) AS rnk
+  FROM ann_scored
+),
+contrib AS (
+  SELECT doc_id, 1.0 / (60 + rnk) AS c FROM kw WHERE rnk <= 10
+  UNION ALL
+  SELECT doc_id, 1.0 / (60 + rnk) AS c FROM ann WHERE rnk <= 10
+),
+fused AS (
+  SELECT doc_id, sum(c) AS rrf_score FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, round(rrf_score, 9) AS rrf_r, CAST(rnk AS BIGINT) AS rank
+FROM (SELECT doc_id, rrf_score,
+             row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rnk
+      FROM fused)
+WHERE rnk <= 10
+""",
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (operators/retrieval.py): BM25 keyword top-10
+    ∪ exact vector top-10 for query vec 0, fused by reciprocal-rank
+    fusion (K=60) — rank-only combination, no score calibration. Each
+    branch keeps its own scale shape (broadcast-stats keyword scan;
+    survivor-set-only ANN); fusion joins two ≤10-row lists. doc_id ==
+    vec_id in the test tables makes the join natural."""
+    from .operators.retrieval import keyword_topk, rrf_fuse
+    from .operators.similarity import brute_force_topk
+
+    docs = load(spark, "documents", sf_dir)
+    emb = load(spark, "embeddings", sf_dir)
+    kw = keyword_topk(docs, ["spark", "join"], k=10).select("doc_id", "rank")
+    ann = brute_force_topk(
+        emb,
+        emb.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        k=10,
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    fused = rrf_fuse([kw, ann], "doc_id", topk=10)
+    return fused.select(
+        "doc_id", F.round("rrf_score", 9).alias("rrf_r"),
+        F.col("rank").cast("long"),
+    )
+
+
 @register("bpe_tokenize", None)
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer train + encode (operators/bpe.py, arXiv:1508.07909):
@@ -4697,6 +4806,8 @@ _OVERFLOW = [
     "asof_join_next_purchase",  # mirror of in-window asof_join_last_click
     "winsorize_values",  # percentile broadcast + clamp ≈ quality_adaptive_floor
     "neardup_graph_stats",  # pair gen = in-window neardup_cosine; joins ≈ cluster twins
+    "keyword_bm25_topk",  # tokenize+agg+TakeOrdered ≈ wordcount/text twins
+    "hybrid_search_rrf",  # composes keyword_bm25 + in-window ann_topk_bruteforce
 ]
 
 
