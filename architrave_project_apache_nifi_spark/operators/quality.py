@@ -105,3 +105,85 @@ def winsorize(
         )
         .drop("__lo", "__hi")
     )
+
+
+def quantile_transform(
+    df: DataFrame, col: str, out_col: str | None = None
+) -> DataFrame:
+    """Exact empirical-CDF normalization (SQL ``percent_rank``
+    semantics): each value maps to (#rows strictly below) / (n − 1),
+    ties sharing their quantile — the rank-based feature scaling that
+    is immune to outliers where min/max scaling is not. NULLs pass
+    through untouched.
+
+    Distributed without a corpus-wide window (the classic
+    ``percent_rank() OVER (ORDER BY v)`` is a single-reducer sort):
+    per-distinct-value counts aggregate once, the cumulative
+    below-count builds with the sharded prefix-sum decomposition
+    (value-range shards rank locally; ≤ n_shards totals broadcast
+    back — packing.py's trick on the value axis), and rows join their
+    quantile back on the 8-byte value key. Two row-sized shuffles
+    (distinct-value agg + join back)."""
+    from pyspark.sql import Window
+
+    target = out_col or f"{col}_q"
+    nonnull = df.filter(F.col(col).isNotNull())
+    n = nonnull.count()
+    if n < 2:
+        raise ValueError("quantile_transform: need >= 2 non-null rows")
+    counts = nonnull.groupBy(F.col(col).alias("__v")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    bounds = counts.agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
+    sharded = counts.crossJoin(F.broadcast(bounds)).withColumn(
+        "__shard",
+        F.when(
+            F.col("__hi") == F.col("__lo"), F.lit(0)
+        ).otherwise(
+            F.least(
+                F.floor(
+                    (F.col("__v") - F.col("__lo"))
+                    / (F.col("__hi") - F.col("__lo"))
+                    * parts
+                ).cast("long"),
+                F.lit(parts - 1),
+            )
+        ),
+    )
+    in_shard = Window.partitionBy("__shard").orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = sharded.withColumn(
+        "__below_local", F.coalesce(F.sum("__c").over(in_shard), F.lit(0))
+    )
+    offsets = (
+        sharded.groupBy("__shard")
+        .agg(F.sum("__c").alias("__n"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.orderBy("__shard").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__shard", "__offset")
+    )
+    quantiles = (
+        local.join(F.broadcast(offsets), "__shard")
+        .withColumn(
+            "__q",
+            (F.col("__offset") + F.col("__below_local"))
+            / F.lit(float(n - 1)),
+        )
+        .select("__v", "__q")
+    )
+    return (
+        df.join(quantiles, df[col] == quantiles["__v"], "left")
+        .withColumn(target, F.col("__q"))
+        .drop("__v", "__q")
+    )

@@ -4697,6 +4697,29 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "quantile_transform_values",
+    """
+SELECT event_id,
+       round(percent_rank() OVER (ORDER BY value), 9) AS value_q_r
+FROM events
+""",
+)
+def q_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact empirical-CDF normalization
+    (operators/quality.py::quantile_transform): rank-based feature
+    scaling, outlier-immune. The oracle is the single-window
+    ``percent_rank`` spec; the Spark side is the sharded prefix-sum
+    decomposition (value-range shards + broadcast offsets — no
+    corpus-wide sort), so gate equality proves the decomposition, the
+    same argument as seq_pack/training_order."""
+    from .operators.quality import quantile_transform
+
+    events = load(spark, "events", sf_dir)
+    out = quantile_transform(events, "value")
+    return out.select("event_id", F.round("value_q", 9).alias("value_q_r"))
+
+
 @register("bpe_tokenize", None)
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer train + encode (operators/bpe.py, arXiv:1508.07909):
@@ -4808,6 +4831,7 @@ _OVERFLOW = [
     "neardup_graph_stats",  # pair gen = in-window neardup_cosine; joins ≈ cluster twins
     "keyword_bm25_topk",  # tokenize+agg+TakeOrdered ≈ wordcount/text twins
     "hybrid_search_rrf",  # composes keyword_bm25 + in-window ann_topk_bruteforce
+    "quantile_transform_values",  # sharded prefix sum ≈ seq_pack/training_order twins
 ]
 
 

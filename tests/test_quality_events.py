@@ -163,3 +163,39 @@ def test_winsorize_clamps_tails_only(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         winsorize(df, "v", 0.9, 0.1)
+
+
+def test_quantile_transform_matches_percent_rank(spark):
+    from architrave_project_apache_nifi_spark.operators.quality import (
+        quantile_transform,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(500)
+    got = quantile_transform(events, "value")
+    # oracle: Spark's own single-window percent_rank on this small input
+    from pyspark.sql import Window
+
+    want = events.withColumn(
+        "pr", F.percent_rank().over(Window.orderBy("value"))
+    )
+    joined = got.select("event_id", "value_q").join(
+        want.select("event_id", "pr"), "event_id"
+    )
+    bad = joined.filter(F.abs(F.col("value_q") - F.col("pr")) > 1e-12).count()
+    assert bad == 0
+
+
+def test_quantile_transform_ties_and_nulls(spark):
+    from architrave_project_apache_nifi_spark.operators.quality import (
+        quantile_transform,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 5.0), (3, 1.0), (4, 9.0), (5, None)],
+        "id long, v double",
+    )
+    out = {r["id"]: r["v_q"] for r in quantile_transform(df, "v").collect()}
+    assert out[3] == 0.0
+    assert out[1] == out[2] == 1 / 3  # tie shares the below-count
+    assert out[4] == 1.0
+    assert out[5] is None
