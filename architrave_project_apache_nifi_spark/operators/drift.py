@@ -142,3 +142,97 @@ def psi_report(
         .when(F.col("psi") < 0.25, F.lit("drifting"))
         .otherwise(F.lit("shifted")),
     )
+
+
+def ks_statistic(old: DataFrame, new: DataFrame, col: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance: max |F_old(v) − F_new(v)|
+    over the pooled values — the binning-free companion to PSI (PSI
+    localizes drift to bins; KS gives the distribution-free distance a
+    significance table understands).
+
+    Distributed without the textbook global sort: per-distinct-value
+    (count_old, count_new) aggregate once; INCLUSIVE cumulative counts
+    build with the value-range sharded prefix sum (local cumsum per
+    shard + ≤n_shards broadcast offsets); the max-abs-difference of
+    the two ECDFs reduces in one final 1-row aggregate. NULLs are
+    excluded (KS is defined over ordered values).
+
+    Returns a 1-row DataFrame: (ks_stat, n_old, n_new)."""
+    from pyspark.sql import Window
+
+    o = old.select(F.col(col).alias("__v")).filter(F.col("__v").isNotNull())
+    n = new.select(F.col(col).alias("__v")).filter(F.col("__v").isNotNull())
+    tagged = o.withColumn("__is_new", F.lit(0)).unionByName(
+        n.withColumn("__is_new", F.lit(1))
+    )
+    counts = tagged.groupBy("__v").agg(
+        F.sum(1 - F.col("__is_new")).alias("__co"),
+        F.sum("__is_new").alias("__cn"),
+    )
+    parts = tagged.sparkSession.sparkContext.defaultParallelism
+    bounds = counts.agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
+    sharded = counts.crossJoin(F.broadcast(bounds)).withColumn(
+        "__shard",
+        F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+            F.least(
+                F.floor(
+                    (F.col("__v") - F.col("__lo"))
+                    / (F.col("__hi") - F.col("__lo"))
+                    * parts
+                ).cast("long"),
+                F.lit(parts - 1),
+            )
+        ),
+    )
+    w_in = Window.partitionBy("__shard").orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = sharded.withColumn("__cum_o_l", F.sum("__co").over(w_in)).withColumn(
+        "__cum_n_l", F.sum("__cn").over(w_in)
+    )
+    offs = (
+        sharded.groupBy("__shard")
+        .agg(F.sum("__co").alias("__so"), F.sum("__cn").alias("__sn"))
+        .withColumn(
+            "__off_o",
+            F.coalesce(
+                F.sum("__so").over(
+                    Window.orderBy("__shard").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "__off_n",
+            F.coalesce(
+                F.sum("__sn").over(
+                    Window.orderBy("__shard").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__shard", "__off_o", "__off_n")
+    )
+    totals = counts.agg(
+        F.sum("__co").alias("__no"), F.sum("__cn").alias("__nn")
+    )
+    ecdf = (
+        local.join(F.broadcast(offs), "__shard")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "__d",
+            F.abs(
+                (F.col("__off_o") + F.col("__cum_o_l")) / F.col("__no")
+                - (F.col("__off_n") + F.col("__cum_n_l")) / F.col("__nn")
+            ),
+        )
+    )
+    return ecdf.agg(
+        F.max("__d").alias("ks_stat"),
+        F.first("__no").alias("n_old"),
+        F.first("__nn").alias("n_new"),
+    )

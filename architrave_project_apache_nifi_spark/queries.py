@@ -4720,6 +4720,45 @@ def q_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", F.round("value_q", 9).alias("value_q_r"))
 
 
+@register(
+    "drift_ks_value",
+    """
+WITH tagged AS (
+  SELECT value AS v, CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS is_new
+  FROM events WHERE value IS NOT NULL
+), c AS (
+  SELECT v, sum(1 - is_new) AS co, sum(is_new) AS cn FROM tagged GROUP BY v
+), tot AS (SELECT sum(co) AS no, sum(cn) AS nn FROM c),
+ecdf AS (
+  SELECT v,
+         sum(co) OVER (ORDER BY v) AS cum_o,
+         sum(cn) OVER (ORDER BY v) AS cum_n
+  FROM c
+)
+SELECT round(max(abs(CAST(cum_o AS DOUBLE) / no - CAST(cum_n AS DOUBLE) / nn)), 9) AS ks_r,
+       CAST(max(no) AS BIGINT) AS n_old, CAST(max(nn) AS BIGINT) AS n_new
+FROM ecdf, tot
+""",
+)
+def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the even-id and
+    odd-id event values (operators/drift.py::ks_statistic) — the
+    binning-free companion to the PSI entry. The oracle is the
+    textbook single-window ECDF; the Spark side is the value-range
+    sharded prefix sum, so gate equality proves the decomposition."""
+    from .operators.drift import ks_statistic
+
+    events = load(spark, "events", sf_dir)
+    old = events.filter(F.col("event_id") % 2 == 0)
+    new = events.filter(F.col("event_id") % 2 == 1)
+    out = ks_statistic(old, new, "value")
+    return out.select(
+        F.round("ks_stat", 9).alias("ks_r"),
+        F.col("n_old").cast("long"),
+        F.col("n_new").cast("long"),
+    )
+
+
 @register("bpe_tokenize", None)
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer train + encode (operators/bpe.py, arXiv:1508.07909):
@@ -4832,6 +4871,7 @@ _OVERFLOW = [
     "keyword_bm25_topk",  # tokenize+agg+TakeOrdered ≈ wordcount/text twins
     "hybrid_search_rrf",  # composes keyword_bm25 + in-window ann_topk_bruteforce
     "quantile_transform_values",  # sharded prefix sum ≈ seq_pack/training_order twins
+    "drift_ks_value",  # ECDF prefix-sum ≈ quantile_transform/drift twins
 ]
 
 

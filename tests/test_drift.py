@@ -93,3 +93,35 @@ def test_report_verdicts(spark, events):
         ).collect()
     }
     assert rep2["value"] == "shifted" and rep2["event_type"] == "shifted"
+
+
+def test_ks_statistic_matches_scipy_free_reference(spark):
+    """KS vs a straight-line numpy ECDF recompute on a known pair."""
+    import numpy as np
+    from architrave_project_apache_nifi_spark.operators.drift import ks_statistic
+
+    a = [float(x) for x in range(100)]
+    b = [float(x) * 1.5 + 10 for x in range(80)]
+    o = spark.createDataFrame([(x,) for x in a], "x double")
+    n = spark.createDataFrame([(x,) for x in b], "x double")
+    got = ks_statistic(o, n, "x").collect()[0]
+    assert got["n_old"] == 100 and got["n_new"] == 80
+
+    va, vb = np.asarray(a), np.asarray(b)
+    pooled = np.unique(np.concatenate([va, vb]))
+    fa = np.searchsorted(np.sort(va), pooled, side="right") / len(va)
+    fb = np.searchsorted(np.sort(vb), pooled, side="right") / len(vb)
+    want = float(np.abs(fa - fb).max())
+    assert abs(got["ks_stat"] - want) < 1e-12
+
+
+def test_ks_zero_for_identical_and_one_for_disjoint(spark):
+    from architrave_project_apache_nifi_spark.operators.drift import ks_statistic
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    same = ks_statistic(events, events, "value").collect()[0]["ks_stat"]
+    assert abs(same) < 1e-12
+    lo = events.filter(F.col("value") < 50)
+    hi = events.filter(F.col("value") >= 50)
+    disjoint = ks_statistic(lo, hi, "value").collect()[0]["ks_stat"]
+    assert abs(disjoint - 1.0) < 1e-12
