@@ -4759,6 +4759,45 @@ def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "trending_topk_hourly",
+    """
+WITH b AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT ws, event_type, CAST(cnt AS BIGINT) AS cnt, CAST(rnk AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY ws ORDER BY cnt DESC, event_type) AS rnk
+      FROM b)
+WHERE rnk <= 3
+""",
+)
+def q_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending top-k per time bucket: the 3 most frequent event types
+    in each hour — one (bucket, type) hash agg (map-side partials
+    absorb the events) + a rank over the tiny per-bucket group set.
+    The streaming twin is `streaming/windows.windowed_counts` +
+    per-batch ranking; Spark's `window()` start == DuckDB
+    `time_bucket` (both floor to the hour in UTC)."""
+    events = load(spark, "events", sf_dir)
+    counts = events.groupBy(
+        F.window("ts", "1 hour").alias("__w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("__w").orderBy(
+        F.col("cnt").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("__w.start").alias("ws"),
+            "event_type",
+            F.col("cnt").cast("long"),
+            F.col("rank").cast("long"),
+        )
+    )
+
+
 @register("bpe_tokenize", None)
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer train + encode (operators/bpe.py, arXiv:1508.07909):
@@ -4872,6 +4911,7 @@ _OVERFLOW = [
     "hybrid_search_rrf",  # composes keyword_bm25 + in-window ann_topk_bruteforce
     "quantile_transform_values",  # sharded prefix sum ≈ seq_pack/training_order twins
     "drift_ks_value",  # ECDF prefix-sum ≈ quantile_transform/drift twins
+    "trending_topk_hourly",  # bucket agg + per-group rank ≈ window/agg twins
 ]
 
 
