@@ -4798,6 +4798,126 @@ def q_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "item_cooccurrence_cosine",
+    """
+WITH ev AS (
+  SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+), ui AS (
+  SELECT user_id AS u, item FROM ev GROUP BY 1, 2
+), co AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*) AS co_users
+  FROM ui a JOIN ui b ON a.u = b.u AND a.item < b.item
+  GROUP BY 1, 2
+), n AS (SELECT item, count(*) AS nu FROM ui GROUP BY 1)
+SELECT co.item_a, co.item_b, CAST(co_users AS BIGINT) AS co_users,
+       round(co_users / sqrt(na.nu * nb.nu), 6) AS cosine_r
+FROM co
+JOIN n na ON na.item = co.item_a
+JOIN n nb ON nb.item = co.item_b
+""",
+)
+def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-occurrence cosine over binary interactions
+    (operators/cooccurrence.py; items = the events' ``props.k``
+    field): one user-keyed self-join for co-counts + broadcast
+    per-item totals — classic item-based CF similarity (Sarwar 2001).
+    Pair space is Σ_u c_u², capped by ``max_items_per_user`` at scale
+    (uncapped here: the oracle replays the exact uncapped join)."""
+    from .operators.cooccurrence import item_cosine_similarity, user_item_matrix
+
+    events = load(spark, "events", sf_dir).withColumn(
+        "item_id", F.get_json_object("props", "$.k").cast("long")
+    ).filter(F.col("item_id").isNotNull())
+    ui = user_item_matrix(events, "user_id", "item_id")
+    out = item_cosine_similarity(ui)
+    return out.select(
+        "item_a", "item_b", F.col("co_users").cast("long"),
+        F.round("cosine", 6).alias("cosine_r"),
+    )
+
+
+@register(
+    "item_recommendations",
+    """
+WITH ev AS (
+  SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+), ui AS (
+  SELECT user_id AS u, item FROM ev GROUP BY 1, 2
+), co AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*) AS co_users
+  FROM ui a JOIN ui b ON a.u = b.u AND a.item < b.item
+  GROUP BY 1, 2
+), n AS (SELECT item, count(*) AS nu FROM ui GROUP BY 1),
+sim AS (
+  SELECT item_a, item_b, co_users / sqrt(na.nu * nb.nu) AS cosine
+  FROM co JOIN n na ON na.item = co.item_a JOIN n nb ON nb.item = co.item_b
+), edges AS (
+  SELECT item_a AS item, item_b AS other, cosine FROM sim
+  UNION ALL
+  SELECT item_b AS item, item_a AS other, cosine FROM sim
+), scored AS (
+  SELECT ui.u, e.other AS item, sum(e.cosine) AS score
+  FROM ui JOIN edges e ON ui.item = e.item
+  GROUP BY 1, 2
+), unseen AS (
+  SELECT s.u, s.item, s.score FROM scored s
+  WHERE NOT EXISTS (SELECT 1 FROM ui WHERE ui.u = s.u AND ui.item = s.item)
+)
+SELECT u AS user, item, round(score, 6) AS score_r, CAST(rnk AS BIGINT) AS rank
+FROM (SELECT u, item, score,
+             row_number() OVER (PARTITION BY u ORDER BY round(score, 9) DESC, item) AS rnk
+      FROM unseen)
+WHERE rnk <= 5
+""",
+)
+def q_item_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-based CF top-5 per user
+    (operators/cooccurrence.py::recommend_items): unseen items scored
+    by summed similarity to the user's items, seen set anti-joined
+    out. Ranking keys on the score ROUNDED to 9 decimals (both
+    engines) so cross-engine last-ulp summation differences cannot
+    flip ranks; ties break by item id."""
+    from .operators.cooccurrence import (
+        item_cosine_similarity,
+        recommend_items,
+        user_item_matrix,
+    )
+
+    events = load(spark, "events", sf_dir).withColumn(
+        "item_id", F.get_json_object("props", "$.k").cast("long")
+    ).filter(F.col("item_id").isNotNull())
+    ui = user_item_matrix(events, "user_id", "item_id")
+    sim = item_cosine_similarity(ui)
+    edges = sim.select(
+        F.col("item_a").alias("item"), F.col("item_b").alias("other"), "cosine"
+    ).unionByName(
+        sim.select(
+            F.col("item_b").alias("item"), F.col("item_a").alias("other"), "cosine"
+        )
+    )
+    scored = (
+        ui.select("user", "item")
+        .join(edges, "item")
+        .groupBy("user", F.col("other").alias("item"))
+        .agg(F.sum("cosine").alias("score"))
+    )
+    unseen = scored.join(ui.select("user", "item"), ["user", "item"], "left_anti")
+    w = Window.partitionBy("user").orderBy(
+        F.round(F.col("score"), 9).desc(), F.col("item")
+    )
+    return (
+        unseen.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "user", "item", F.round("score", 6).alias("score_r"),
+            F.col("rank").cast("long"),
+        )
+    )
+
+
 @register("bpe_tokenize", None)
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer train + encode (operators/bpe.py, arXiv:1508.07909):
@@ -4912,6 +5032,8 @@ _OVERFLOW = [
     "quantile_transform_values",  # sharded prefix sum ≈ seq_pack/training_order twins
     "drift_ks_value",  # ECDF prefix-sum ≈ quantile_transform/drift twins
     "trending_topk_hourly",  # bucket agg + per-group rank ≈ window/agg twins
+    "item_cooccurrence_cosine",  # user-keyed pair join ≈ LSH-band/cooccur twins
+    "item_recommendations",  # sim join + anti-join + rank ≈ lookup/exists twins
 ]
 
 
