@@ -4918,6 +4918,53 @@ def q_item_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ab_experiment_readout",
+    """
+WITH s AS (
+  SELECT count(CASE WHEN user_id % 2 = 0 THEN value END) AS n_a,
+         count(CASE WHEN user_id % 2 = 1 THEN value END) AS n_b,
+         avg(CASE WHEN user_id % 2 = 0 THEN value END) AS mean_a,
+         avg(CASE WHEN user_id % 2 = 1 THEN value END) AS mean_b,
+         var_samp(CASE WHEN user_id % 2 = 0 THEN value END) AS var_a,
+         var_samp(CASE WHEN user_id % 2 = 1 THEN value END) AS var_b
+  FROM events
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(mean_a, 6) AS mean_a_r, round(mean_b, 6) AS mean_b_r,
+       round(mean_a - mean_b, 6) AS diff_r,
+       round((mean_a - mean_b) / sqrt(((n_a - 1) * var_a + (n_b - 1) * var_b)
+             / (n_a + n_b - 2)), 6) AS cohens_d_r,
+       round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6) AS welch_t_r,
+       round(pow(var_a / n_a + var_b / n_b, 2)
+             / (pow(var_a / n_a, 2) / (n_a - 1)
+                + pow(var_b / n_b, 2) / (n_b - 1)), 4) AS welch_df_r
+FROM s
+""",
+)
+def q_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout (operators/experiments.py::ab_metrics):
+    even-user-id vs odd-user-id arms over the value metric — per-arm
+    n/mean/variance in ONE conditional hash aggregate, then Cohen's d
+    and Welch's t/df as scalar arithmetic on the 1-row frame. The
+    oracle replays the identical formulas; statistic consumers look
+    up the p-value (no closed-form t CDF in either SQL)."""
+    from .operators.experiments import ab_metrics
+
+    events = load(spark, "events", sf_dir)
+    out = ab_metrics(events, F.col("user_id") % 2 == 0, F.col("value"))
+    return out.select(
+        F.col("n_a").cast("long"),
+        F.col("n_b").cast("long"),
+        F.round("mean_a", 6).alias("mean_a_r"),
+        F.round("mean_b", 6).alias("mean_b_r"),
+        F.round("diff", 6).alias("diff_r"),
+        F.round("cohens_d", 6).alias("cohens_d_r"),
+        F.round("welch_t", 6).alias("welch_t_r"),
+        F.round("welch_df", 4).alias("welch_df_r"),
+    )
+
+
 @register("bpe_tokenize", None)
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer train + encode (operators/bpe.py, arXiv:1508.07909):
@@ -5034,6 +5081,7 @@ _OVERFLOW = [
     "trending_topk_hourly",  # bucket agg + per-group rank ≈ window/agg twins
     "item_cooccurrence_cosine",  # user-keyed pair join ≈ LSH-band/cooccur twins
     "item_recommendations",  # sim join + anti-join + rank ≈ lookup/exists twins
+    "ab_experiment_readout",  # one conditional agg ≈ agg_percentiles/profile twins
 ]
 
 
