@@ -4965,6 +4965,47 @@ def q_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cuped_adjusted_metric",
+    """
+WITH per_user AS (
+  SELECT user_id,
+         avg(CASE WHEN event_id % 2 = 0 THEN value END) AS pre,
+         avg(CASE WHEN event_id % 2 = 1 THEN value END) AS post
+  FROM events GROUP BY user_id
+  HAVING pre IS NOT NULL AND post IS NOT NULL
+), s AS (
+  SELECT covar_samp(pre, post) AS cv, var_samp(pre) AS vr, avg(pre) AS xbar
+  FROM per_user
+)
+SELECT user_id,
+       round(post - (CASE WHEN vr > 0 THEN cv / vr ELSE 0 END) * (pre - xbar), 6)
+         AS adjusted_r
+FROM per_user, s
+""",
+)
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng 2013;
+    operators/experiments.py::cuped_adjust): per-user pre-period
+    (even event ids) and post-period (odd) means, θ = cov/var from one
+    pooled aggregate broadcast back, adjustment map-only. Mean
+    preservation + variance shrinkage are property-tested; the oracle
+    replays the identical arithmetic."""
+    from .operators.experiments import cuped_adjust
+
+    events = load(spark, "events", sf_dir)
+    per_user = (
+        events.groupBy("user_id")
+        .agg(
+            F.avg(F.when(F.col("event_id") % 2 == 0, F.col("value"))).alias("pre"),
+            F.avg(F.when(F.col("event_id") % 2 == 1, F.col("value"))).alias("post"),
+        )
+        .filter(F.col("pre").isNotNull() & F.col("post").isNotNull())
+    )
+    out = cuped_adjust(per_user, "pre", "post")
+    return out.select("user_id", F.round("adjusted", 6).alias("adjusted_r"))
+
+
 @register("bpe_tokenize", None)
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer train + encode (operators/bpe.py, arXiv:1508.07909):
@@ -5082,6 +5123,7 @@ _OVERFLOW = [
     "item_cooccurrence_cosine",  # user-keyed pair join ≈ LSH-band/cooccur twins
     "item_recommendations",  # sim join + anti-join + rank ≈ lookup/exists twins
     "ab_experiment_readout",  # one conditional agg ≈ agg_percentiles/profile twins
+    "cuped_adjusted_metric",  # covar/var broadcast + map adjust ≈ anomaly/lookup twins
 ]
 
 
