@@ -5006,6 +5006,76 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", F.round("adjusted", 6).alias("adjusted_r"))
 
 
+@register(
+    "blocking_eval_pr",
+    """
+WITH p AS (SELECT min(p_partkey) AS id, p_name AS name FROM part GROUP BY p_name),
+cand AS (
+  SELECT a.id AS ia, b.id AS ib
+  FROM (SELECT id, name, substr(name, 1, 3) AS k FROM p) a
+  JOIN (SELECT id, name, substr(name, 1, 3) AS k FROM p) b
+    ON a.k = b.k AND a.id < b.id
+  WHERE levenshtein(a.name, b.name) <= 2
+  UNION
+  SELECT a.id, b.id
+  FROM (SELECT id, name, substr(name, -3, 3) AS k FROM p) a
+  JOIN (SELECT id, name, substr(name, -3, 3) AS k FROM p) b
+    ON a.k = b.k AND a.id < b.id
+  WHERE levenshtein(a.name, b.name) <= 2
+), truth AS (
+  SELECT a.id AS ia, b.id AS ib
+  FROM p a JOIN p b ON a.id < b.id
+  WHERE levenshtein(a.name, b.name) <= 2
+), common AS (
+  SELECT * FROM cand INTERSECT SELECT * FROM truth
+), c AS (
+  SELECT (SELECT count(*) FROM cand) AS np,
+         (SELECT count(*) FROM truth) AS nt,
+         (SELECT count(*) FROM common) AS nc
+)
+SELECT CAST(np AS BIGINT) AS n_predicted, CAST(nt AS BIGINT) AS n_truth,
+       CAST(nc AS BIGINT) AS n_common,
+       round(nc / CAST(np AS DOUBLE), 6) AS precision_r,
+       round(nc / CAST(nt AS DOUBLE), 6) AS recall_r
+FROM c
+""",
+)
+def q_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality evaluation
+    (operators/evaluation.py::pair_set_metrics): the fuzzy join's
+    prefix∪suffix blocking measured against brute-force ground truth
+    on the distinct part-name entities — the recall its docstring
+    claims, as a GATE-CHECKED number (precision is 1.0 by
+    construction: candidates are levenshtein-verified)."""
+    from .operators.evaluation import pair_set_metrics
+    from .operators.fuzzyjoin import fuzzy_self_join
+
+    parts = (
+        load(spark, "part", sf_dir)
+        .groupBy(F.col("p_name").alias("name"))
+        .agg(F.min("p_partkey").alias("id"))
+    )
+    predicted = fuzzy_self_join(parts, "id", "name", max_dist=2).select(
+        "id_a", "id_b"
+    )
+    a = parts.select(F.col("id").alias("id_a"), F.col("name").alias("na"))
+    b = parts.select(F.col("id").alias("id_b"), F.col("name").alias("nb"))
+    truth = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.levenshtein("na", "nb") <= 2)
+        .select("id_a", "id_b")
+    )
+    out = pair_set_metrics(predicted, truth)
+    return out.select(
+        "n_predicted",
+        "n_truth",
+        "n_common",
+        F.round("precision", 6).alias("precision_r"),
+        F.round("recall", 6).alias("recall_r"),
+    )
+
+
 @register("bpe_tokenize", None)
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer train + encode (operators/bpe.py, arXiv:1508.07909):
@@ -5124,6 +5194,7 @@ _OVERFLOW = [
     "item_recommendations",  # sim join + anti-join + rank ≈ lookup/exists twins
     "ab_experiment_readout",  # one conditional agg ≈ agg_percentiles/profile twins
     "cuped_adjusted_metric",  # covar/var broadcast + map adjust ≈ anomaly/lookup twins
+    "blocking_eval_pr",  # semi-join overlap counts ≈ set_ops/exists twins
 ]
 
 

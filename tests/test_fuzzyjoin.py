@@ -166,3 +166,21 @@ def test_negative_pairs_sparse_ids_map_into_actual_set(spark):
     ids = {7, 100, 5003, 9000, 12345}
     for r in rows:
         assert r["neg_id"] in ids and r["neg_id"] != r["id"]
+
+
+def test_pair_set_metrics_arithmetic(spark):
+    from architrave_project_apache_nifi_spark.operators.evaluation import (
+        pair_set_metrics,
+    )
+
+    pred = spark.createDataFrame([(1, 2), (3, 4), (5, 6)], "id_a long, id_b long")
+    truth = spark.createDataFrame([(2, 1), (3, 4), (7, 8)], "id_a long, id_b long")
+    r = pair_set_metrics(pred, truth).collect()[0]
+    assert (r["n_predicted"], r["n_truth"], r["n_common"]) == (3, 3, 2)
+    assert abs(r["precision"] - 2 / 3) < 1e-12
+    assert abs(r["recall"] - 2 / 3) < 1e-12
+    assert abs(r["f1"] - 2 / 3) < 1e-12
+    # empty predicted → NULL precision, not crash
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    r2 = pair_set_metrics(empty, truth).collect()[0]
+    assert r2["precision"] is None and r2["recall"] == 0.0
