@@ -5076,6 +5076,51 @@ def q_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "score_lift_deciles",
+    """
+WITH b AS (
+  SELECT ntile(10) OVER (ORDER BY value DESC, event_id ASC) AS bin,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+), per AS (
+  SELECT bin, count(*) AS n, sum(y) AS positives FROM b GROUP BY bin
+), tot AS (SELECT sum(n) AS tn, sum(positives) AS tp FROM per)
+SELECT bin, CAST(n AS BIGINT) AS n, CAST(positives AS BIGINT) AS positives,
+       round(positives / CAST(n AS DOUBLE), 6) AS rate_r,
+       round((positives / CAST(n AS DOUBLE)) / (tp / CAST(tn AS DOUBLE)), 6) AS lift_r,
+       round(sum(positives) OVER (ORDER BY bin) / CAST(tp AS DOUBLE), 6) AS cum_capture_r
+FROM per, tot
+""",
+)
+def q_score_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift chart (operators/calibration.py::lift_table):
+    events scored by value, outcome = purchase — per-decile rate,
+    lift vs base rate, cumulative gains. ntile ties pinned by
+    event_id so the bucketing is deterministic cross-engine. Exact
+    ntile is one global sort; the module documents the
+    approx-quantile binning swap for 100 TB (identical downstream
+    arithmetic)."""
+    from .operators.calibration import lift_table
+
+    events = load(spark, "events", sf_dir)
+    out = lift_table(
+        events,
+        F.col("value"),
+        F.col("event_type") == "purchase",
+        F.col("event_id"),
+        n_bins=10,
+    )
+    return out.select(
+        "bin",
+        F.col("n").cast("long"),
+        F.col("positives").cast("long"),
+        F.round("rate", 6).alias("rate_r"),
+        F.round("lift", 6).alias("lift_r"),
+        F.round("cum_capture", 6).alias("cum_capture_r"),
+    )
+
+
 @register("bpe_tokenize", None)
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer train + encode (operators/bpe.py, arXiv:1508.07909):
@@ -5195,6 +5240,7 @@ _OVERFLOW = [
     "ab_experiment_readout",  # one conditional agg ≈ agg_percentiles/profile twins
     "cuped_adjusted_metric",  # covar/var broadcast + map adjust ≈ anomaly/lookup twins
     "blocking_eval_pr",  # semi-join overlap counts ≈ set_ops/exists twins
+    "score_lift_deciles",  # ntile + per-bin agg ≈ histogram/percentile twins
 ]
 
 
