@@ -5121,6 +5121,53 @@ def q_score_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rfm_user_segments",
+    """
+WITH f AS (
+  SELECT user_id AS user,
+         CAST(floor((epoch_us((SELECT max(ts) FROM events)) - epoch_us(max(ts))) / 1000000) AS BIGINT) AS recency_s,
+         count(*) AS frequency,
+         sum(value) AS monetary
+  FROM events GROUP BY user_id
+), s AS (
+  SELECT user, recency_s, frequency, round(monetary, 6) AS monetary_r,
+         6 - ntile(5) OVER (ORDER BY recency_s ASC, user) AS r_score,
+         6 - ntile(5) OVER (ORDER BY frequency DESC, user) AS f_score,
+         6 - ntile(5) OVER (ORDER BY monetary DESC, user) AS m_score
+  FROM f
+)
+SELECT user, CAST(recency_s AS BIGINT) AS recency_s,
+       CAST(frequency AS BIGINT) AS frequency, monetary_r,
+       CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+       CAST(m_score AS INT) AS m_score,
+       r_score || '' || f_score || '' || m_score AS segment
+FROM s
+""",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM user segmentation (operators/rfm.py): recency vs the
+    corpus-max anchor, frequency, monetary — each ntile(5)-scored
+    (5 best, ties pinned by user id) and concatenated into the
+    segment label. One event pass + windows over the reduced user
+    table (users ≪ events; the quantile_transform decomposition
+    applies at extreme user counts)."""
+    from .operators.rfm import rfm_segments
+
+    events = load(spark, "events", sf_dir)
+    out = rfm_segments(events)
+    return out.select(
+        "user",
+        F.col("recency_s").cast("long"),
+        F.col("frequency").cast("long"),
+        F.round("monetary", 6).alias("monetary_r"),
+        F.col("r_score").cast("int"),
+        F.col("f_score").cast("int"),
+        F.col("m_score").cast("int"),
+        "segment",
+    )
+
+
 @register("bpe_tokenize", None)
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer train + encode (operators/bpe.py, arXiv:1508.07909):
@@ -5241,6 +5288,7 @@ _OVERFLOW = [
     "cuped_adjusted_metric",  # covar/var broadcast + map adjust ≈ anomaly/lookup twins
     "blocking_eval_pr",  # semi-join overlap counts ≈ set_ops/exists twins
     "score_lift_deciles",  # ntile + per-bin agg ≈ histogram/percentile twins
+    "rfm_user_segments",  # per-user agg + ntile scoring ≈ lift/window twins
 ]
 
 
