@@ -80,3 +80,72 @@ def calibration_table(
         F.avg("__s").alias("mean_score"),
         F.avg("__y").alias("observed_rate"),
     )
+
+
+def roc_auc(df: DataFrame, score: Column, label: Column) -> DataFrame:
+    """Exact ROC-AUC via the Mann–Whitney rank identity:
+
+        AUC = (Σ_pos midrank − n_pos·(n_pos+1)/2) / (n_pos · n_neg)
+
+    with MIDRANKS for tied scores (the textbook-correct tie handling).
+    Distributed without a global sort: per-distinct-score
+    (count, positives) aggregate, the strictly-below cumulative count
+    from the value-range sharded prefix sum (quality.quantile_transform's
+    decomposition), then midrank = below + (count+1)/2 and two scalar
+    reductions. Returns one row: (auc, n_pos, n_neg)."""
+    base = df.select(score.alias("__s"), label.cast("int").alias("__y"))
+    g = base.groupBy("__s").agg(
+        F.count(F.lit(1)).alias("__c"), F.sum("__y").alias("__p")
+    )
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    bounds = g.agg(F.min("__s").alias("__lo"), F.max("__s").alias("__hi"))
+    sharded = g.crossJoin(F.broadcast(bounds)).withColumn(
+        "__shard",
+        F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+            F.least(
+                F.floor(
+                    (F.col("__s") - F.col("__lo"))
+                    / (F.col("__hi") - F.col("__lo"))
+                    * parts
+                ).cast("long"),
+                F.lit(parts - 1),
+            )
+        ),
+    )
+    w_in = Window.partitionBy("__shard").orderBy("__s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = sharded.withColumn(
+        "__below_local", F.coalesce(F.sum("__c").over(w_in), F.lit(0))
+    )
+    offs = (
+        sharded.groupBy("__shard")
+        .agg(F.sum("__c").alias("__n"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.orderBy("__shard").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__shard", "__off")
+    )
+    ranked = local.join(F.broadcast(offs), "__shard").withColumn(
+        "__midrank",
+        F.col("__off") + F.col("__below_local") + (F.col("__c") + 1) / 2.0,
+    )
+    return ranked.agg(
+        (
+            (
+                F.sum(F.col("__p") * F.col("__midrank"))
+                - F.sum("__p") * (F.sum("__p") + 1) / 2.0
+            )
+            / (F.sum("__p") * (F.sum("__c") - F.sum("__p")))
+        ).alias("auc"),
+        F.sum("__p").cast("long").alias("n_pos"),
+        (F.sum("__c") - F.sum("__p")).cast("long").alias("n_neg"),
+    )

@@ -5168,6 +5168,43 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "score_roc_auc",
+    """
+WITH s AS (
+  SELECT value AS sc, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+), g AS (
+  SELECT sc, count(*) AS c, sum(y) AS p FROM s GROUP BY sc
+), e AS (
+  SELECT sc, c, p,
+         coalesce(sum(c) OVER (ORDER BY sc
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM g
+), t AS (SELECT sum(p) AS np, sum(c) - sum(p) AS nn FROM g),
+r AS (SELECT sum(p * (below + (c + 1) / 2.0)) AS srk FROM e)
+SELECT round((srk - np * (np + 1) / 2.0) / (np * nn), 9) AS auc_r,
+       CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg
+FROM r, t
+""",
+)
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of value-as-score predicting purchases
+    (operators/calibration.py::roc_auc): the Mann–Whitney rank
+    identity with textbook midrank tie handling, distributed via the
+    value-range sharded prefix sum — no global sort. The oracle is
+    the single-window rank formulation; gate equality proves the
+    decomposition (verified against brute-force pair counting in
+    test_calibration.py)."""
+    from .operators.calibration import roc_auc
+
+    events = load(spark, "events", sf_dir)
+    out = roc_auc(events, F.col("value"), F.col("event_type") == "purchase")
+    return out.select(
+        F.round("auc", 9).alias("auc_r"), "n_pos", "n_neg"
+    )
+
+
 @register("bpe_tokenize", None)
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer train + encode (operators/bpe.py, arXiv:1508.07909):
@@ -5289,6 +5326,7 @@ _OVERFLOW = [
     "blocking_eval_pr",  # semi-join overlap counts ≈ set_ops/exists twins
     "score_lift_deciles",  # ntile + per-bin agg ≈ histogram/percentile twins
     "rfm_user_segments",  # per-user agg + ntile scoring ≈ lift/window twins
+    "score_roc_auc",  # sharded midrank prefix sum ≈ quantile_transform/KS twins
 ]
 
 

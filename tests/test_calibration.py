@@ -59,3 +59,37 @@ def test_calibration_bins_track_score_order(spark):
     scores = [r["mean_score"] for r in ct]
     assert scores == sorted(scores)  # ascending bins → ascending scores
     assert sum(r["n"] for r in ct) == 100
+
+
+def test_roc_auc_perfect_random_and_ties(spark):
+    from architrave_project_apache_nifi_spark.operators.calibration import roc_auc
+
+    # perfect separation → AUC 1; inverted → 0
+    rows = [(i, float(i), i >= 50) for i in range(100)]
+    df = _scored(spark, rows)
+    r = roc_auc(df, F.col("score"), F.col("y")).collect()[0]
+    assert abs(r["auc"] - 1.0) < 1e-12 and r["n_pos"] == 50 and r["n_neg"] == 50
+    inv = roc_auc(df, -F.col("score"), F.col("y")).collect()[0]
+    assert abs(inv["auc"] - 0.0) < 1e-12
+    # constant score → all tied → AUC exactly 0.5 via midranks
+    const = _scored(spark, [(i, 1.0, i % 2 == 0) for i in range(100)])
+    c = roc_auc(const, F.col("score"), F.col("y")).collect()[0]
+    assert abs(c["auc"] - 0.5) < 1e-12
+
+
+def test_roc_auc_matches_pair_counting(spark):
+    import itertools
+
+    from architrave_project_apache_nifi_spark.operators.calibration import roc_auc
+
+    rows = [(i, float((i * 7) % 13), i % 3 == 0) for i in range(60)]
+    df = _scored(spark, rows)
+    got = roc_auc(df, F.col("score"), F.col("y")).collect()[0]["auc"]
+    pos = [s for (_, s, y) in rows if y]
+    neg = [s for (_, s, y) in rows if not y]
+    wins = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0)
+        for p, n in itertools.product(pos, neg)
+    )
+    want = wins / (len(pos) * len(neg))
+    assert abs(got - want) < 1e-12
