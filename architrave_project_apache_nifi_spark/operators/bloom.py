@@ -23,9 +23,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Default 2^20 bits = 16 K longs ≈ 128 KB broadcast — negligible, and
-# <1% false-positive rate up to ~10^5 distinct keys (k=1 hash:
-# fp ≈ n_keys / m).
+# Default 2^20 bits = 16 K longs ≈ 128 KB broadcast — negligible.
+# With k=1 hash, fp ≈ n_keys / m: <1% up to ~10^4 distinct keys,
+# ~10% at 10^5. Size m_bits ≥ 100 × n_keys for a <1% rate; false
+# positives only cost extra rows into the real join, never wrong
+# results.
 DEFAULT_M_BITS = 1 << 20
 
 

@@ -56,8 +56,14 @@ def chunk_documents(
     """
     if stride <= 0 or size <= 0:
         raise ValueError("chunk_documents: size and stride must be positive")
-    toks = tokens(F.col(text_col))
-    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride))
+    # split('') yields [''] — filter empty tokens so an empty or
+    # whitespace-only document carries ZERO tokens (consistent with
+    # bpe_token_count) and emits ZERO chunks, not one empty chunk.
+    toks = F.filter(tokens(F.col(text_col)), lambda t: t != F.lit(""))
+    starts = F.when(
+        F.size(toks) > 0,
+        F.sequence(F.lit(0), F.size(toks) - 1, F.lit(stride)),
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
     out = df.select(
         F.col(id_col),
         toks.alias("__toks"),

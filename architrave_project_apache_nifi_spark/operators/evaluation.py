@@ -30,10 +30,16 @@ def pair_set_metrics(
     precision is NULL when nothing was predicted, recall NULL when
     truth is empty (SQL division semantics — explicit, not 0)."""
     def canon(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.least(F.col(a_col), F.col(b_col)).alias("a"),
-            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
-        ).distinct()
+        # least/greatest skip NULLs, so an edge with one NULL endpoint
+        # would degenerate to (x, x) and be counted; drop such edges.
+        return (
+            df.where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+            .select(
+                F.least(F.col(a_col), F.col(b_col)).alias("a"),
+                F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+            )
+            .distinct()
+        )
 
     p = canon(predicted)
     t = canon(truth)

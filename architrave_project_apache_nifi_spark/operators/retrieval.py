@@ -110,6 +110,8 @@ def rrf_fuse(
     contribute nothing from it. Output: (id, rrf_score, rank)."""
     if not ranked_lists:
         raise ValueError("rrf_fuse: no lists")
+    if topk is not None and topk <= 0:
+        raise ValueError(f"rrf_fuse: topk must be positive, got {topk}")
     parts = [
         r.select(
             F.col(id_col),
@@ -127,4 +129,4 @@ def rrf_fuse(
             Window.orderBy(F.col("rrf_score").desc(), F.col(id_col))
         ),
     )
-    return out.filter(F.col("rank") <= topk) if topk else out
+    return out.filter(F.col("rank") <= topk) if topk is not None else out

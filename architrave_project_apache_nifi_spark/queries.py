@@ -3875,9 +3875,12 @@ def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_chunking",
     r"""
 WITH t AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+  FROM documents
 ), s AS (
-  SELECT doc_id, toks, unnest(generate_series(0, greatest(len(toks)-1, 0), 8)) AS start FROM t
+  SELECT doc_id, toks, unnest(generate_series(0, len(toks)-1, 8)) AS start
+  FROM t WHERE len(toks) > 0
 )
 SELECT doc_id, CAST(start/8 AS INT) AS chunk_id,
        array_to_string(list_slice(toks, start+1, start+16), ' ') AS chunk_text,
@@ -3903,11 +3906,14 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_unit_firstseen",
     r"""
 WITH t AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+  FROM documents
 ), units AS (
   SELECT doc_id, CAST(start/10 AS INT) AS pos,
          array_to_string(list_slice(toks, start+1, start+10), ' ') AS unit
-  FROM (SELECT doc_id, toks, unnest(generate_series(0, greatest(len(toks)-1,0), 10)) AS start FROM t)
+  FROM (SELECT doc_id, toks, unnest(generate_series(0, len(toks)-1, 10)) AS start
+        FROM t WHERE len(toks) > 0)
 ), ranked AS (
   SELECT doc_id, pos, unit,
          row_number() OVER (PARTITION BY unit ORDER BY doc_id, pos) AS rn

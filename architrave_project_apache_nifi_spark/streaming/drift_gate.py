@@ -52,8 +52,12 @@ def drift_gate_batch(
         os.path.join(root, side, f"batch={batch_id}")
     )
     if not ok:
+        # Reports live under a SIBLING root, not inside quarantine/ —
+        # the report schema differs from the data schema, so mixing
+        # them under one root would break partition-discovery reads
+        # of quarantine/.
         report.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(root, "quarantine", f"batch={batch_id}_psi")
+            os.path.join(root, "reports", f"batch={batch_id}")
         )
     return ok
 

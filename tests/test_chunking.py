@@ -51,9 +51,23 @@ def test_chunk_coverage_no_token_lost(spark):
     chunks = chunk_documents(docs, "doc_id", "text", size=10, stride=10)
     n_chunk_tokens = chunks.agg(F.sum("n_tokens")).collect()[0][0]
     n_doc_tokens = docs.select(
-        F.size(F.split(F.lower(F.trim("text")), r"\s+")).alias("n")
+        F.size(
+            F.filter(
+                F.split(F.lower(F.trim("text")), r"\s+"), lambda t: t != F.lit("")
+            )
+        ).alias("n")
     ).agg(F.sum("n")).collect()[0][0]
     assert n_chunk_tokens == n_doc_tokens
+
+
+def test_chunk_empty_doc_yields_zero_chunks(spark):
+    """Empty / whitespace-only / NULL text must not produce a phantom
+    1-token chunk (split('') yields ['']) — zero chunks, consistent
+    with bpe_token_count reporting 0 tokens."""
+    df = _docs(spark, [(1, ""), (2, "   "), (3, None), (4, "real text")])
+    out = chunk_documents(df, "doc_id", "text", size=16, stride=8).collect()
+    assert [r["doc_id"] for r in out] == [4]
+    assert out[0]["n_tokens"] == 2
 
 
 def test_split_reassemble_round_trip(spark):

@@ -33,10 +33,16 @@ def test_shifted_batch_quarantines_with_report(spark, tmp_path):
     ok = drift_gate_batch(bad, events, root, 7, ["value"], None)
     assert not ok
     assert os.path.isdir(os.path.join(root, "quarantine", "batch=7"))
-    rep = spark.read.parquet(os.path.join(root, "quarantine", "batch=7_psi"))
+    rep = spark.read.parquet(os.path.join(root, "reports", "batch=7"))
     rows = {r["column"]: r["verdict"] for r in rep.collect()}
     assert rows["value"] == "shifted"
     assert not os.path.isdir(os.path.join(root, "accepted", "batch=7"))
+    # quarantine/ holds ONLY data directories (uniform schema), so a
+    # partition-discovery read of the whole root works.
+    quarantined = spark.read.option("basePath", os.path.join(root, "quarantine")).parquet(
+        os.path.join(root, "quarantine", "batch=7")
+    )
+    assert quarantined.count() == _events(spark).count()
 
 
 def test_replay_is_idempotent(spark, tmp_path):
@@ -78,8 +84,5 @@ def test_stream_routes_batches(spark, tmp_path):
     q2.awaitTermination(120)
 
     accepted = os.listdir(os.path.join(root, "accepted"))
-    quarantined = [
-        d for d in os.listdir(os.path.join(root, "quarantine"))
-        if not d.endswith("_psi")
-    ]
+    quarantined = os.listdir(os.path.join(root, "quarantine"))
     assert len(accepted) == 1 and len(quarantined) == 1

@@ -184,3 +184,18 @@ def test_pair_set_metrics_arithmetic(spark):
     empty = spark.createDataFrame([], "id_a long, id_b long")
     r2 = pair_set_metrics(empty, truth).collect()[0]
     assert r2["precision"] is None and r2["recall"] == 0.0
+
+
+def test_pair_set_metrics_drops_null_endpoint_edges(spark):
+    """least/greatest skip NULLs — a (1, NULL) edge must be dropped,
+    not counted as a degenerate (1, 1) pair."""
+    from architrave_project_apache_nifi_spark.operators.evaluation import (
+        pair_set_metrics,
+    )
+
+    pred = spark.createDataFrame(
+        [(1, None), (None, 2), (3, 4)], "id_a long, id_b long"
+    )
+    truth = spark.createDataFrame([(1, 1), (3, 4)], "id_a long, id_b long")
+    r = pair_set_metrics(pred, truth).collect()[0]
+    assert (r["n_predicted"], r["n_truth"], r["n_common"]) == (1, 2, 1)

@@ -86,3 +86,12 @@ def test_hybrid_pipeline_composes(spark):
     rows = fused.collect()
     assert len(rows) == 10
     assert all(r["rrf_score"] > 0 for r in rows)
+
+
+def test_rrf_rejects_nonpositive_topk(spark):
+    """topk=0 must raise, not silently mean 'no limit' (falsy trap)."""
+    a = spark.createDataFrame([(1, 1)], "doc_id long, rank int")
+    with pytest.raises(ValueError):
+        rrf_fuse([a], "doc_id", topk=0)
+    with pytest.raises(ValueError):
+        rrf_fuse([a], "doc_id", topk=-3)
