@@ -188,6 +188,128 @@ def scd2_apply(
     return updated_history.unionByName(new_versions)
 
 
+def scd2_split_late(
+    history: DataFrame,
+    changes: DataFrame,
+    key_cols: str | Sequence[str],
+    ts_col: str,
+    max_broadcast_keys: int = 1_000_000,
+) -> tuple[DataFrame, DataFrame]:
+    """Partition a change batch into (on_time, late) relative to an
+    existing SCD2 history — the QUARANTINE half of the cross-batch
+    late-event policy.
+
+    A change is LATE iff its key already has history and the change's
+    ``ts_col`` is <= that key's latest ``valid_from``: appending it via
+    :func:`scd2_apply` would produce an inverted or zero-length
+    interval. Everything else (new keys, strictly newer timestamps) is
+    safely appendable.
+
+    The reference has no such notion — it trusts binlog arrival order
+    outright (SURVEY.md §1.5; the expire UPDATE at
+    final_template.xml:4646-4797 stamps ``now()`` unconditionally) — so
+    this is beyond-parity protection for binlog replays and source
+    backfills. Compose: ``on_time`` -> :func:`scd2_apply`; ``late`` ->
+    a quarantine sink (sources/sinks.py side-channel) or
+    :func:`scd2_apply_late` to splice them in.
+
+    Scale: the per-key latest-``valid_from`` summary is computed from
+    history ONLY for the batch's touched keys (broadcast semi-join
+    first, aggregate after), so the shuffle is bounded by the touched
+    subset, never the full history; the summary itself (one row per
+    touched key) broadcasts back against the batch.
+    """
+    keys = _as_list(key_cols)
+    touched = changes.select(*keys).distinct()
+    if touched.count() <= max_broadcast_keys:
+        touched = F.broadcast(touched)
+    latest = (
+        history.join(touched, on=keys, how="left_semi")
+        .groupBy(*keys)
+        .agg(F.max("valid_from").alias("__latest_from"))
+    )
+    probed = changes.join(F.broadcast(latest), on=keys, how="left")
+    is_late = F.col("__latest_from").isNotNull() & (
+        F.col(ts_col) <= F.col("__latest_from")
+    )
+    on_time = probed.filter(~is_late).drop("__latest_from")
+    late = probed.filter(is_late).drop("__latest_from")
+    return on_time, late
+
+
+def scd2_apply_late(
+    history: DataFrame,
+    changes: DataFrame,
+    key_cols: str | Sequence[str],
+    ts_col: str,
+    order_cols: Sequence[str] = (),
+    tombstone_col: str | None = None,
+    dedupe: bool = True,
+    max_broadcast_keys: int = 1_000_000,
+) -> DataFrame:
+    """Merge a batch that may contain LATE events (event time older
+    than the key's current ``valid_from``) by SPLICING: the touched
+    keys' version chains are rebuilt from scratch with the late rows in
+    their correct temporal position; untouched keys pass through
+    without being read twice or shuffled.
+
+    This is the policy :func:`scd2_apply` (reference-compat,
+    arrival-order trust per SURVEY.md §1.5 / final_template.xml:
+    4295-4301) deliberately does not have. Properties (tested in
+    tests/test_scd2_properties.py):
+
+    - ORDER-FREE: applying any partition of a change set as successive
+      batches, in ANY order, yields the same history as one-shot
+      :func:`scd2_build` of the whole set.
+    - IDEMPOTENT under replay when ``dedupe`` (the default): an event
+      is identified by ``(key, ts, *order_cols)``; re-delivering a
+      batch leaves the history unchanged.
+    - The SCD2 invariants (:func:`scd2_invariants`) hold after every
+      merge: half-open, chained, non-overlapping, one current per key.
+
+    Limitation: on histories with tombstone GAPS (a key deleted then
+    re-inserted via ``scd2_build(tombstone_col=...)``), rebuilding an
+    affected key re-chains its surviving versions and closes the gap —
+    the delete marker itself is not stored. Route such keys through
+    :func:`scd2_split_late` + quarantine instead.
+
+    Scale: one broadcast semi/anti split of the history on the touched
+    keys (history itself never shuffles; only the affected subset —
+    bounded by batch keys x versions-per-key — enters the rebuild
+    window), then a union. The reference's two-sink race cannot express
+    this at all; a backfill there silently corrupts history
+    (README.md:186-195).
+    """
+    keys = _as_list(key_cols)
+    touched = changes.select(*keys).distinct()
+    if touched.count() <= max_broadcast_keys:
+        touched = F.broadcast(touched)
+    affected = history.join(touched, on=keys, how="left_semi")
+    untouched = history.join(touched, on=keys, how="left_anti")
+
+    # Rebuild input = affected versions (SCD2 stamps stripped; their
+    # event time is valid_from by construction) + the incoming rows.
+    stripped = affected.drop(*SCD2_COLS)
+    if ts_col not in stripped.columns:
+        stripped = stripped.withColumn(ts_col, F.col("valid_from"))
+    stripped = widen_like(stripped, changes, exclude=SCD2_COLS)
+    incoming = widen_like(changes, stripped, exclude=SCD2_COLS)
+    merged_in = stripped.unionByName(incoming.select(*stripped.columns))
+    if tombstone_col is not None:
+        # history rows adopted a NULL tombstone column via widen_like;
+        # ~NULL is NULL, which scd2_build's filter would silently drop
+        merged_in = merged_in.withColumn(
+            tombstone_col, F.coalesce(F.col(tombstone_col), F.lit(False))
+        )
+    if dedupe:
+        merged_in = merged_in.dropDuplicates([*keys, ts_col, *order_cols])
+    rebuilt = scd2_build(
+        merged_in, keys, ts_col, order_cols, tombstone_col=tombstone_col
+    )
+    untouched = widen_like(untouched, rebuilt)
+    return untouched.unionByName(rebuilt.select(*untouched.columns))
+
+
 def scd2_current(history: DataFrame) -> DataFrame:
     """The reference's lookup dimension: ``(SELECT * FROM …history WHERE
     Is_current='Y') AS current`` (final_template.xml:1439). Plain filter —

@@ -244,3 +244,151 @@ def test_store_random_batches_with_maintenance(spark, tmp_path_factory, events, 
     assert _norm(store.read_all(spark)) == _norm(rebuilt)
     for s in store.snapshots():
         store.read_snapshot(spark, s).count()  # every retained seq readable
+
+
+# ---------------------------------------------------------------------------
+# Cross-batch LATE events (round-4 semantics): scd2_apply trusts arrival
+# order (reference compat, SURVEY.md §1.5); scd2_apply_late SPLICES and
+# must therefore be ORDER-FREE over arbitrary batch partitions, and
+# idempotent under replay; scd2_split_late is the quarantine policy.
+
+from architrave_project_apache_nifi_spark.operators.scd2 import (  # noqa: E402
+    scd2_apply_late,
+    scd2_invariants,
+    scd2_split_late,
+)
+
+
+def _assert_invariants_empty(hist, keys="ProductID"):
+    bad = scd2_invariants(hist, keys).collect()
+    assert bad == [], f"invariant violations: {bad}"
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    events=_EVENTS,
+    perm=st.randoms(use_true_random=False),
+    cut=st.integers(min_value=0, max_value=11),
+    data=st.data(),
+)
+def test_apply_late_is_order_free(spark, events, perm, cut, data):
+    """ADVERSARIAL batch order: shuffle the event stream, cut it into up
+    to 3 batches, apply with scd2_apply_late — the result must equal the
+    one-shot scd2_build of the whole set, and all SCD2 invariants hold.
+    (scd2_apply would produce inverted intervals here; this is the
+    splice policy's defining property.)"""
+    rows = [
+        (k, p, dt.datetime(2026, 1, 1, 8, m), i)
+        for i, (k, m, p) in enumerate(events)
+    ]
+    schema = "ProductID INT, Price DOUBLE, change_ts TIMESTAMP, seq LONG"
+    rebuilt = scd2_build(
+        spark.createDataFrame(rows, schema), "ProductID", "change_ts", ("seq",)
+    )
+
+    perm.shuffle(rows)  # arbitrary arrival order, decoupled from event time
+    cut = min(cut, len(rows))
+    cut2 = data.draw(st.integers(min_value=cut, max_value=len(rows)))
+    parts = [rows[:cut], rows[cut:cut2], rows[cut2:]]
+
+    hist = None
+    for part in parts:
+        if not part:
+            continue
+        batch = spark.createDataFrame(part, schema)
+        if hist is None:
+            hist = scd2_build(batch, "ProductID", "change_ts", ("seq",))
+        else:
+            hist = scd2_apply_late(
+                hist, batch, "ProductID", "change_ts", ("seq",)
+            )
+    assert hist is not None
+    assert _norm(hist) == _norm(rebuilt)
+    _assert_invariants_empty(hist)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(events=_EVENTS, cut=st.integers(min_value=1, max_value=11))
+def test_apply_late_replay_idempotent(spark, events, cut):
+    """Re-delivering an entire batch (at-least-once source) must leave
+    the spliced history unchanged: events are identified by
+    (key, ts, seq) and deduped."""
+    events = sorted(events, key=lambda e: e[1])
+    rows = [
+        (k, p, dt.datetime(2026, 1, 1, 8, m), i)
+        for i, (k, m, p) in enumerate(events)
+    ]
+    schema = "ProductID INT, Price DOUBLE, change_ts TIMESTAMP, seq LONG"
+    cut = min(cut, len(rows))
+    first, second = rows[:cut], rows[cut:]
+    if not first or not second:
+        return
+    hist = scd2_build(
+        spark.createDataFrame(first, schema), "ProductID", "change_ts", ("seq",)
+    )
+    once = scd2_apply_late(
+        hist, spark.createDataFrame(second, schema),
+        "ProductID", "change_ts", ("seq",),
+    )
+    twice = scd2_apply_late(
+        once, spark.createDataFrame(second, schema),
+        "ProductID", "change_ts", ("seq",),
+    )
+    assert _norm(twice) == _norm(once)
+    _assert_invariants_empty(twice)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(events=_EVENTS, cut=st.integers(min_value=1, max_value=11))
+def test_split_late_partitions_exactly(spark, events, cut):
+    """on_time ∪ late == batch (disjoint); late is precisely the set
+    whose key exists in history with latest valid_from >= the change's
+    ts; merging only on_time via scd2_apply keeps every invariant."""
+    events = sorted(events, key=lambda e: e[1])
+    rows = [
+        (k, p, dt.datetime(2026, 1, 1, 8, m), i)
+        for i, (k, m, p) in enumerate(events)
+    ]
+    schema = "ProductID INT, Price DOUBLE, change_ts TIMESTAMP, seq LONG"
+    cut = min(cut, len(rows))
+    first, second = rows[:cut], rows[cut:]
+    if not first or not second:
+        return
+    hist = scd2_build(
+        spark.createDataFrame(first, schema), "ProductID", "change_ts", ("seq",)
+    )
+    latest = {}
+    for k, _p, ts, _s in first:
+        latest[k] = max(latest.get(k, ts), ts)
+    batch = spark.createDataFrame(second, schema)
+    on_time, late = scd2_split_late(hist, batch, "ProductID", "change_ts")
+    got_on = {r.seq for r in on_time.collect()}
+    got_late = {r.seq for r in late.collect()}
+    assert got_on | got_late == {r[3] for r in second}
+    assert got_on & got_late == set()
+    expect_late = {
+        s for k, _p, ts, s in second if k in latest and ts <= latest[k]
+    }
+    assert got_late == expect_late
+    if got_on:
+        merged = scd2_apply(
+            hist,
+            batch.join(
+                spark.createDataFrame([(s,) for s in got_on], "seq LONG"),
+                "seq", "left_semi",
+            ),
+            "ProductID", "change_ts", ("seq",),
+        )
+        _assert_invariants_empty(merged)
