@@ -334,30 +334,80 @@ class _LoopbackBatchWriter(_LoopbackWriterBase, DataSourceWriter):
 
 
 class _LoopbackStreamWriter(_LoopbackWriterBase, DataSourceStreamWriter):
-    """Exactly-once per micro-batch: committed batch ids are recorded
-    in ``<topic>/_commits.json`` (atomic replace) and replayed ids are
-    skipped — the sink-side dedup a replayed foreachBatch/epoch needs."""
+    """Exactly-once per micro-batch. ``<topic>/_commits.json`` (flipped
+    by atomic replace) records BOTH the committed batch ids — so a
+    replayed epoch is skipped — and the committed byte length of every
+    partition log. The lengths close the crash window between append
+    and marker write: a commit attempt first TRUNCATES each partition
+    log back to its committed length (and deletes partition files the
+    marker has never seen), erasing any half-appended rows a crashed
+    attempt left behind, then appends, then flips the marker. Until
+    the replay runs, uncommitted tail rows are visible to readers —
+    the same ``read_uncommitted`` isolation a real Kafka consumer has
+    by default; the truncation plays the abort-marker role.
+
+    Corollary (documented test-double limit): a topic fed by this
+    streaming writer must not concurrently take batch-writer appends —
+    the fence cannot tell those from a crashed attempt's residue, just
+    as a transactional Kafka producer fences zombie writers."""
 
     def _commits_path(self) -> str:
         return os.path.join(self.broker_dir, self.topic, "_commits.json")
 
-    def _committed(self) -> set[int]:
+    def _load_state(self) -> dict | None:
         p = self._commits_path()
         if not os.path.exists(p):
-            return set()
+            return None
         with open(p) as fh:
-            return set(json.load(fh)["batches"])
+            return json.load(fh)
 
-    def commit(self, messages, batchId: int) -> None:  # noqa: N803 — API name
-        done = self._committed()
-        if batchId in done:
-            return
-        self._apply(list(messages))
+    def _committed(self) -> set[int]:
+        state = self._load_state()
+        return set(state["batches"]) if state else set()
+
+    def _partition_sizes(self) -> dict[str, int]:
+        return {
+            str(part): os.path.getsize(
+                _partition_file(self.broker_dir, self.topic, part)
+            )
+            for part in _topic_partitions(self.broker_dir, self.topic)
+        }
+
+    def _write_state(self, batches: set[int]) -> None:
         os.makedirs(os.path.dirname(self._commits_path()), exist_ok=True)
         tmp = self._commits_path() + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump({"batches": sorted(done | {batchId})}, fh)
+            json.dump(
+                {"batches": sorted(batches), "ends": self._partition_sizes()},
+                fh,
+            )
         os.replace(tmp, self._commits_path())
+
+    def _fence(self, ends: dict[str, int]) -> None:
+        for part in _topic_partitions(self.broker_dir, self.topic):
+            fp = _partition_file(self.broker_dir, self.topic, part)
+            committed = ends.get(str(part))
+            if committed is None:
+                os.remove(fp)  # born in an uncommitted attempt
+            elif os.path.getsize(fp) > committed:
+                with open(fp, "r+") as fh:
+                    fh.truncate(committed)
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803 — API name
+        state = self._load_state()
+        if state is None:
+            # first-ever commit on this topic: record the baseline
+            # (pre-populated batch data included) BEFORE appending, so
+            # a crash during this very batch is fence-able on replay
+            self._write_state(set())
+            state = self._load_state()
+        done = set(state["batches"])
+        if batchId in done:
+            return
+        if "ends" in state:  # a lengths-free legacy marker can't fence
+            self._fence(state["ends"])
+        self._apply(list(messages))
+        self._write_state(done | {batchId})
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803 — API name
         pass

@@ -38,7 +38,10 @@ from ..operators.similarity import (
     ivf_save,
 )
 
+from .commitdirs import committed_batch_dirs
+
 _POINTER = "_CURRENT"
+_FOLDED = "_FOLDED"
 
 
 def _base_dir(root: str) -> str:
@@ -78,21 +81,32 @@ def ingest_batch(
     return spark.read.parquet(out).count()
 
 
+def _folded_deltas(base_dir: str) -> set[str]:
+    """Delta dir names the base already absorbed (written by
+    ``rebuild`` BEFORE the pointer flip): a crash after the flip but
+    before delta cleanup must not double-count them."""
+    p = os.path.join(base_dir, _FOLDED)
+    if not os.path.exists(p):
+        return set()
+    with open(p) as f:
+        return {ln.strip() for ln in f if ln.strip()}
+
+
 def load_index(spark: SparkSession, root: str) -> IvfIndex:
     """Base + all committed deltas as one probe-able index. Each
     source keeps its own ``list_id=`` partitioning, so probe pruning
-    applies per source."""
-    base = ivf_load(spark, _base_dir(root))
-    ddir = os.path.join(root, "deltas")
-    dirs = (
-        [
-            os.path.join(ddir, d)
-            for d in sorted(os.listdir(ddir))
-            if d.startswith("batch=")
-        ]
-        if os.path.isdir(ddir)
-        else []
-    )
+    applies per source. Skips (a) deltas the base's ``_FOLDED`` record
+    says were already compacted into it — the crash-after-flip window
+    of ``rebuild`` — and (b) torn delta dirs with no ``_SUCCESS``
+    (crash mid-write; their batch replays)."""
+    bdir = _base_dir(root)
+    base = ivf_load(spark, bdir)
+    folded = _folded_deltas(bdir)
+    dirs = [
+        p
+        for _, p in committed_batch_dirs(os.path.join(root, "deltas"))
+        if os.path.basename(p) not in folded
+    ]
     if not dirs:
         return base
     assigned = base.assigned
@@ -106,6 +120,23 @@ def load_index(spark: SparkSession, root: str) -> IvfIndex:
     )
 
 
+def sweep(root: str) -> None:
+    """Garbage-collect leftovers of a crashed ``rebuild``: base dirs
+    the pointer doesn't reference (crash before the flip, or after it
+    before the old base was removed) and delta dirs the current base's
+    ``_FOLDED`` record says are absorbed (crash after the flip before
+    delta cleanup). Pure deletion of unreferenced state — always safe,
+    run any time."""
+    cur = _base_dir(root)
+    for d in os.listdir(root):
+        p = os.path.join(root, d)
+        if d.startswith("base") and os.path.isdir(p) and p != cur:
+            shutil.rmtree(p, ignore_errors=True)
+    ddir = os.path.join(root, "deltas")
+    for name in _folded_deltas(cur):
+        shutil.rmtree(os.path.join(ddir, name), ignore_errors=True)
+
+
 def rebuild(
     spark: SparkSession,
     root: str,
@@ -113,15 +144,27 @@ def rebuild(
     nlist: int | None = None,
 ) -> None:
     """Compaction: retrain a fresh base from every vector the index
-    holds (base + deltas), write it beside the old one, atomically
-    flip the pointer, then drop the old base and the folded deltas.
-    A crash before the flip leaves the old index intact; after it,
-    the new index serves and leftovers are swept here next time."""
+    holds (base + live deltas), write it beside the old one — with a
+    ``_FOLDED`` record of exactly which delta dirs it absorbed —
+    atomically flip the pointer, then drop the old base and the folded
+    deltas.
+
+    Crash-safety (tests/test_crash_injection.py): before the flip the
+    old index serves unchanged and the half-built base is swept later;
+    after the flip the ``_FOLDED`` record keeps ``load_index`` from
+    double-counting deltas whose cleanup never ran — no loss, no
+    duplication, at every kill point."""
+    sweep(root)  # clear any prior crash's leftovers first
     idx = load_index(spark, root)
     vectors = idx.assigned.select(idx.id_col, "__cv").withColumnRenamed(
         "__cv", vec_col
     )
     old = _base_dir(root)
+    folding = [
+        os.path.basename(p)
+        for _, p in committed_batch_dirs(os.path.join(root, "deltas"))
+        if os.path.basename(p) not in _folded_deltas(old)
+    ]
     new_name = (
         "base_1" if os.path.basename(old) == "base"
         else f"base_{int(os.path.basename(old).split('_')[1]) + 1}"
@@ -130,12 +173,18 @@ def rebuild(
         vectors, idx.id_col, vec_col, nlist=nlist or idx.nlist
     )
     ivf_save(new_index, os.path.join(root, new_name))
+    with open(os.path.join(root, new_name, _FOLDED), "w") as f:
+        f.write("\n".join(folding))
     tmp = os.path.join(root, _POINTER + ".tmp")
     with open(tmp, "w") as f:
         f.write(new_name)
     os.replace(tmp, os.path.join(root, _POINTER))  # atomic flip
     shutil.rmtree(old, ignore_errors=True)
-    shutil.rmtree(os.path.join(root, "deltas"), ignore_errors=True)
+    ddir = os.path.join(root, "deltas")
+    for name in folding:
+        shutil.rmtree(os.path.join(ddir, name), ignore_errors=True)
+    if os.path.isdir(ddir) and not os.listdir(ddir):
+        os.rmdir(ddir)
 
 
 def run_ann_ingest_stream(

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.dedup import content_fingerprints, dedup_incremental
+from .commitdirs import committed_batch_dirs
 
 
 def read_fingerprints(
@@ -47,34 +48,24 @@ def read_fingerprints(
     DataFrame when nothing has been ingested yet). ``exclude_batch``
     skips that batch's own directory — a REPLAYED micro-batch must not
     see the fingerprints its first attempt wrote, or it would judge all
-    of its own documents already-seen and commit an empty batch."""
-    fps_dir = os.path.join(root, "fps")
-    batches = (
-        [
-            os.path.join(fps_dir, d)
-            for d in sorted(os.listdir(fps_dir))
-            if d.startswith("batch=") and d != f"batch={exclude_batch}"
-        ]
-        if os.path.isdir(fps_dir)
-        else []
-    )
+    of its own documents already-seen and commit an empty batch.
+    Torn directories (crash mid-write, no ``_SUCCESS``) are skipped
+    (commitdirs.py) — their batch replays and overwrites them."""
+    batches = [
+        p
+        for _, p in committed_batch_dirs(
+            os.path.join(root, "fps"), exclude_batch=exclude_batch
+        )
+    ]
     if not batches:
         return spark.createDataFrame([], "fp long, first_id long")
     return spark.read.parquet(*batches)
 
 
 def read_corpus(spark: SparkSession, root: str) -> DataFrame:
-    """Every document kept so far."""
+    """Every document kept so far (committed batches only)."""
     corpus_dir = os.path.join(root, "corpus")
-    batches = (
-        [
-            os.path.join(corpus_dir, d)
-            for d in sorted(os.listdir(corpus_dir))
-            if d.startswith("batch=")
-        ]
-        if os.path.isdir(corpus_dir)
-        else []
-    )
+    batches = [p for _, p in committed_batch_dirs(corpus_dir)]
     if not batches:
         raise FileNotFoundError(f"no ingested batches under {corpus_dir}")
     return spark.read.parquet(*batches)

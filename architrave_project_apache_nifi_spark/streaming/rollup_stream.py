@@ -32,17 +32,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.incremental_agg import finalize, incremental_refresh
+from .commitdirs import committed_batch_dirs
 
 
 def _state_dirs(root: str) -> list[tuple[int, str]]:
-    sdir = os.path.join(root, "state")
-    if not os.path.isdir(sdir):
-        return []
-    out = []
-    for d in os.listdir(sdir):
-        if d.startswith("batch="):
-            out.append((int(d.split("=", 1)[1]), os.path.join(sdir, d)))
-    return sorted(out)
+    # committed snapshots only: a crash mid-write leaves a torn
+    # batch=<id> dir with no _SUCCESS; readers must fall back to the
+    # predecessor until the batch replays (commitdirs.py)
+    return committed_batch_dirs(os.path.join(root, "state"))
 
 
 def read_state(
