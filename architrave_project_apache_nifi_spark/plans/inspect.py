@@ -64,6 +64,51 @@ def count_shuffles(df: DataFrame) -> int:
     )
 
 
+def plan_signature(df: DataFrame) -> dict[str, int]:
+    """Shuffle/sort/join operator counts of the physical plan — the
+    scale-relevant shape, condensed to a comparable dict. Used by the
+    full-registry plan-regression harness (tests/test_plan_goldens.py):
+    a refactor that silently adds an Exchange, degrades a broadcast
+    join to a sort-merge join, or introduces a cartesian product to ANY
+    registry query breaks the golden diff, not just the ~23 hand-picked
+    plan tests.
+
+    Keys count node occurrences in the pre-execution plan (AQE's
+    initial plan — deterministic, unlike the runtime-adapted final
+    plan); exchanges are split by partitioning kind, since a
+    rangepartitioning (global sort) and a SinglePartition funnel are
+    different scale hazards than a hash shuffle."""
+    import re
+
+    plan = formatted_plan(df)
+    nodes = re.findall(r"^\(\d+\) ([A-Za-z][\w]*)", plan, re.M)
+    args = [
+        ln.strip().split("Arguments:", 1)[1]
+        for ln in plan.splitlines()
+        if ln.strip().startswith("Arguments:")
+    ]
+    sig = {
+        "exchange_hash": sum(
+            1 for a in args if a.lstrip().startswith("hashpartitioning")
+        ),
+        "exchange_range": sum(
+            1 for a in args if a.lstrip().startswith("rangepartitioning")
+        ),
+        "exchange_single": sum(
+            1 for a in args if a.lstrip().startswith("SinglePartition")
+        ),
+        "broadcast_exchange": nodes.count("BroadcastExchange"),
+        "sort": nodes.count("Sort"),
+        "sort_merge_join": nodes.count("SortMergeJoin"),
+        "broadcast_hash_join": nodes.count("BroadcastHashJoin"),
+        "shuffled_hash_join": nodes.count("ShuffledHashJoin"),
+        "broadcast_nl_join": nodes.count("BroadcastNestedLoopJoin"),
+        "cartesian_product": nodes.count("CartesianProduct"),
+        "window": nodes.count("Window") + nodes.count("WindowGroupLimit"),
+    }
+    return sig
+
+
 def has_wholestage_codegen(df: DataFrame) -> bool:
     """True if any part of the plan compiles into whole-stage codegen.
 
