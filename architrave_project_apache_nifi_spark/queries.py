@@ -30,10 +30,12 @@ from .operators.lookup import lookup_matched, lookup_record, lookup_unmatched
 from .operators.routing import route_on_predicates
 from .operators.scd2 import (
     scd2_apply,
+    scd2_apply_late,
     scd2_as_of,
     scd2_build,
     scd2_current,
     scd2_invariants,
+    scd2_split_late,
 )
 from .tables import load, spread
 
@@ -310,6 +312,69 @@ def q_scd2_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = scd2_build(events, "user_id", "ts", ("event_id",), tombstone_col="__tomb")
     return hist.select(
         "user_id", "event_id", "value", "valid_from", "valid_until", "is_current"
+    )
+
+
+@register("scd2_late_splice", _SCD2_ORACLE)
+def q_scd2_late_splice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch LATE-event merge, SPLICE policy (round-4 semantics,
+    beyond the reference's arrival-order trust — SURVEY.md §1.5):
+    history is built from two thirds of the stream, then the remaining
+    third — whose event times INTERLEAVE the history, i.e. genuinely
+    late — is merged with scd2_apply_late. The spliced result must
+    equal the one-shot build of the whole stream (the oracle), proving
+    the order-free property on real data, not just hypothesis corners.
+    Scale: history splits broadcast semi/anti on touched keys; only
+    affected keys re-enter the version window."""
+    events = load(spark, "events", sf_dir)
+    on_time = events.filter(F.col("event_id") % 3 != 2)
+    late = events.filter(F.col("event_id") % 3 == 2)
+    hist = scd2_build(on_time, "user_id", "ts", ("event_id",))
+    merged = scd2_apply_late(hist, late, "user_id", "ts", ("event_id",))
+    return merged.select(
+        "user_id", "event_id", "value", "valid_from", "valid_until", "is_current"
+    )
+
+
+@register(
+    "scd2_late_quarantine",
+    f"""
+WITH hist AS (
+  SELECT user_id, max(ts) AS latest_from FROM events
+  WHERE ts < TIMESTAMP '{_MERGE_CUTOFF}' GROUP BY user_id
+), batch AS (
+  SELECT event_id, ts, user_id, value FROM events
+  WHERE ts >= TIMESTAMP '{_MERGE_CUTOFF}'
+  UNION ALL
+  SELECT event_id, ts, user_id, value FROM events
+  WHERE ts < TIMESTAMP '{_MERGE_CUTOFF}' AND event_id % 7 = 0
+)
+SELECT CASE WHEN h.user_id IS NOT NULL AND b.ts <= h.latest_from
+            THEN 'late' ELSE 'on_time' END AS route,
+       b.user_id, b.event_id, b.ts, b.value
+FROM batch b LEFT JOIN hist h USING (user_id)
+""",
+)
+def q_scd2_late_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch LATE-event detection, QUARANTINE policy: a batch
+    mixing genuinely-new changes with a binlog REPLAY of old ones
+    (every 7th pre-cutoff event re-delivered) is split by
+    scd2_split_late — replayed rows route to 'late' (appending them
+    would invert intervals), fresh rows to 'on_time'. The per-key
+    latest-valid_from summary is computed only for touched keys and
+    broadcast; history never shuffles."""
+    events = load(spark, "events", sf_dir)
+    first = events.filter(F.col("ts") < F.lit(_MERGE_CUTOFF).cast("timestamp"))
+    hist = scd2_build(first, "user_id", "ts", ("event_id",))
+    replayed = first.filter(F.col("event_id") % 7 == 0)
+    batch = events.filter(
+        F.col("ts") >= F.lit(_MERGE_CUTOFF).cast("timestamp")
+    ).unionByName(replayed)
+    on_time, late = scd2_split_late(hist, batch, "user_id", "ts")
+    pick = ["user_id", "event_id", "ts", "value"]
+    return (
+        on_time.select(F.lit("on_time").alias("route"), *pick)
+        .unionByName(late.select(F.lit("late").alias("route"), *pick))
     )
 
 
@@ -5234,6 +5299,11 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # operator. Still registered and still verified every round by
 # scripts/check_oracles.py, which checks ALL entries.
 _OVERFLOW = [
+    # round 4 rotation: the new late-event SCD2 family
+    # (scd2_late_splice, scd2_late_quarantine) enters the window; the
+    # two below leave, each with an in-window mechanical twin:
+    "wordcount_top100",  # explode+agg+top-k covered by array_agg + cube
+    "set_ops_click_purchase",  # set ops covered by exists_routes semi/anti
     "scd2_invariant_violations",  # invariant checker; property-tested
     "string_functions",  # string funcs also in regex_extract/text ops
     "q4_order_priority",  # EXISTS covered by q21 + exists_routes
