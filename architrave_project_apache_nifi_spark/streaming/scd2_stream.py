@@ -37,9 +37,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.scd2 import scd2_apply, scd2_build
+from ..operators.scd2 import scd2_apply, scd2_build, scd2_split_late
 from ..sources import cdc
 from .history_store import Scd2Store
+
+#: Late-event policies for the streaming merge. "compat" trusts
+#: arrival order like the reference (binlog order, SURVEY.md §1.5 /
+#: FT:4295-4301). "quarantine" routes changes whose event time
+#: precedes the key's current valid_from to a side-channel instead of
+#: corrupting the interval chain. "splice" (scd2_apply_late) is
+#: deliberately NOT offered here: it rewrites affected keys' closed
+#: versions, and the store's closed segments are immutable append-only
+#: by contract (history_store.py) — splicing is a batch-side operation
+#: over full-history tables (operators/scd2.scd2_apply_late).
+LATE_POLICIES = ("compat", "quarantine")
 
 
 def _merge_batch(
@@ -54,6 +65,7 @@ def _merge_batch(
     compact_every: int | None = None,
     retain_snapshots: int = 1,
     flatten_fn=None,
+    late_policy: str = "compat",
 ) -> None:
     """Merge one micro-batch into the incremental history store.
 
@@ -81,6 +93,12 @@ def _merge_batch(
     or unreadable store raises and fails the batch instead of being
     silently rebuilt from one micro-batch.
     """
+    if late_policy not in LATE_POLICIES:
+        raise ValueError(
+            f"late_policy must be one of {LATE_POLICIES}, got {late_policy!r}"
+            " — 'splice' is batch-side only (scd2_apply_late), see"
+            " LATE_POLICIES"
+        )
     store = Scd2Store(
         history_path, key_col=key, n_buckets=n_buckets,
         retain_snapshots=retain_snapshots,
@@ -107,7 +125,7 @@ def _merge_batch(
     # four times (empty probe, touched-bucket collect, the merge's
     # auto-broadcast key count, and the commit materialization) — on a
     # 200 ms-trigger hot path that quadruples per-batch input cost
-    changes = changes.persist()
+    changes = _pinned = changes.persist()
     try:
         if not changes.head(1):
             return
@@ -123,6 +141,23 @@ def _merge_batch(
             ]
         if touched and store.has_buckets(touched):
             current = store.read_current(spark, buckets=touched)
+            if late_policy == "quarantine":
+                # A change whose event time precedes its key's current
+                # valid_from would invert the interval chain; route it
+                # to the side-channel (idempotent overwrite per batch —
+                # a replay rewrites byte-identical state) and merge only
+                # the appendable remainder. A key with no current row
+                # (all-new or tombstoned) is always appendable.
+                changes, late = scd2_split_late(current, changes, key, ts_col)
+                if late.head(1):
+                    late.write.mode("overwrite").parquet(
+                        os.path.join(
+                            history_path.rstrip("/") + "_quarantine",
+                            f"batch={batch_id}",
+                        )
+                    )
+                if not changes.head(1):
+                    return  # everything was late; nothing to merge
             merged = scd2_apply(
                 current, changes, key, ts_col, order_cols=("cdc_sequence_id",),
                 tombstone_col=tombstone_col,
@@ -145,7 +180,7 @@ def _merge_batch(
         finally:
             merged.unpersist()
     finally:
-        changes.unpersist()
+        _pinned.unpersist()
     if compact_every:
         # post-commit maintenance in the same single-writer thread:
         # folds accumulated per-batch closed dirs once enough pile up
@@ -165,6 +200,7 @@ def run_scd2_stream_from(
     handle_deletes: bool = False,
     compact_every: int | None = None,
     retain_snapshots: int = 1,
+    late_policy: str = "compat",
 ) -> StreamingQuery:
     """Wire ANY envelope-shaped streaming DataFrame (file source, Kafka,
     socket, the custom ``cdc_replay`` Python DataSource) into the SCD2
@@ -183,13 +219,19 @@ def run_scd2_stream_from(
     maintenance a 200 ms-trigger stream needs; see
     ``Scd2Store.compact_closed``). ``retain_snapshots=K`` keeps the
     last K committed snapshots readable (``Scd2Store.read_snapshot`` —
-    time travel); 1 = latest only."""
+    time travel); 1 = latest only.
+    ``late_policy``: "compat" (default) trusts arrival order like the
+    reference; "quarantine" routes changes whose event time precedes
+    the key's current ``valid_from`` (binlog replay / source backfill)
+    to ``<history_path>_quarantine/batch=<id>`` instead of corrupting
+    the chain — see ``LATE_POLICIES`` for why splice is batch-only."""
     os.makedirs(checkpoint_path, exist_ok=True)
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         _merge_batch(
             spark, batch, history_path, key, ts_col, batch_id, n_buckets,
             handle_deletes, compact_every, retain_snapshots,
+            late_policy=late_policy,
         )
 
     writer = stream.writeStream.foreachBatch(sink).option(
@@ -293,10 +335,12 @@ def run_scd2_stream(
     max_files_per_trigger: int | None = 1,
     await_termination_s: float | None = None,
     handle_deletes: bool = False,
+    late_policy: str = "compat",
 ) -> StreamingQuery:
     """Wire the CDC file stream into the SCD2 merge sink."""
     stream = cdc.read_envelope_stream(spark, input_path, max_files_per_trigger)
     return run_scd2_stream_from(
         spark, stream, history_path, checkpoint_path, key, ts_col,
         await_termination_s, handle_deletes=handle_deletes,
+        late_policy=late_policy,
     )

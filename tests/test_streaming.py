@@ -505,3 +505,71 @@ def test_read_current_empty_after_all_keys_deleted(spark, tmp_path):
     hist = read_history(spark, hist_path)
     assert hist.count() == 3
     assert hist.filter(F.col("is_current") == "Y").count() == 0
+
+
+def test_stream_quarantine_late_policy(spark, tmp_path):
+    """late_policy='quarantine': after the golden history exists, the
+    SAME stream (same checkpoint — the store/checkpoint pair) delivers
+    one genuinely-new update and one REPLAYED old event (ts older than
+    the key's current valid_from — binlog replay shape). The fresh
+    update merges; the replay lands in the quarantine side-channel,
+    never in the history, and the chain stays healthy."""
+    import json as _json
+
+    from architrave_project_apache_nifi_spark.operators.scd2 import (
+        scd2_invariants,
+    )
+    from architrave_project_apache_nifi_spark.sources.cdc import _envelope
+
+    src = tmp_path / "in"
+    cdc.write_golden_scenario(str(src), files=1)
+    hist_path, ckpt = str(tmp_path / "hist"), str(tmp_path / "ckpt")
+    run_scd2_stream(
+        spark, str(src), hist_path, ckpt, late_policy="quarantine"
+    ).awaitTermination()
+
+    with open(src / "later.json", "w") as fh:
+        # seq 4 ts precedes 9014's current valid_from (seq 5) -> late;
+        # seq 9 is a fresh on-time update
+        fh.write(_json.dumps(_envelope(4, "update", 9014, price=999.0)) + "\n")
+        fh.write(_json.dumps(_envelope(9, "update", 9014, price=140.0)) + "\n")
+    run_scd2_stream(
+        spark, str(src), hist_path, ckpt, late_policy="quarantine"
+    ).awaitTermination()
+
+    hist = read_history(spark, hist_path)
+    v = sorted(
+        (r for r in hist.collect() if r.ProductID == 9014),
+        key=lambda r: r.valid_from,
+    )
+    assert [x.Price for x in v] == [56.0, 100.0, 120.0, 140.0]
+    assert [x.is_current for x in v] == ["N", "N", "N", "Y"]
+    assert scd2_invariants(hist, "ProductID").isEmpty()
+
+    qdir = hist_path.rstrip("/") + "_quarantine"
+    quarantined = spark.read.parquet(qdir + "/batch=1")
+    qrows = quarantined.collect()
+    assert len(qrows) == 1 and qrows[0]["Price"] == 999.0
+
+    # rerun over the same source+checkpoint: no new files, store and
+    # quarantine both unchanged
+    n_hist = hist.count()
+    run_scd2_stream(
+        spark, str(src), hist_path, ckpt, late_policy="quarantine"
+    ).awaitTermination()
+    assert read_history(spark, hist_path).count() == n_hist
+    assert spark.read.parquet(qdir + "/batch=1").count() == 1
+
+
+def test_stream_rejects_unknown_late_policy(spark, tmp_path):
+    import pytest as _pytest
+
+    src = tmp_path / "in"
+    cdc.write_golden_scenario(str(src), files=1)
+    q = run_scd2_stream(
+        spark, str(src), str(tmp_path / "h"), str(tmp_path / "c"),
+        late_policy="splice",
+    )
+    with _pytest.raises(Exception, match="late_policy"):
+        q.awaitTermination()
+        raise RuntimeError("stream should have failed")
