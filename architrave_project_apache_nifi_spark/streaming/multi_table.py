@@ -50,6 +50,7 @@ class TableSpec:
     types: Mapping[str, str] = field(default_factory=dict)
     n_buckets: int = 16
     handle_deletes: bool = False
+    late_policy: str = "compat"  # or "quarantine" (scd2_stream.LATE_POLICIES)
 
     def flatten(self, batch: DataFrame, keep: Sequence[str]) -> DataFrame:
         return shift_pivot(
@@ -79,6 +80,7 @@ def demux_merge_batch(
                 n_buckets=spec.n_buckets,
                 handle_deletes=spec.handle_deletes,
                 flatten_fn=spec.flatten,
+                late_policy=spec.late_policy,
             )
     finally:
         batch.unpersist()
