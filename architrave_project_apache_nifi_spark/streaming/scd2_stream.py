@@ -187,6 +187,65 @@ def _merge_batch(
         store.compact_closed(spark, min_batches=compact_every)
 
 
+def splice_quarantine(
+    spark: SparkSession,
+    history_path: str,
+    out_path: str,
+    key: str = "ProductID",
+    ts_col: str = "change_ts",
+    order_col: str = "cdc_sequence_id",
+    n_buckets: int = 16,
+) -> int:
+    """OFFLINE maintenance: fold the quarantine side-channel back into
+    the history by SPLICING, materializing a fresh store at
+    ``out_path`` (the live store's append-only closed segments cannot
+    be rewritten in place — LATE_POLICIES). Table-rewrite semantics,
+    like an OPTIMIZE/rewrite in a lakehouse format: the caller swaps
+    paths and resets the stream checkpoint with it (the store and the
+    checkpoint are a pair).
+
+    The merge is ``scd2_apply_late`` — order-free and replay-idempotent
+    (a quarantined exact duplicate of an existing version converges
+    instead of forking the chain), so re-running over the same
+    quarantine is safe. Returns the number of quarantined rows folded
+    in; raises if the quarantine is empty (nothing to splice is a
+    caller bug, not a silent no-op)."""
+    from ..operators.scd2 import scd2_apply_late
+    from ..sources.sinks import read_history
+    from .commitdirs import committed_batch_dirs
+
+    qdirs = [
+        p
+        for _, p in committed_batch_dirs(
+            history_path.rstrip("/") + "_quarantine"
+        )
+    ]
+    if not qdirs:
+        raise FileNotFoundError(
+            f"no committed quarantine batches under "
+            f"{history_path.rstrip('/')}_quarantine"
+        )
+    late = spark.read.parquet(*qdirs)
+    n_late = late.count()
+    history = read_history(spark, history_path)
+    merged = scd2_apply_late(
+        history, late, key, ts_col, order_cols=(order_col,)
+    )
+    out_store = Scd2Store(out_path, key_col=key, n_buckets=n_buckets)
+    if out_store.exists():
+        raise FileExistsError(f"splice target already exists: {out_path}")
+    merged = merged.persist()
+    try:
+        out_store.commit(
+            new_current=merged.filter(F.col("is_current") == "Y"),
+            closed_delta=merged.filter(F.col("is_current") == "N"),
+            batch_id=0,
+        )
+    finally:
+        merged.unpersist()
+    return n_late
+
+
 def run_scd2_stream_from(
     spark: SparkSession,
     stream: DataFrame,

@@ -573,3 +573,56 @@ def test_stream_rejects_unknown_late_policy(spark, tmp_path):
     with _pytest.raises(Exception, match="late_policy"):
         q.awaitTermination()
         raise RuntimeError("stream should have failed")
+
+
+def test_splice_quarantine_folds_late_rows_into_fresh_store(spark, tmp_path):
+    """Offline splice maintenance: a GENUINELY late change (ts strictly
+    between two existing versions, fresh sequence id) quarantined by
+    the stream is folded into a rewritten store with the interval chain
+    spliced around it; a quarantined exact REPLAY of an existing
+    version converges (deduped) instead of forking the chain."""
+    import json as _json
+
+    from architrave_project_apache_nifi_spark.operators.scd2 import (
+        scd2_invariants,
+    )
+    from architrave_project_apache_nifi_spark.sources.cdc import _envelope
+    from architrave_project_apache_nifi_spark.streaming.scd2_stream import (
+        splice_quarantine,
+    )
+
+    src = tmp_path / "in"
+    cdc.write_golden_scenario(str(src), files=1)
+    hist_path, ckpt = str(tmp_path / "hist"), str(tmp_path / "ckpt")
+    run_scd2_stream(
+        spark, str(src), hist_path, ckpt, late_policy="quarantine"
+    ).awaitTermination()
+
+    # between seq 4 (price 100) and seq 5 (price 120): ts = seq4 + 30 s
+    between = _envelope(4, "update", 9014, price=111.0)
+    between["timestamp"] += 30_000
+    between["cdc_sequence_id"] = 99
+    replay = _envelope(4, "update", 9014, price=100.0)  # exact twin of v2
+    with open(src / "later.json", "w") as fh:
+        fh.write(_json.dumps(between) + "\n")
+        fh.write(_json.dumps(replay) + "\n")
+    run_scd2_stream(
+        spark, str(src), hist_path, ckpt, late_policy="quarantine"
+    ).awaitTermination()
+
+    # both rows were late → quarantined, history unchanged
+    assert read_history(spark, hist_path).count() == 5
+
+    out = str(tmp_path / "hist2")
+    n = splice_quarantine(spark, hist_path, out)
+    assert n == 2
+    hist2 = read_history(spark, out)
+    v = sorted(
+        (r for r in hist2.collect() if r.ProductID == 9014),
+        key=lambda r: r.valid_from,
+    )
+    assert [x.Price for x in v] == [56.0, 100.0, 111.0, 120.0]
+    assert [x.is_current for x in v] == ["N", "N", "N", "Y"]
+    assert v[1].valid_until == v[2].valid_from  # spliced, not overlapped
+    assert v[2].valid_until == v[3].valid_from
+    assert scd2_invariants(hist2, "ProductID").isEmpty()
