@@ -26,6 +26,9 @@ OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "plan_goldens.json"
 def main() -> None:
     spark = get_spark("plan-goldens")
     spark.sparkContext.setLogLevel("ERROR")
+    # signatures are defined over uncached plans (see
+    # tests/test_plan_goldens.py::_uncached_plans)
+    spark.catalog.clearCache()
     goldens: dict[str, dict[str, int]] = {}
     for name in sorted(REGISTRY):
         try:
