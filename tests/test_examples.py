@@ -25,6 +25,7 @@ REPO = os.path.join(os.path.dirname(__file__), "..")
         ("examples/assemble_dataset.py", "packed sequences:"),
         ("examples/tokenizer_dataset.py", "sampled windows:"),
         ("examples/monitoring_pipeline.py", "rollup equals recompute over accepted batches: True"),
+        ("examples/late_events.py", "invariant violations after splice: 0"),
     ],
 )
 def test_example_runs(script, expect):
