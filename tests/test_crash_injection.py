@@ -142,8 +142,11 @@ def _emb(spark):
     return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
 
 
-def _ann_store(spark, tmp_path):
-    root = str(tmp_path / "ann")
+@pytest.fixture(scope="module")
+def _ann_template(spark, tmp_path_factory):
+    """Base + two deltas, built ONCE; each test clones the directory
+    (cheap file copy) instead of re-running the Spark build."""
+    root = str(tmp_path_factory.mktemp("ann_template") / "ann")
     emb = _emb(spark)
     init_index(spark, root, emb.filter(F.col("vec_id") < 250))
     ann_ingest_batch(emb.filter(F.col("vec_id").between(250, 349)), root, 0)
@@ -151,14 +154,21 @@ def _ann_store(spark, tmp_path):
     return root, emb.count()
 
 
+def _ann_store(_ann_template, tmp_path):
+    template, total = _ann_template
+    root = str(tmp_path / "ann")
+    shutil.copytree(template, root)
+    return root, total
+
+
 def test_ann_rebuild_crash_after_flip_no_double_count(
-    spark, tmp_path, monkeypatch
+    spark, tmp_path, monkeypatch, _ann_template
 ):
     """Kill between the pointer flip and the cleanup of old base +
     folded deltas: the new base now holds every vector AND the folded
     delta dirs still exist — _FOLDED must stop load_index from
     counting them twice; sweep() then collects the garbage."""
-    root, total = _ann_store(spark, tmp_path)
+    root, total = _ann_store(_ann_template, tmp_path)
     monkeypatch.setattr(ann_ingest.shutil, "rmtree", lambda *a, **k: None)
     rebuild(spark, root)
     monkeypatch.undo()
@@ -173,12 +183,12 @@ def test_ann_rebuild_crash_after_flip_no_double_count(
 
 
 def test_ann_rebuild_crash_before_flip_old_index_serves(
-    spark, tmp_path, monkeypatch
+    spark, tmp_path, monkeypatch, _ann_template
 ):
     """Kill after the new base is written but before the flip: the old
     index (base + deltas) keeps serving, and a later successful rebuild
     sweeps the half-built base and converges."""
-    root, total = _ann_store(spark, tmp_path)
+    root, total = _ann_store(_ann_template, tmp_path)
 
     def boom(src, dst):
         raise RuntimeError("injected crash before pointer flip")
@@ -195,11 +205,11 @@ def test_ann_rebuild_crash_before_flip_old_index_serves(
     assert not os.path.isdir(os.path.join(root, "deltas", "batch=0"))
 
 
-def test_ann_delta_torn_write_is_invisible_until_replay(spark, tmp_path):
+def test_ann_delta_torn_write_is_invisible_until_replay(spark, tmp_path, _ann_template):
     """A delta dir whose Spark job never committed (no _SUCCESS) is a
     crashed ingest_batch: load_index must skip it; the replay
     overwrites it whole and it becomes visible."""
-    root, total = _ann_store(spark, tmp_path)
+    root, total = _ann_store(_ann_template, tmp_path)
     b2 = _emb(spark).filter(F.col("vec_id") < 50).withColumn(
         "vec_id", F.col("vec_id") + 10_000
     )
