@@ -327,3 +327,60 @@ def test_commits_json_is_flipped_atomically(tmp_path):
     assert state["batches"] == [0]
     assert set(state["ends"]) == {"0"}
     assert not os.path.exists(p + ".tmp")
+
+
+class _CrashMidApply(_LoopbackStreamWriter):
+    """Dies after appending only PART of the batch (first partition
+    written, second not) — the torn multi-partition append."""
+
+    def _apply(self, messages):
+        torn = [
+            type(messages[0])(rows=messages[0].rows[: len(messages[0].rows) // 2])
+        ]
+        super()._apply(torn)
+        raise RuntimeError("injected crash mid-append")
+
+
+class _CrashAfterFence(_LoopbackStreamWriter):
+    """Dies after the fence, before any append — replay must still
+    deliver the batch exactly once."""
+
+    def _fence(self, ends):
+        super()._fence(ends)
+        raise RuntimeError("injected crash after fence")
+
+
+def test_kafka_sink_crash_mid_append_partial_batch_fenced(spark, tmp_path):
+    broker = str(tmp_path / "broker")
+    w0 = _LoopbackStreamWriter(broker, "t", 2)
+    w0.commit(
+        [w0.write([Row(value="a", partition=0), Row(value="b", partition=1)])],
+        batchId=0,
+    )
+    crasher = _CrashMidApply(broker, "t", 2)
+    rows = [
+        Row(value="c", partition=0),
+        Row(value="d", partition=1),
+        Row(value="e", partition=0),
+        Row(value="f", partition=1),
+    ]
+    with pytest.raises(RuntimeError):
+        crasher.commit([crasher.write(rows)], batchId=1)
+    # torn: only part of batch 1 visible
+    assert len(_topic_values(spark, broker, "t")) < 6
+    w1 = _LoopbackStreamWriter(broker, "t", 2)
+    w1.commit([w1.write(rows)], batchId=1)
+    assert _topic_values(spark, broker, "t") == ["a", "b", "c", "d", "e", "f"]
+
+
+def test_kafka_sink_crash_after_fence_before_append(spark, tmp_path):
+    broker = str(tmp_path / "broker")
+    w0 = _LoopbackStreamWriter(broker, "t", 1)
+    w0.commit(_rows(w0, ["a"]), batchId=0)
+    crasher = _CrashAfterFence(broker, "t", 1)
+    with pytest.raises(RuntimeError):
+        crasher.commit(_rows(crasher, ["b"]), batchId=1)
+    assert _topic_values(spark, broker, "t") == ["a"]  # nothing appended
+    w1 = _LoopbackStreamWriter(broker, "t", 1)
+    w1.commit(_rows(w1, ["b"]), batchId=1)
+    assert _topic_values(spark, broker, "t") == ["a", "b"]
