@@ -119,6 +119,51 @@ def minhash_signatures(
     return shs.select(F.col("__id").alias(id_col), sig.alias("signature"))
 
 
+def minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc ``(id, signature, bands)`` — the minhash signature plus
+    its banded LSH keys, computed ONCE per row for index-building
+    workloads (streaming near-dup ingest stores both: band rows for
+    candidate joins, signatures for verification).
+
+    The band fold reads the ``signature`` column AFTER an exchange
+    barrier, so it reads a materialized row field — computing bands
+    from an un-materialized signature expression would let Catalyst
+    inline the whole 64-min tree into every band lambda (the measured
+    60× regression documented in :func:`minhash_lsh_candidates`).
+    Output ``bands`` is ``ARRAY<BIGINT>`` (index = band id)."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_n
+    ).repartition(n_parts, F.xxhash64(F.col(id_col)))
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.aggregate(
+            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
+            F.lit(0).cast("long"),
+            lambda acc, m: F.xxhash64(acc, m),
+        ),
+    )
+    return sigs.select(F.col(id_col), "signature", band_arr.alias("bands"))
+
+
+def signature_jaccard(sig_a: Column, sig_b: Column) -> Column:
+    """MinHash Jaccard ESTIMATE: fraction of agreeing signature
+    components (the unbiased min-wise estimator; stderr ≈
+    1/sqrt(num_hashes) ≈ 0.125 at 64 hashes)."""
+    return F.size(
+        F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda v: v)
+    ) / F.size(sig_a)
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
