@@ -133,15 +133,22 @@ def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     top_tok = (
         F.aggregate(F.array_sort(t), acc0, _run_step)["best"].cast("double") / n_tok
     )
+    # RAW doubles, deliberately un-rounded: both engines compute these
+    # bit-identically (same left-to-right IEEE arithmetic), and the
+    # compare's 9-sig-fig normalization absorbs representation noise —
+    # whereas round(x, 6) DIVERGES on exact decimal halves (Spark
+    # rounds the binary value, DuckDB the shortest decimal repr:
+    # 0.4294374999..97 prints as "0.4294375" and rounds UP there) —
+    # observed at sf1, doc 15174. Callers round for display only.
     return arrays.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
         n_distinct.alias("n_distinct_tokens"),
-        F.round(ttr, 6).alias("type_token_ratio"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(dup_bi, 6).alias("dup_bigram_ratio"),
-        F.round(top_tok, 6).alias("top_token_ratio"),
-        F.round(score, 6).alias("quality_score"),
+        ttr.alias("type_token_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        dup_bi.alias("dup_bigram_ratio"),
+        top_tok.alias("top_token_ratio"),
+        score.alias("quality_score"),
     )
 
 

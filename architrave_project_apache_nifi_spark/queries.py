@@ -809,16 +809,16 @@ WITH t AS (
 SELECT doc_id,
        CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(n_distinct_tokens AS BIGINT) AS n_distinct_tokens,
-       round(CAST(n_distinct_tokens AS DOUBLE) / n_tokens, 6) AS type_token_ratio,
-       round(CAST(stop_hits AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
-       round(1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / len(bi), 6)
+       CAST(n_distinct_tokens AS DOUBLE) / n_tokens AS type_token_ratio,
+       CAST(stop_hits AS DOUBLE) / n_tokens AS stopword_ratio,
+       1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / len(bi)
          AS dup_bigram_ratio,
-       round(CAST(list_max(list_transform(list_distinct(toks),
+       CAST(list_max(list_transform(list_distinct(toks),
                   d -> len(list_filter(toks, x -> x = d)))) AS DOUBLE)
-             / n_tokens, 6) AS top_token_ratio,
-       round(0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+             / n_tokens AS top_token_ratio,
+       0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
            + 0.3 * (CAST(n_distinct_tokens AS DOUBLE) / n_tokens)
-           + 0.3 * least(CAST(stop_hits AS DOUBLE) / n_tokens * 4.0, 1.0), 6)
+           + 0.3 * least(CAST(stop_hits AS DOUBLE) / n_tokens * 4.0, 1.0)
          AS quality_score
 FROM f
 """,
