@@ -28,15 +28,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import shingles
+from .dedup import _shingle_sets
 
 
 def _doc_ngram_hashes(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """One row per distinct (doc, n-gram-hash)."""
-    return df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("__g"),
-    ).select(id_col, F.xxhash64("__g").alias("__gh"))
+    """One row per distinct (doc, n-gram-hash).
+
+    Routed through ``dedup._shingle_sets`` so the hashed distinct-gram
+    ARRAY materializes behind an exchange barrier before the explode —
+    a bare ``explode(array_distinct(shingles(...)))`` lets Catalyst
+    collapse the projection into the generator and re-evaluate the
+    whole split+slice+concat tree once per exploded output row
+    (the documented 36× trap; measured minutes-vs-seconds at sf1 on
+    this operator), and a single-file corpus would additionally run it
+    on one input split."""
+    shs = _shingle_sets(df, id_col, text_col, n)
+    return shs.select(
+        F.col("__id").alias(id_col), F.explode("__shs").alias("__gh")
+    )
 
 
 def ngram_decontaminate(
