@@ -1158,12 +1158,22 @@ def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_lsh_verified", REGISTRY["dedup_ngram_jaccard"].oracle)
 def q_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed 100 TB dedup pipeline: MinHash-LSH candidate
-    generation → exact Jaccard verification on candidate pairs only
-    (array_intersect per pair — no quadratic shingle self-join). With
-    one row per band (bands == num_hashes) the per-pair miss probability
-    at the 0.2 threshold is (1-j)^64 ≤ 6.4e-7, so the verified output
-    equals the exact all-pairs query — same oracle."""
+    """The composed dedup pipeline: MinHash-LSH candidate generation →
+    exact Jaccard verification on candidate pairs only. With one row
+    per band (bands == num_hashes) the per-pair miss probability at
+    the 0.2 threshold is (1-j)^64 ≤ 6.4e-7, so the verified output
+    equals the exact all-pairs query — same oracle.
+
+    SCALE NOTE (measured at sf1): r=1 banding buys that exactness by
+    giving up LSH's quadratic protection — per-pair candidate
+    probability is ≈ 64·J, so candidates grow ~n²·E[J] (tens of
+    millions at 50k docs on the tiny test vocabulary). This entry
+    exists to PROVE the compose-then-verify equivalence against the
+    exact oracle at gate scale; the production-scale configuration is
+    `dedup_minhash_lsh`'s bands=16/r=4 (candidate prob ≈ 16·J⁴ —
+    near-zero for non-dups) with the same verifier, at the price of a
+    sharp recall knee instead of oracle-exactness near the
+    threshold."""
     docs = load(spark, "documents", sf_dir)
     cands = dd.minhash_lsh_candidates(docs, "doc_id", "text", 64, 64, _SHINGLE_N)
     return dd.verify_candidate_pairs(

@@ -79,23 +79,26 @@ def main() -> int:
     import __spark_entry__ as entrymod
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    only = sys.argv[2:]  # LIST, order-preserving: args run in the order given
     spark = get_spark("oracle-check", master="local[8]")
     con = duckdb_con(sf_dir)
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = 0
-    for name, fn in qs.items():
-        if only and name not in only:
-            continue
-        err = compare_one(spark, con, sf_dir, name, fn, oracles.get(name))
+    names = [n for n in only if n in qs] if only else list(qs)
+    import time as _time
+
+    for name in names:
+        t0 = _time.perf_counter()
+        err = compare_one(spark, con, sf_dir, name, qs[name], oracles.get(name))
+        dt = f"{_time.perf_counter() - t0:.1f}s"
         if err:
-            print(f"FAIL {err}")
+            print(f"FAIL {err}", flush=True)
             failures += 1
         elif name in oracles:
-            print(f"ok   {name}: rows match")
+            print(f"ok   {name}: rows match ({dt})", flush=True)
         else:
-            print(f"ok   {name}: rows-only")
-    print(f"\n{failures} failures / {len(only) if only else len(qs)} checked")
+            print(f"ok   {name}: rows-only ({dt})", flush=True)
+    print(f"\n{failures} failures / {len(names)} checked")
     return 1 if failures else 0
 
 
