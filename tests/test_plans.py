@@ -209,7 +209,12 @@ def test_pipeline_clean_corpus_broadcasts_and_bounded_shuffles(spark):
     # plan as BroadcastNestedLoop; an unbroadcast CartesianProduct is
     # the pair-space blowup this test forbids
     assert "CartesianProduct" not in plan, plan
-    assert pi.count_shuffles(df) <= 16, plan
+    # 26 = the round-4 count after ngram_decontaminate adopted the
+    # _shingle_sets barrier pair (row-sized, one row per doc — the
+    # projection-collapse fix measured minutes→seconds at sf1); the
+    # exact number is pinned per-query by test_plan_goldens.py, this
+    # bound only guards against pair-space regressions
+    assert pi.count_shuffles(df) <= 26, plan
 
 
 def test_dedup_incremental_joins_on_hash_never_text(spark):
