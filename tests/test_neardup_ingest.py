@@ -123,3 +123,50 @@ def test_streaming_wrapper_runs(spark, tmp_path):
     q.awaitTermination(120)
     # within-batch screen may drop the odd seeded near-dup pair
     assert read_corpus(spark, root).count() >= docs.count() - 2
+
+
+def test_minhash_index_bands_equal_batch_lsh_band_keys(spark):
+    """The streaming store's band keys (minhash_index, computed from
+    the materialized signature) must be IDENTICAL to the batch path's
+    (minhash_lsh_candidates, folded straight from the shingle array) —
+    else a streaming-ingested corpus and a batch-deduped corpus would
+    disagree on candidates. Both fold xxhash64 chains over the same
+    per-band minima; this pins that they can't drift apart."""
+    from architrave_project_apache_nifi_spark.operators.dedup import (
+        _shingle_sets,
+        minhash_index,
+    )
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+    )
+    num_hashes, bands, rpb = 64, 16, 4
+    via_index = (
+        minhash_index(docs, "doc_id", "text", num_hashes, bands)
+        .select("doc_id", F.posexplode("bands").alias("band", "h"))
+    )
+    # replicate minhash_lsh_candidates' internal band fold verbatim
+    shs = _shingle_sets(docs, "doc_id", "text", 3)
+    direct_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.aggregate(
+            F.transform(
+                F.sequence(b * rpb, (b + 1) * rpb - 1),
+                lambda i: F.array_min(
+                    F.transform(F.col("__shs"), lambda h: F.xxhash64(h, i))
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, m: F.xxhash64(acc, m),
+        ),
+    )
+    via_direct = shs.select(
+        F.col("__id").alias("doc_id"), direct_arr.alias("bands")
+    ).select("doc_id", F.posexplode("bands").alias("band", "h"))
+
+    a = {(r.doc_id, r.band, r.h) for r in via_index.collect()}
+    b = {(r.doc_id, r.band, r.h) for r in via_direct.collect()}
+    assert a == b
