@@ -221,16 +221,26 @@ def scd2_split_late(
     """
     keys = _as_list(key_cols)
     touched = changes.select(*keys).distinct()
-    if touched.count() <= max_broadcast_keys:
+    # One measured count gates BOTH broadcasts: `latest` is one row per
+    # touched key (same cardinality), so a >max_broadcast_keys batch must
+    # shuffle-join on both sides or the second broadcast OOMs the driver.
+    small_batch = touched.count() <= max_broadcast_keys
+    if small_batch:
         touched = F.broadcast(touched)
     latest = (
         history.join(touched, on=keys, how="left_semi")
         .groupBy(*keys)
         .agg(F.max("valid_from").alias("__latest_from"))
     )
-    probed = changes.join(F.broadcast(latest), on=keys, how="left")
-    is_late = F.col("__latest_from").isNotNull() & (
-        F.col(ts_col) <= F.col("__latest_from")
+    if small_batch:
+        latest = F.broadcast(latest)
+    probed = changes.join(latest, on=keys, how="left")
+    # NULL ts must not vanish (NULL <= x is NULL, failing BOTH filters):
+    # coalesce to on-time, matching scd2_apply's arrival-order trust.
+    is_late = F.coalesce(
+        F.col("__latest_from").isNotNull()
+        & (F.col(ts_col) <= F.col("__latest_from")),
+        F.lit(False),
     )
     on_time = probed.filter(~is_late).drop("__latest_from")
     late = probed.filter(is_late).drop("__latest_from")
@@ -289,9 +299,15 @@ def scd2_apply_late(
 
     # Rebuild input = affected versions (SCD2 stamps stripped; their
     # event time is valid_from by construction) + the incoming rows.
-    stripped = affected.drop(*SCD2_COLS)
-    if ts_col not in stripped.columns:
-        stripped = stripped.withColumn(ts_col, F.col("valid_from"))
+    # ts_col must be derived BEFORE dropping SCD2_COLS — valid_from is
+    # one of them, so deriving after the drop raises AnalysisException.
+    if ts_col in SCD2_COLS or ts_col not in affected.columns:
+        affected = affected.withColumn("__ts_tmp", F.col("valid_from"))
+        stripped = affected.drop(*SCD2_COLS).withColumnRenamed(
+            "__ts_tmp", ts_col
+        )
+    else:
+        stripped = affected.drop(*SCD2_COLS)
     stripped = widen_like(stripped, changes, exclude=SCD2_COLS)
     incoming = widen_like(changes, stripped, exclude=SCD2_COLS)
     merged_in = stripped.unionByName(incoming.select(*stripped.columns))

@@ -21,9 +21,14 @@ Per batch:
    store ids' signatures are fetched (semi-join prune), never the
    store's corpus text.
 3. WITHIN-batch screen: candidates among the batch itself (``id_a <
-   id_b`` band join), verified the same way; the higher id of every
-   verified pair drops (greedy keep-first, matching the exact-dedup
-   convention).
+   id_b`` band join), verified the same way; verified pairs are then
+   resolved TRANSITIVELY (connected components, operators/cluster.py)
+   keeping each component's min id — so a chain A~B, B~C drops B and C
+   and keeps exactly one representative per near-dup cluster. A doc is
+   never dropped merely because its only near-dup was itself dropped by
+   an unrelated pair (the naive "drop the higher id of every pair" rule
+   over-deletes on chains; this matches batch dedup_cluster_canonical
+   semantics instead).
 4. Survivors append corpus + bands + sigs as this batch's directories.
 
 Exactly-once: a replayed micro-batch excludes its OWN directories from
@@ -51,6 +56,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from ..operators.cluster import connected_components
 from ..operators.dedup import minhash_index, signature_jaccard
 from .commitdirs import committed_batch_dirs
 
@@ -166,7 +172,7 @@ def ingest_batch(
             .distinct()
         )
         sig_of = alive.select(F.col(id_col), F.col("signature"))
-        batch_dups = (
+        verified = (
             pair.join(
                 sig_of.select(F.col(id_col).alias("__id_a"),
                               F.col("signature").alias("__sig_a")),
@@ -181,8 +187,18 @@ def ingest_batch(
                 signature_jaccard(F.col("__sig_a"), F.col("__sig_b"))
                 >= threshold
             )
-            .select(F.col("__id_b").alias(id_col))  # higher id drops
-            .distinct()
+            .select("__id_a", "__id_b")
+        )
+        # Transitive resolution: keep each near-dup component's min id.
+        # Per-pair "drop the higher id" over-deletes on chains (A~B
+        # drops B, B~C drops C even when A !~ C); components keep
+        # exactly one representative per cluster — the batch
+        # dedup_cluster_canonical convention. The component table is
+        # bounded by |nodes in verified pairs|, tiny vs the batch.
+        batch_dups = (
+            connected_components(verified, src="__id_a", dst="__id_b")
+            .filter(F.col("id") != F.col("comp"))
+            .select(F.col("id").alias(id_col))
         )
         kept_idx = alive.join(batch_dups, id_col, "left_anti").persist()
         try:

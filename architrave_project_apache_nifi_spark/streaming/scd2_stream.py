@@ -144,10 +144,16 @@ def _merge_batch(
             if late_policy == "quarantine":
                 # A change whose event time precedes its key's current
                 # valid_from would invert the interval chain; route it
-                # to the side-channel (idempotent overwrite per batch —
-                # a replay rewrites byte-identical state) and merge only
-                # the appendable remainder. A key with no current row
-                # (all-new or tombstoned) is always appendable.
+                # to the side-channel and merge only the appendable
+                # remainder. A key with no current row (all-new or
+                # tombstoned) is always appendable. A replay of a batch
+                # whose store commit succeeded never reaches this split
+                # (the version >= batch_id guard above returns first),
+                # so quarantine dirs are written at most once per
+                # committed batch — it cannot be re-classified against
+                # post-merge current rows. Only a batch whose store
+                # commit itself failed replays here, against the same
+                # pre-merge state, overwriting batch=<id> idempotently.
                 changes, late = scd2_split_late(current, changes, key, ts_col)
                 if late.head(1):
                     late.write.mode("overwrite").parquet(

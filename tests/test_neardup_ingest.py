@@ -170,3 +170,30 @@ def test_minhash_index_bands_equal_batch_lsh_band_keys(spark):
     a = {(r.doc_id, r.band, r.h) for r in via_index.collect()}
     b = {(r.doc_id, r.band, r.h) for r in via_direct.collect()}
     assert a == b
+
+
+def test_within_batch_chain_keeps_component_min(spark, tmp_path):
+    """Transitive resolution (ADVICE r4): doc C bridges A and B (C is
+    near-dup of both; A !~ B). The pre-fix per-pair rule ("higher id of
+    every verified pair drops") kept BOTH A and B; connected-components
+    resolution keeps exactly one representative (the min id) per
+    near-dup cluster — the dedup_cluster_canonical convention."""
+    a_text = " ".join(f"alpha{i}" for i in range(40))
+    b_text = " ".join(f"beta{i}" for i in range(40))
+    c_text = a_text + " " + b_text
+    # shingle-space Jaccard: J(A,C)=J(B,C)=38/78≈0.49, J(A,B)=0.
+    uniques = [
+        (100 + i, " ".join(f"uniq{i}_{j}" for j in range(40)))
+        for i in range(8)
+    ]
+    batch = spark.createDataFrame(
+        [(1, a_text), (2, b_text), (3, c_text), *uniques],
+        "doc_id LONG, text STRING",
+    )
+    root = str(tmp_path / "store")
+    ingest_batch(
+        batch, root, "doc_id", "text", 0,
+        threshold=0.35, num_hashes=128, bands=64,
+    )
+    kept = {r.doc_id for r in read_corpus(spark, root).collect()}
+    assert kept == {1, *(100 + i for i in range(8))}, kept

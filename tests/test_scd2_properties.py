@@ -392,3 +392,98 @@ def test_split_late_partitions_exactly(spark, events, cut):
             "ProductID", "change_ts", ("seq",),
         )
         _assert_invariants_empty(merged)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 regressions (ADVICE r4): late-path edge cases.
+
+_SCHEMA = "ProductID INT, Price DOUBLE, change_ts TIMESTAMP, seq LONG"
+
+
+def test_apply_late_history_lacking_ts_col(spark):
+    """A persisted history often keeps only the SCD2 stamps (ts_col was
+    consumed by the build). scd2_apply_late must reconstruct event time
+    from valid_from BEFORE dropping the SCD2 columns — deriving it after
+    the drop raised AnalysisException (ADVICE r4)."""
+    rows = [
+        (1, 10.0, dt.datetime(2026, 1, 1, 8, 0), 0),
+        (1, 12.0, dt.datetime(2026, 1, 1, 10, 0), 1),
+        (2, 5.0, dt.datetime(2026, 1, 1, 9, 0), 2),
+    ]
+    hist = scd2_build(
+        spark.createDataFrame(rows, _SCHEMA), "ProductID", "change_ts",
+        ("seq",),
+    ).drop("change_ts")
+    assert "change_ts" not in hist.columns
+    late_row = [(1, 11.0, dt.datetime(2026, 1, 1, 9, 0), 3)]
+    merged = scd2_apply_late(
+        hist, spark.createDataFrame(late_row, _SCHEMA),
+        "ProductID", "change_ts", ("seq",),
+    )
+    _assert_invariants_empty(merged)
+    chain = sorted(
+        (r.Price, r.is_current)
+        for r in merged.filter("ProductID = 1").collect()
+    )
+    assert chain == [(10.0, "N"), (11.0, "N"), (12.0, "Y")]
+    # untouched key passes through
+    assert merged.filter("ProductID = 2").count() == 1
+
+
+def test_split_late_null_ts_routed_on_time(spark):
+    """NULL event time must not vanish from the split (NULL <= x is
+    NULL, failing BOTH filters pre-fix): it routes on-time — the
+    arrival-order-trust default of scd2_apply (ADVICE r4)."""
+    first = [(1, 10.0, dt.datetime(2026, 1, 1, 8, 0), 0)]
+    hist = scd2_build(
+        spark.createDataFrame(first, _SCHEMA), "ProductID", "change_ts",
+        ("seq",),
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, 11.0, None, 1),                               # NULL ts
+            (1, 9.0, dt.datetime(2026, 1, 1, 7, 0), 2),       # late
+            (2, 5.0, None, 3),                                # NULL, new key
+        ],
+        _SCHEMA,
+    )
+    on_time, late = scd2_split_late(hist, batch, "ProductID", "change_ts")
+    got_on = {r.seq for r in on_time.collect()}
+    got_late = {r.seq for r in late.collect()}
+    assert got_on | got_late == {1, 2, 3}, "a row vanished from the split"
+    assert got_on == {1, 3}
+    assert got_late == {2}
+
+
+def test_split_late_shuffle_fallback_matches_broadcast(spark):
+    """max_broadcast_keys=0 forces the shuffle-join path on BOTH the
+    touched-keys semi-join and the latest-probe join (the second
+    broadcast was unconditional pre-fix, ADVICE r4); the split must be
+    identical to the broadcast path."""
+    first = [
+        (k, float(k), dt.datetime(2026, 1, 1, 8, k % 50), k)
+        for k in range(200)
+    ]
+    hist = scd2_build(
+        spark.createDataFrame(first, _SCHEMA), "ProductID", "change_ts",
+        ("seq",),
+    )
+    batch = spark.createDataFrame(
+        [
+            (k, float(k) + 0.5,
+             dt.datetime(2026, 1, 1, 8, k % 50)
+             + dt.timedelta(minutes=-5 if k % 2 else 5),
+             1000 + k)
+            for k in range(5, 150)
+        ],
+        _SCHEMA,
+    )
+    bc_on, bc_late = scd2_split_late(hist, batch, "ProductID", "change_ts")
+    sh_on, sh_late = scd2_split_late(
+        hist, batch, "ProductID", "change_ts", max_broadcast_keys=0
+    )
+    assert {r.seq for r in bc_on.collect()} == {r.seq for r in sh_on.collect()}
+    assert (
+        {r.seq for r in bc_late.collect()}
+        == {r.seq for r in sh_late.collect()}
+    )
