@@ -664,7 +664,9 @@ ORDER BY revenue DESC, o_orderkey LIMIT 10
 )
 def q_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter → join → agg → top-k.
-    customer broadcasts (small dim); lineitem never shuffles twice."""
+    customer SCALES with SF, so no broadcast hint — AQE flips the join
+    to broadcast when the measured side fits; lineitem never shuffles
+    twice."""
     c = load(spark, "customer", sf_dir).filter(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, "orders", sf_dir).filter(
         F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
@@ -674,7 +676,7 @@ def q_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)  # customer scales with SF: AQE decides
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
             F.round(
@@ -703,7 +705,9 @@ GROUP BY n.n_name
 """,
 )
 def q_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-table join; dims broadcast, fact joined once."""
+    """TPC-H Q5 shape: 6-table join; fixed dims (nation/region)
+    broadcast-hinted, SF-scaling dims (customer/supplier) left to AQE's
+    measured size check — a hint would OOM executors at 100×."""
     c = load(spark, "customer", sf_dir)
     o = load(spark, "orders", sf_dir).filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -715,9 +719,9 @@ def q_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, "region", sf_dir)
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)  # customer scales with SF: AQE decides
         .join(
-            F.broadcast(s),
+            s,  # supplier scales with SF: AQE decides
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -907,7 +911,7 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     total = freq.agg(F.sum("c").cast("double").alias("t"))
     return (
-        toks.join(F.broadcast(freq), "tok")
+        toks.join(freq, "tok")  # vocab is unbounded at 100 TB: AQE decides
         .join(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
@@ -963,7 +967,7 @@ def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
     n = toks.agg(F.countDistinct("doc_id").cast("double").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df_), "tok")
+        tf.join(df_, "tok")  # vocab is unbounded at 100 TB: AQE decides
         .join(F.broadcast(n))
         .select(
             "doc_id",
@@ -1633,7 +1637,7 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(wk).alias("cohort_week")
     )
     activity = (
-        events.join(F.broadcast(first_seen), "user_id")
+        events.join(first_seen, "user_id")  # user dim scales with SF: AQE decides
         .select(
             "user_id",
             "cohort_week",
@@ -2033,8 +2037,8 @@ def q_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)  # supplier scales with SF
+        .join(c, o.o_custkey == c.c_custkey)  # customer scales with SF
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -2067,14 +2071,15 @@ ORDER BY revenue DESC, c_custkey LIMIT 20
 def q_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: fact filter → 3 joins (two broadcast dims) →
     agg → top-20. lineitem is filtered before any join, shuffles once
-    (for the orders join); customer and nation broadcast."""
+    (for the orders join); nation broadcasts (fixed 25 rows), customer
+    scales with SF so AQE decides."""
     c = load(spark, "customer", sf_dir)
     o = load(spark, "orders", sf_dir)
     l = load(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
     n = load(spark, "nation", sf_dir)
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)  # customer scales with SF: AQE decides
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -2182,7 +2187,7 @@ def q_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     return (
-        kept.join(F.broadcast(s), kept.l_suppkey == s.s_suppkey)
+        kept.join(s, kept.l_suppkey == s.s_suppkey)  # supplier scales with SF
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
@@ -2258,7 +2263,7 @@ def q_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, "part", sf_dir)
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)  # part scales with SF: AQE decides
         .agg(
             F.round(
                 100.0
@@ -2299,10 +2304,11 @@ def q_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey")
     )
     return (
-        l.join(F.broadcast(big.withColumnRenamed("l_orderkey", "big_key")),
-               F.col("l_orderkey") == F.col("big_key"), "left_semi")
+        l.join(big.withColumnRenamed("l_orderkey", "big_key"),
+               F.col("l_orderkey") == F.col("big_key"),
+               "left_semi")  # qualifying-key set scales with SF: AQE decides
         .join(o, F.col("l_orderkey") == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)  # customer scales with SF
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
@@ -2328,7 +2334,7 @@ def q_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_quantity <= 35) below the join itself."""
     l = load(spark, "lineitem", sf_dir)
     p = load(spark, "part", sf_dir)
-    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    j = l.join(p, l.l_partkey == p.p_partkey)  # part scales with SF: AQE decides
     cond = (
         (F.col("p_brand") == "Brand#11")
         & F.col("p_size").between(1, 15)
@@ -2864,7 +2870,7 @@ def q_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     eu = (
         load(spark, "lineitem", sf_dir)
         .select("l_partkey", "l_suppkey", "l_extendedprice")
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)  # supplier scales with SF
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
         .select("l_partkey", "l_extendedprice", "s_acctbal", "s_name", "n_name")
@@ -2876,7 +2882,7 @@ def q_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         eu.join(minp, "l_partkey")
         .filter(F.col("l_extendedprice") == F.col("__min_price"))
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(p, F.col("l_partkey") == p.p_partkey)  # part scales with SF
         .select(
             "p_partkey",
             "p_type",
@@ -2944,12 +2950,12 @@ def q_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     v = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)  # part scales with SF (filtered)
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)  # customer scales with SF
         .join(F.broadcast(n1), c.c_nationkey == n1.n_nationkey)
         .join(F.broadcast(r), n1.n_regionkey == r.r_regionkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)  # supplier scales with SF
         .join(F.broadcast(n2), s.s_nationkey == F.col("n2_nationkey"))
         .select(
             F.year("o_orderdate").alias("o_year"),
@@ -3007,8 +3013,8 @@ def q_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity") * F.lit(0.1)
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(p, l.l_partkey == p.p_partkey)  # part scales with SF
+        .join(s, l.l_suppkey == s.s_suppkey)  # supplier scales with SF
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .join(o, l.l_orderkey == o.o_orderkey)
         .select(
@@ -3050,7 +3056,7 @@ def q_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = (
         load(spark, "lineitem", sf_dir)
         .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)  # supplier scales with SF
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .select(
             "l_partkey",
@@ -3157,7 +3163,7 @@ def q_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.join(F.broadcast(top))
         .filter(F.col("total_revenue") == F.col("__max_rev"))
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))  # supplier scales with SF
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -3180,7 +3186,8 @@ GROUP BY p.p_brand, p.p_type, p.p_size
 def q_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape (supplier counts per part attribute; partsupp →
     lineitem): NOT IN over a non-null subquery = broadcast left_anti
-    join, part-side filters broadcast and prune the fact, then
+    join (the filtered supplier set still scales with SF — AQE sizes
+    it), part-side filters prune the fact, then
     count(DISTINCT suppkey) — Spark plans the distinct as a two-phase
     partial/final expand, one shuffle on the group key."""
     p = load(spark, "part", sf_dir).filter(
@@ -3195,8 +3202,9 @@ def q_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     l = load(spark, "lineitem", sf_dir).select("l_partkey", "l_suppkey")
     return (
-        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        l.join(bad, l.l_suppkey == bad.s_suppkey,
+               "left_anti")  # filtered supplier still scales with SF
+        .join(p, F.col("l_partkey") == p.p_partkey)  # part scales with SF
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -3229,7 +3237,7 @@ def q_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.avg("l_quantity") * 0.5).alias("__half_avg")
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)  # part scales with SF: AQE decides
         .join(avg_qty, F.col("l_partkey") == F.col("__pk"))
         .filter(F.col("l_quantity") < F.col("__half_avg"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
@@ -3263,8 +3271,8 @@ def q_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlated HAVING, decorrelated as (per-part total) ⟕ (per
     supplier-part 1997 sum) → filter → semi-join into the nation-
     filtered supplier dim. Two shuffles on partkey (AQE reuses the
-    partitioning), one distinct on suppkey, supplier/nation/part all
-    broadcast."""
+    partitioning), one distinct on suppkey; nation broadcasts (fixed),
+    supplier/part scale with SF so AQE sizes them."""
     n = load(spark, "nation", sf_dir).filter(F.col("n_name") == "NATION_3")
     s = (
         load(spark, "supplier", sf_dir)
@@ -3280,7 +3288,8 @@ def q_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p.select("p_partkey"),
+              F.col("l_partkey") == F.col("p_partkey"))  # part scales with SF
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("__qty97"))
     )
