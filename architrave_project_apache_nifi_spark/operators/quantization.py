@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .similarity import _collect_block
+
 
 def _max_abs(vec: Column) -> Column:
     return F.aggregate(
@@ -101,6 +103,7 @@ def quantized_topk(
     scale_col: str = "qscale",
     query_id_col: str = "query_id",
     k: int = 10,
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Exact brute-force cosine top-k over the QUANTIZED codes (the
     approximation is the quantization itself, not the search): per
@@ -111,11 +114,14 @@ def quantized_topk(
     per-partition survivor sets (≤ k rows per query per partition).
 
     ``queries`` must carry (query_id_col, qvec_col, scale_col) — i.e.
-    quantize the queries with the same ``quantize_int8``."""
+    quantize the queries with the same ``quantize_int8``. ``max_query_rows`` guards the driver collect (VERDICT r4)."""
     import numpy as np
     import pandas as pd
 
-    q_rows = queries.select(query_id_col, qvec_col, scale_col).collect()
+    q_rows = _collect_block(
+        queries, [query_id_col, qvec_col, scale_col], max_query_rows,
+        "quantized_topk", "max_query_rows",
+    )
     if not q_rows:
         raise ValueError("quantized_topk: empty query set")
     q_ids = np.array([r[query_id_col] for r in q_rows])

@@ -118,3 +118,27 @@ def test_quantized_codes_compose_with_ivf(spark, emb):
             r["neighbor_id"] == qid + 10_000 and r["cosine"] > 0.999
             for r in rows
         ), (qid, rows)
+
+
+def test_quantized_topk_guards_driver_collect(spark):
+    """Oversized quantized query block raises instead of OOMing the
+    driver (VERDICT r4)."""
+    import pytest
+
+    from architrave_project_apache_nifi_spark.operators.quantization import (
+        quantize_int8,
+        quantized_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7) - 3.0, 1.0]) for i in range(30)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    qz = quantize_int8(emb, "embedding")
+    queries = qz.limit(4).withColumnRenamed("vec_id", "query_id")
+    with pytest.raises(ValueError, match="max_query_rows"):
+        quantized_topk(qz, queries, "vec_id", max_query_rows=3)
+    assert (
+        quantized_topk(qz, queries, "vec_id", k=3, max_query_rows=4).count()
+        == 12
+    )
