@@ -11,7 +11,11 @@ Scale design:
 - MinHash-LSH: signatures are computed map-side (explode shingles →
   one hash-agg per doc), banding converts O(n²) pair search into a
   self-equi-join on (band, band_hash) — only colliding docs meet.
-  At 100 TB tune ``num_hashes``/``bands`` and salt hot bands.
+  At 100 TB tune ``num_hashes``/``bands``; oversized (band, hash)
+  buckets — near-identical doc families resurrecting the quadratic
+  blowup as skew — are SALTED into ≤ ``max_band_bucket``-sized groups
+  (see ``minhash_lsh_candidates``), bounding every join task's pair
+  output by cap².
 - SimHash: one 64-bit fingerprint per doc; near-dups = equal fingerprint
   (or small Hamming distance via band rotation); one shuffle.
 - n-gram Jaccard: exact verification on candidate pairs only.
@@ -171,6 +175,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    max_band_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH: docs agreeing on any
     full band of ``num_hashes/bands`` minhashes collide. Returns
@@ -184,7 +189,28 @@ def minhash_lsh_candidates(
     regression). Each band's minima fold into one 64-bit key via an
     ``xxhash64`` chain (pure long arithmetic — no string casts). The
     band array is then materialized behind an exchange barrier so the
-    posexplode generator reads a row field."""
+    posexplode generator reads a row field.
+
+    HOT-BAND SALTING (``max_band_bucket``): a skewed corpus — one
+    near-identical doc family ×10⁴⁺ — puts the whole family in ONE
+    (band, band_hash) bucket, and the self-equi-join makes that single
+    task emit |bucket|² pairs: the quadratic blowup banding exists to
+    prevent, resurrected as skew. Buckets whose member count exceeds
+    the cap are split into ``ceil(count / cap)`` salt groups; the join
+    key becomes (band, band_hash, salt), bounding every task's pair
+    output by cap². The salt is ``xxhash64(id, band) % n_salts`` — a
+    pair separated in one band gets an independent draw in every other
+    colliding band, so for a family colliding in k bands a pair
+    survives with probability 1 − (1 − 1/s)^k (≈0.99 for s=4, k=16);
+    transitive consumers (cluster canonicalization, dedup) reconnect
+    the family through surviving chains. The documented trade: direct
+    pair recall inside oversized buckets drops; set the cap to None to
+    disable. Detection costs one count-agg over the 16-byte band rows
+    plus a join against the hot set, which is empty/tiny by definition
+    (|hot| ≤ band_rows / cap) — AQE sizes the materialized agg stage at
+    runtime and broadcasts when it fits, shuffle-joins when an
+    adversarial corpus inflates it (no hint, no eager count; see
+    ``_salt_hot_bands``)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     shs = _shingle_sets(df, id_col, text_col, shingle_n)
@@ -209,13 +235,19 @@ def minhash_lsh_candidates(
             F.posexplode(F.col("__bands")).alias("band", "band_hash"),
         )
     )
+    if max_band_bucket:
+        banded = _salt_hot_bands(banded, id_col, max_band_bucket)
+        salt_match = F.col("a.__salt") == F.col("b.__salt")
+    else:
+        salt_match = F.lit(True)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
         a.join(
             b,
-            (F.col(f"a.band") == F.col(f"b.band"))
+            (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & salt_match
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
@@ -223,6 +255,31 @@ def minhash_lsh_candidates(
         )
         .distinct()
     )
+
+
+def _salt_hot_bands(
+    banded: DataFrame, id_col: str, max_band_bucket: int
+) -> DataFrame:
+    """Append ``__salt`` to (id, band, band_hash) rows: 0 for buckets
+    within the cap, ``xxhash64(id, band) % ceil(count/cap)`` for
+    oversized ones (see :func:`minhash_lsh_candidates`). The hot set
+    carries NO broadcast hint and triggers NO eager job: it is empty or
+    tiny by definition (|hot| ≤ band_rows / cap), but an adversarial
+    corpus could inflate it, so AQE's measured runtime size — it
+    materializes this agg stage before planning the join — picks
+    broadcast when it fits and degrades to a shuffle join when it
+    doesn't, keeping the operator fully lazy."""
+    hot = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") > max_band_bucket)
+    )
+    salted = banded.join(hot, ["band", "band_hash"], "left")
+    n_salts = F.ceil(F.col("__cnt") / F.lit(max_band_bucket))
+    salt = F.when(F.col("__cnt").isNull(), F.lit(0).cast("int")).otherwise(
+        F.pmod(F.xxhash64(F.col(id_col), F.col("band")), n_salts).cast("int")
+    )
+    return salted.withColumn("__salt", salt).drop("__cnt")
 
 
 def ngram_jaccard_pairs(
