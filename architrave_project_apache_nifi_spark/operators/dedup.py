@@ -258,20 +258,39 @@ def minhash_lsh_candidates(
 
 
 def _salt_hot_bands(
-    banded: DataFrame, id_col: str, max_band_bucket: int
+    banded: DataFrame,
+    id_col: str,
+    max_band_bucket: int,
+    sample_denom: int = 100,
 ) -> DataFrame:
     """Append ``__salt`` to (id, band, band_hash) rows: 0 for buckets
     within the cap, ``xxhash64(id, band) % ceil(count/cap)`` for
-    oversized ones (see :func:`minhash_lsh_candidates`). The hot set
-    carries NO broadcast hint and triggers NO eager job: it is empty or
-    tiny by definition (|hot| ≤ band_rows / cap), but an adversarial
-    corpus could inflate it, so AQE's measured runtime size — it
-    materializes this agg stage before planning the join — picks
-    broadcast when it fits and degrades to a shuffle join when it
+    oversized ones (see :func:`minhash_lsh_candidates`).
+
+    Detection counts a DETERMINISTIC 1/``sample_denom`` id-hash sample
+    of the band rows, not the full set — the cap is an
+    order-of-magnitude straggler guard, not an exact quota, and a truly
+    hot bucket (>cap ≫ sample_denom members) lands ≥cap/denom sampled
+    rows with tight concentration while the detection shuffle shrinks
+    ×denom. Estimated counts (sampled × denom) size the salt modulus;
+    borderline buckets (≈cap) may be missed or split one notch early —
+    both harmless. Pass ``sample_denom=1`` for exact counting (tests).
+
+    The hot set carries NO broadcast hint and triggers NO eager job: it
+    is empty or tiny by definition (|hot| ≤ band_rows / cap), but an
+    adversarial corpus could inflate it, so AQE's measured runtime
+    size — it materializes this agg stage before planning the join —
+    picks broadcast when it fits and degrades to a shuffle join when it
     doesn't, keeping the operator fully lazy."""
+    sampled = banded
+    if sample_denom > 1:
+        sampled = banded.filter(
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(0x5A17)), sample_denom)
+            == 0
+        )
     hot = (
-        banded.groupBy("band", "band_hash")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
+        sampled.groupBy("band", "band_hash")
+        .agg((F.count(F.lit(1)) * sample_denom).alias("__cnt"))
         .filter(F.col("__cnt") > max_band_bucket)
     )
     salted = banded.join(hot, ["band", "band_hash"], "left")

@@ -70,8 +70,12 @@ def scd2_build(
     tombstones ride the same window.
 
     One shuffle: the window partition on the key. At 100 TB this is the
-    unavoidable shuffle of any per-key versioning; AQE handles skewed
-    keys.
+    unavoidable shuffle of any per-key versioning. NOTE: AQE does NOT
+    split skewed WINDOW partitions (only join partitions) — a business
+    key carrying a large share of the stream becomes one straggler
+    task; route such streams through :func:`scd2_build_skewed`, which
+    time-range-salts hot keys' windows and is exact-equal
+    (tests/test_skew_core.py, oracle ``scd2_build_skew_salted``).
     """
     keys = _as_list(key_cols)
     w = Window.partitionBy(*keys).orderBy(
@@ -85,6 +89,105 @@ def scd2_build(
             "is_current", F.when(nxt.isNull(), F.lit("Y")).otherwise(F.lit("N"))
         )
     )
+    if tombstone_col is not None:
+        out = out.filter(~F.col(tombstone_col)).drop(tombstone_col)
+    return out
+
+
+def scd2_build_skewed(
+    changes: DataFrame,
+    key_cols: str | Sequence[str],
+    ts_col: str,
+    order_cols: Sequence[str] = (),
+    tombstone_col: str | None = None,
+    hot_key_rows: int = 5_000_000,
+    n_ts_buckets: int = 32,
+) -> DataFrame:
+    """:func:`scd2_build` with HOT-KEY time-range salting — exact same
+    output (property-tested equality + the DuckDB oracle), resilient to
+    a single business key carrying an outsized share of the change
+    stream.
+
+    Why: the per-key window shuffle is the build's one unavoidable
+    exchange, and AQE splits skewed JOIN partitions but NOT window
+    partitions — a ProductID with 30% of all events becomes one task
+    sorting 30% of the data (measured in tests/test_skew_core.py).
+    The reference cannot hit this (serial single node); a 100 TB CDC
+    stream with a degenerate key (null-ish id, catch-all SKU) will.
+
+    How: keys above ``hot_key_rows`` (detected by one partial-agg
+    count; the hot set is joined with no hint so AQE sizes it) have
+    their rows range-bucketed by event time using per-key
+    ``percentile_approx`` edges. ``bucket(ts) = |{edge < ts}|`` is
+    monotone in ts and maps EQUAL timestamps to the SAME bucket, so
+    buckets are time-disjoint and tie order (``order_cols``) can never
+    straddle a boundary. The chain window then partitions by
+    (key, bucket) — the hot key spreads over ``n_ts_buckets`` tasks —
+    and the only cross-bucket information needed, each bucket's
+    successor timestamp, comes from a per-(key, bucket) MIN summary
+    (≤ hot_keys × buckets rows) led over buckets and joined back:
+    a bucket's last interval closes at the next non-empty bucket's
+    first event time, which is by construction that row's valid_from.
+    Cold keys take the plain :func:`scd2_build` path; the union is
+    byte-identical to the unsalted build.
+
+    Degenerate limit: a hot key whose events all share ONE timestamp
+    cannot be split (equal ts must stay together for tie ordering) —
+    that is a data bug upstream, not a partitioning problem."""
+    keys = _as_list(key_cols)
+    counts = changes.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+    qs = [i / n_ts_buckets for i in range(1, n_ts_buckets)]
+    hot_edges = (
+        changes.join(
+            counts.filter(F.col("__n") > hot_key_rows).select(*keys),
+            keys,
+            "left_semi",
+        )
+        .groupBy(*keys)
+        .agg(
+            F.percentile_approx(
+                F.col(ts_col).cast("double"), qs
+            ).alias("__edges")
+        )
+    )
+    cold = changes.join(hot_edges, keys, "left_anti")
+    built_cold = scd2_build(cold, keys, ts_col, order_cols)
+
+    hot = changes.join(hot_edges, keys, "inner")
+    bucket = F.size(
+        F.filter(
+            F.col("__edges"), lambda e: e < F.col(ts_col).cast("double")
+        )
+    )
+    hot = hot.withColumn("__b", bucket).drop("__edges")
+    w = Window.partitionBy(*keys, "__b").orderBy(
+        *[F.col(c).asc() for c in [ts_col, *order_cols]]
+    )
+    local_next = F.lead(F.col(ts_col)).over(w)
+    chained = hot.withColumn("valid_from", F.col(ts_col)).withColumn(
+        "__local_until", local_next
+    )
+    summary = chained.groupBy(*keys, "__b").agg(
+        F.min(ts_col).alias("__first_ts")
+    )
+    wb = Window.partitionBy(*keys).orderBy("__b")
+    nxt_bucket = summary.withColumn(
+        "__next_first", F.lead("__first_ts").over(wb)
+    ).select(*keys, "__b", "__next_first")
+    built_hot = (
+        chained.join(nxt_bucket, [*keys, "__b"], "left")
+        .withColumn(
+            "valid_until", F.coalesce(F.col("__local_until"), F.col("__next_first"))
+        )
+        .withColumn(
+            "is_current",
+            F.when(F.col("valid_until").isNull(), F.lit("Y")).otherwise(
+                F.lit("N")
+            ),
+        )
+        .drop("__b", "__local_until", "__next_first")
+    )
+    out = built_cold.unionByName(built_hot.select(*built_cold.columns))
     if tombstone_col is not None:
         out = out.filter(~F.col(tombstone_col)).drop(tombstone_col)
     return out

@@ -33,6 +33,7 @@ from .operators.scd2 import (
     scd2_apply_late,
     scd2_as_of,
     scd2_build,
+    scd2_build_skewed,
     scd2_current,
     scd2_invariants,
     scd2_split_late,
@@ -78,6 +79,23 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics, window-lead formulation)."""
     events = load(spark, "events", sf_dir)
     return scd2_build(events, "user_id", "ts", ("event_id",)).select(
+        "user_id", "event_id", "value", "valid_from", "valid_until", "is_current"
+    )
+
+
+@register("scd2_build_skew_salted", _SCD2_ORACLE)
+def q_scd2_build_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scd2_build_skewed (operators/scd2.py): hot keys' chain windows
+    are time-range-salted across n_ts_buckets tasks — the skew remedy
+    for the build's one unavoidable key shuffle (AQE splits skewed JOIN
+    partitions, not window partitions; tests/test_skew_core.py). The
+    threshold here is set low so the oracle exercises the HOT path on
+    every key at the gate SF; output must equal plain scd2_build."""
+    events = load(spark, "events", sf_dir)
+    return scd2_build_skewed(
+        events, "user_id", "ts", ("event_id",),
+        hot_key_rows=5, n_ts_buckets=8,
+    ).select(
         "user_id", "event_id", "value", "valid_from", "valid_until", "is_current"
     )
 
@@ -598,15 +616,28 @@ QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
 )
 def q_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key argmax — the reference maintains this via the Is_current
-    flag protocol (README.md:118-123)."""
+    flag protocol (README.md:118-123).
+
+    SKEW-IMMUNE FORM (r5): ``max(struct(ts, event_id, value))`` is an
+    algebraic aggregate, so Spark partial-aggregates it MAP-SIDE — a
+    hot user key reduces to one row per input task before the shuffle.
+    The earlier ``row_number() OVER (PARTITION BY user_id)`` window had
+    no partial step: a user carrying 30% of events became one straggler
+    task holding 30% of the data (AQE splits skewed JOIN partitions,
+    not window partitions — measured in tests/test_skew_core.py). The
+    lexicographic struct max (ts desc ties broken by event_id desc)
+    reproduces the window's order exactly; the SQL oracle is unchanged.
+    """
     events = load(spark, "events", sf_dir)
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
     return (
-        events.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_id", "ts", "value")
+        events.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id", "value")).alias("__m"))
+        .select(
+            "user_id",
+            F.col("__m.event_id").alias("event_id"),
+            F.col("__m.ts").alias("ts"),
+            F.col("__m.value").alias("value"),
+        )
     )
 
 
@@ -5422,6 +5453,8 @@ _OVERFLOW = [
     "score_lift_deciles",  # ntile + per-bin agg ≈ histogram/percentile twins
     "rfm_user_segments",  # per-user agg + ntile scoring ≈ lift/window twins
     "score_roc_auc",  # sharded midrank prefix sum ≈ quantile_transform/KS twins
+    # round 5: skew-salted build — exact twin of in-window scd2_build
+    "scd2_build_skew_salted",
 ]
 
 

@@ -1,0 +1,153 @@
+"""Skewed-key stress for the SCD2/window core (VERDICT r4 #4).
+
+SCALE.md's original claim — "AQE handles skewed keys" for the one
+unavoidable key shuffle — is FALSE for window partitions: AQE splits
+oversized shuffle partitions for sort-merge JOINS, not for windows.
+These tests (a) measure the skew a hot key actually produces under
+key-hash partitioning, (b) prove the two mitigations shipped in r5:
+
+- ``window_latest_event_per_user`` rewritten as an algebraic
+  ``max(struct(...))`` aggregate — partial-aggregated map-side, so a
+  hot key reduces to one row per input task before the shuffle;
+- ``scd2_build_skewed`` — per-key time-range salting of the chain
+  window, exact-equal to ``scd2_build`` (also DuckDB-oracled as the
+  overflow entry ``scd2_build_skew_salted``).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import statistics
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from architrave_project_apache_nifi_spark.plans.inspect import formatted_plan
+
+from architrave_project_apache_nifi_spark.operators.scd2 import (
+    scd2_build,
+    scd2_build_skewed,
+    scd2_invariants,
+)
+
+N_PARTS = 32
+
+
+def _spread(df, *cols):
+    """max/median row count over the partitions a key-hash exchange on
+    ``cols`` produces — exactly the distribution the window's internal
+    Exchange hashpartitioning(cols) feeds its sort tasks."""
+    counts = [
+        r.n
+        for r in df.repartition(N_PARTS, *[F.col(c) for c in cols])
+        .groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    return max(counts) / statistics.median(counts)
+
+
+def _hot_events(spark, n_hot=3000, n_cold=7000, n_keys=200):
+    """One key (id 0) carries ~30% of all events."""
+    rows = [
+        (0, i, float(i), dt.datetime(2026, 1, 1) + dt.timedelta(seconds=i * 7))
+        for i in range(n_hot)
+    ] + [
+        (1 + (i % n_keys), 100_000 + i, float(i),
+         dt.datetime(2026, 1, 1) + dt.timedelta(seconds=i * 3))
+        for i in range(n_cold)
+    ]
+    return spark.createDataFrame(
+        rows, "ProductID INT, seq LONG, Price DOUBLE, change_ts TIMESTAMP"
+    )
+
+
+def _norm(df):
+    return sorted(
+        tuple(str(v) for v in row) for row in df.collect()
+    )
+
+
+def test_hot_key_skews_window_exchange_and_bucketing_flattens_it(spark):
+    """MEASUREMENT: key-hash partitioning puts the hot key's 30% of
+    rows in one partition (>4x median — the straggler AQE will NOT
+    split); adding the time-bucket to the partition key flattens the
+    spread back under 4x."""
+    ev = _hot_events(spark)
+    plain = _spread(ev, "ProductID")
+    assert plain > 4.0, f"hot key did not skew the exchange ({plain:.1f}x)"
+
+    bucketed = ev.withColumn(
+        "__b",
+        F.ntile(32).over(  # proxy for the percentile edges: even ts split
+            Window.partitionBy("ProductID").orderBy("change_ts")
+        ),
+    )
+    flat = _spread(bucketed, "ProductID", "__b")
+    assert flat <= 4.0, f"bucketed exchange still skewed ({flat:.1f}x)"
+
+
+def test_scd2_build_skewed_equals_plain_on_hot_corpus(spark):
+    ev = _hot_events(spark, n_hot=1500, n_cold=3000)
+    plain = scd2_build(ev, "ProductID", "change_ts", ("seq",))
+    salted = scd2_build_skewed(
+        ev, "ProductID", "change_ts", ("seq",),
+        hot_key_rows=100, n_ts_buckets=8,
+    )
+    assert _norm(salted) == _norm(plain)
+    assert scd2_invariants(salted, "ProductID").count() == 0
+
+
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # key (0 is hot-ish)
+            st.integers(min_value=0, max_value=50),  # minute (ties likely)
+            st.floats(min_value=0, max_value=100, allow_nan=False),
+            st.booleans(),                           # tombstone
+        ),
+        min_size=1, max_size=60,
+    ),
+    threshold=st.integers(min_value=0, max_value=10),
+    buckets=st.integers(min_value=2, max_value=6),
+)
+def test_scd2_build_skewed_property_equality(spark, events, threshold, buckets):
+    """ADVERSARIAL: any key/ts/tie/tombstone mix, any hot threshold
+    (0 = every key takes the bucketed path), any bucket count — the
+    salted build must equal the plain build exactly."""
+    rows = [
+        (k, dt.datetime(2026, 1, 1, 8, m), p, i, tomb)
+        for i, (k, m, p, tomb) in enumerate(events)
+    ]
+    schema = (
+        "ProductID INT, change_ts TIMESTAMP, Price DOUBLE, seq LONG,"
+        " deleted BOOLEAN"
+    )
+    df = spark.createDataFrame(rows, schema)
+    plain = scd2_build(
+        df, "ProductID", "change_ts", ("seq",), tombstone_col="deleted"
+    )
+    salted = scd2_build_skewed(
+        df, "ProductID", "change_ts", ("seq",), tombstone_col="deleted",
+        hot_key_rows=threshold, n_ts_buckets=buckets,
+    )
+    assert _norm(salted) == _norm(plain)
+
+
+def test_latest_per_user_aggregate_is_partial_aggregated(spark):
+    """The r5 argmax rewrite must show a partial_ hash aggregate BEFORE
+    the exchange (map-side combine = skew immunity) and no window."""
+    from architrave_project_apache_nifi_spark.queries import REGISTRY
+
+    df = REGISTRY["window_latest_event_per_user"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = formatted_plan(df)
+    assert "Window" not in plan
+    assert "partial_max" in plan, plan
