@@ -135,49 +135,91 @@ def scd2_build_skewed(
     cannot be split (equal ts must stay together for tie ordering) —
     that is a data bug upstream, not a partitioning problem."""
     keys = _as_list(key_cols)
-    counts = changes.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+    # monotone numeric image of ts for percentile edges / bucket
+    # comparison (timestamp + timestamp_ntz both via unix_micros; the
+    # session tz is pinned UTC so the ntz reinterpretation is monotone)
+    if dict(changes.dtypes)[ts_col].startswith("timestamp"):
+        def _num(c):  # noqa: E306
+            return F.unix_micros(c.cast("timestamp")).cast("double")
+    else:
+        def _num(c):
+            return c.cast("double")
+    # Hot-key detection + edges from ONE agg over a deterministic 1%
+    # row-hash sample (count estimate ×denom; sample percentiles ≈ full
+    # percentiles, and ANY edges give exact results — bucketing is only
+    # a balance choice). Borderline keys flipping paths is harmless:
+    # a cold key through the bucketed window gets bucket counts of 1-ish
+    # and identical chains. The hot set joins with NO hint (AQE sizes
+    # it); cold rows take bucket 0, making (key, 0) ≡ (key) — one code
+    # path, and only THREE lineage passes over `changes` total
+    # (sampled agg, the window input, the boundary summary).
+    denom = 100 if hot_key_rows >= 100 * n_ts_buckets else 1
+    sampled = changes
+    if denom > 1:
+        sampled = changes.filter(
+            F.pmod(
+                F.xxhash64(*[F.col(k) for k in keys], F.col(ts_col)),
+                denom,
+            )
+            == 0
+        )
     qs = [i / n_ts_buckets for i in range(1, n_ts_buckets)]
+    # Edges land as n-1 SCALAR columns, not an array: the per-row bucket
+    # is then a chain of n-1 codegen'd comparisons. The array form
+    # (size(filter(edges, e -> e < ts))) is a higher-order function —
+    # interpreted per element, outside whole-stage codegen — and
+    # measured 20x slower over the full fact (1960 s CPU vs ~100 s at
+    # 20M rows; the same projection-collapse class of trap as
+    # dedup._shingle_sets).
+    edge_cols = [f"__e{i}" for i in range(n_ts_buckets - 1)]
     hot_edges = (
-        changes.join(
-            counts.filter(F.col("__n") > hot_key_rows).select(*keys),
-            keys,
-            "left_semi",
-        )
-        .groupBy(*keys)
+        sampled.groupBy(*keys)
         .agg(
-            F.percentile_approx(
-                F.col(ts_col).cast("double"), qs
-            ).alias("__edges")
+            (F.count(F.lit(1)) * denom).alias("__n"),
+            F.percentile_approx(_num(F.col(ts_col)), qs).alias("__edges"),
+        )
+        .filter(F.col("__n") > hot_key_rows)
+        .select(
+            *keys,
+            *[F.col("__edges")[i].alias(c) for i, c in enumerate(edge_cols)],
         )
     )
-    cold = changes.join(hot_edges, keys, "left_anti")
-    built_cold = scd2_build(cold, keys, ts_col, order_cols)
-
-    hot = changes.join(hot_edges, keys, "inner")
-    bucket = F.size(
-        F.filter(
-            F.col("__edges"), lambda e: e < F.col(ts_col).cast("double")
-        )
+    merged = changes.join(hot_edges, keys, "left")
+    tsn = _num(F.col(ts_col))
+    # count of edges strictly below ts; NULL edges (cold key) and NULL
+    # ts both compare to false, so cold rows land in bucket 0 unaided
+    bucket = sum(
+        (F.when(F.col(c) < tsn, 1).otherwise(0) for c in edge_cols),
+        F.lit(0),
     )
-    hot = hot.withColumn("__b", bucket).drop("__edges")
+    merged = merged.withColumn("__b", bucket).drop(*edge_cols)
+    # EXPLICIT (key, bucket) exchange. Without it the salting is
+    # silently defeated: when the hot-edges join runs as an SMJ it
+    # leaves the fact hashpartitioned on the keys alone, and
+    # hashpartitioning(keys) SATISFIES the window's
+    # ClusteredDistribution([keys, __b]) (subset rule) — Spark reuses
+    # the skewed exchange and the hot key stays in one task (measured:
+    # the straggler came back at 6.5M rows/task until this line).
+    merged = merged.repartition(*[F.col(k) for k in keys], F.col("__b"))
     w = Window.partitionBy(*keys, "__b").orderBy(
         *[F.col(c).asc() for c in [ts_col, *order_cols]]
     )
     local_next = F.lead(F.col(ts_col)).over(w)
-    chained = hot.withColumn("valid_from", F.col(ts_col)).withColumn(
+    chained = merged.withColumn("valid_from", F.col(ts_col)).withColumn(
         "__local_until", local_next
     )
-    summary = chained.groupBy(*keys, "__b").agg(
+    summary = merged.groupBy(*keys, "__b").agg(
         F.min(ts_col).alias("__first_ts")
     )
     wb = Window.partitionBy(*keys).orderBy("__b")
     nxt_bucket = summary.withColumn(
         "__next_first", F.lead("__first_ts").over(wb)
     ).select(*keys, "__b", "__next_first")
-    built_hot = (
+    out = (
         chained.join(nxt_bucket, [*keys, "__b"], "left")
         .withColumn(
-            "valid_until", F.coalesce(F.col("__local_until"), F.col("__next_first"))
+            "valid_until",
+            F.coalesce(F.col("__local_until"), F.col("__next_first")),
         )
         .withColumn(
             "is_current",
@@ -187,7 +229,6 @@ def scd2_build_skewed(
         )
         .drop("__b", "__local_until", "__next_first")
     )
-    out = built_cold.unionByName(built_hot.select(*built_cold.columns))
     if tombstone_col is not None:
         out = out.filter(~F.col(tombstone_col)).drop(tombstone_col)
     return out

@@ -171,7 +171,38 @@ def gen_embeddings(con: duckdb.DuckDBPyConnection, out: str, k: int) -> None:
     print(f"  embeddings: {n:,} rows (regenerated, {X.shape[1]}-dim)")
 
 
+def gen_hot_events(
+    con: duckdb.DuckDBPyConnection, out: str, mult: int = 20
+) -> None:
+    """events_hot.parquet — the tiled events, further tiled ×``mult``
+    (disjoint event_id ranges), with ONE user (id 0) deterministically
+    remapped onto ~30% of all rows (hash of event_id, stable across
+    runs). The skewed-key stress corpus for scripts/measure_skew.py /
+    tests/test_skew_core.py: a key this hot turns any per-key window
+    shuffle into a single straggler task. ``mult`` exists because at
+    1M rows the fixed per-task cost masks the skew as time — ~20M rows
+    make the sort/window stage row-bound, as it is at 100 TB."""
+    copies = ", ".join(str(c) for c in range(mult))
+    q = f"""
+        SELECT event_id * {mult} + c AS event_id, ts,
+               CASE WHEN hash(event_id * {mult} + c) % 10 < 3 THEN 0
+                    ELSE user_id END AS user_id,
+               event_type, value, props
+        FROM '{out}/events.parquet', (SELECT unnest([{copies}]) AS c)"""
+    con.execute(f"COPY ({q}) TO '{out}/events_hot.parquet' (FORMAT PARQUET)")
+    n, hot = con.execute(
+        f"SELECT count(*), sum(CASE WHEN user_id=0 THEN 1 ELSE 0 END)"
+        f" FROM '{out}/events_hot.parquet'"
+    ).fetchone()
+    print(f"  events_hot: {n:,} rows, hot key carries {hot/n:.1%}")
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "hot":
+        out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.localdata/sf1"
+        mult = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+        gen_hot_events(duckdb.connect(), out, mult)
+        return
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.localdata/sf1"
     os.makedirs(out, exist_ok=True)
@@ -180,6 +211,7 @@ def main() -> None:
     tile_relational(con, out, k)
     gen_documents(con, out, k)
     gen_embeddings(con, out, k)
+    gen_hot_events(con, out)
     print("done")
 
 
