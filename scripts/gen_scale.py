@@ -197,7 +197,36 @@ def gen_hot_events(
     print(f"  events_hot: {n:,} rows, hot key carries {hot/n:.1%}")
 
 
+def gen_clustered_embeddings(out: str, n: int = 8000, dim: int = 64,
+                             n_clusters: int = 64) -> None:
+    """embeddings_clustered.parquet — mixture-of-Gaussians embeddings
+    (the shape real encoders produce; the regular embeddings table is
+    isotropic by design, on which ANY space-partitioning ANN index
+    degenerates to recall ≈ scan fraction). Used by
+    scripts/measure_ivf_recall.py and the clustered recall floor in
+    tests/test_similarity.py."""
+    rng = np.random.default_rng(SEED)
+    cents = rng.normal(size=(n_clusters, dim)) * 10.0
+    labels = rng.integers(0, n_clusters, size=n)
+    pts = cents[labels] + rng.normal(size=(n, dim))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    tbl = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "label": pa.array(labels.tolist(), pa.int32()),
+        "embedding": pa.array(
+            [[float(x) for x in v] for v in pts], pa.list_(pa.float64())
+        ),
+    })
+    pq.write_table(tbl, f"{out}/embeddings_clustered.parquet")
+    print(f"  embeddings_clustered: {n:,} rows, {n_clusters} clusters, dim {dim}")
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "clustered":
+        out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.localdata/sf1"
+        gen_clustered_embeddings(out)
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "hot":
         out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.localdata/sf1"
         mult = int(sys.argv[3]) if len(sys.argv) > 3 else 20
@@ -212,6 +241,7 @@ def main() -> None:
     gen_documents(con, out, k)
     gen_embeddings(con, out, k)
     gen_hot_events(con, out)
+    gen_clustered_embeddings(out)
     print("done")
 
 

@@ -357,3 +357,62 @@ def test_hard_negatives_guards_driver_collect(spark):
     with pytest.raises(ValueError, match="max_anchors"):
         hard_negatives(corpus, anchors, k=2, max_anchors=5)
     assert hard_negatives(corpus, anchors, k=2, max_anchors=6).count() == 12
+
+
+def test_ivf_clustered_corpus_high_recall_at_low_scan(spark):
+    """The isotropic-corpus tests above concede recall ≈ scan fraction
+    (any space-partitioning index degenerates on directionally uniform
+    data). On a CLUSTERED corpus — the shape real embedding models
+    produce — the IVF cells track the clusters and a few-percent scan
+    recovers the true neighbors: recall@10 ≥ 0.9 at ≤ 10% of the corpus
+    scanned (VERDICT r4 #5; sf1 sweep in BASELINE.md §IVF recall)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n_clusters, dim, per = 32, 64, 120
+    cents = rng.normal(size=(n_clusters, dim)) * 10.0
+    pts = cents.repeat(per, axis=0) + rng.normal(size=(n_clusters * per, dim))
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(pts)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    q_idx = rng.choice(len(pts), 25, replace=False)
+    queries = spark.createDataFrame(
+        [
+            (int(i), [float(x) for x in pts[i] + rng.normal(size=dim) * 0.5])
+            for i in q_idx
+        ],
+        "query_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    brute_pairs = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.brute_force_topk(corpus, queries, k=10).collect()
+    }
+    index = sim.ivf_build(corpus, nlist=32)
+    got_pairs = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ivf_probe(index, queries, k=10, nprobe=2).collect()
+    }
+    recall = sum(1 for p in brute_pairs if p in got_pairs) / len(brute_pairs)
+
+    # measured scan fraction: replicate the probe's cell ranking
+    # (nearest centroids of the normalized query) against the actual
+    # cell sizes — not the idealized nprobe/nlist
+    sizes = dict(
+        (r.list_id, r.n)
+        for r in index.assigned.groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    C = np.array(index.centroids)
+    scans = []
+    for (qid, vec) in queries.collect():
+        q = np.array(vec)
+        qn = q / np.linalg.norm(q)
+        d2 = ((qn - C) ** 2).sum(axis=1)
+        cells = np.argsort(d2, kind="stable")[:2]
+        scans.append(sum(sizes.get(int(c), 0) for c in cells) / len(pts))
+    scan_frac = sum(scans) / len(scans)
+
+    assert scan_frac <= 0.10, f"scanned {scan_frac:.1%} of the corpus"
+    assert recall >= 0.9, f"recall {recall:.2f} at {scan_frac:.1%} scan"
