@@ -20,6 +20,37 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from architrave_project_apache_nifi_spark.queries import REGISTRY  # noqa: E402
 from architrave_project_apache_nifi_spark.session import get_spark  # noqa: E402
 
+
+def _load_telemetry() -> dict:
+    """Host-load snapshot (additive to the frozen protocol): makes
+    cross-round noise adjudicable from the artifact alone — r4's
+    uniform +25% was sandbox contention, diagnosable only by re-running.
+    loadavg covers other processes; cpu.pressure covers CPU contention
+    experienced by this cgroup; n_pids is the concurrent-process count.
+    """
+    t: dict = {}
+    try:
+        la = open("/proc/loadavg").read().split()
+        t["loadavg_1m"], t["loadavg_5m"], t["loadavg_15m"] = (
+            float(la[0]), float(la[1]), float(la[2])
+        )
+    except OSError:
+        pass
+    for path in ("/sys/fs/cgroup/cpu.pressure", "/proc/pressure/cpu"):
+        try:
+            some = open(path).read().splitlines()[0]
+            t["cpu_pressure_some_avg60"] = float(
+                dict(kv.split("=") for kv in some.split()[1:])["avg60"]
+            )
+            break
+        except (OSError, KeyError, ValueError):
+            continue
+    try:
+        t["n_pids"] = sum(1 for d in os.listdir("/proc") if d.isdigit())
+    except OSError:
+        pass
+    return t
+
 HEADLINE = [
     "scd2_build",
     "scd2_merge_incremental",
@@ -87,7 +118,9 @@ def main() -> None:
     # Minutes-apart passes decorrelate; the min reflects the plan's
     # cost, which is what the engine controls.
     timings: dict[str, float] = {}
+    telemetry = {"passes": []}
     for _ in range(3):
+        telemetry["passes"].append(_load_telemetry())
         for name in HEADLINE:
             t0 = time.perf_counter()
             REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
@@ -107,6 +140,7 @@ def main() -> None:
 
     ivf_evict(sf_dir)
 
+    telemetry["end"] = _load_telemetry()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -116,6 +150,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "load_telemetry": telemetry,
             }
         )
     )
