@@ -1,0 +1,168 @@
+"""SQL dialect seam for the JDBC sinks (VERDICT r4 "What's missing" #3).
+
+The reference talks to MySQL (``com.mysql.jdbc.Driver``, DBCP pool
+config at final_template.xml:1079-1083); this engine's JDBC sinks are
+proven on embedded Derby because no MySQL server or connector jar
+exists in the sandbox (README.md states the tested/untested split).
+The three dialect-sensitive statements the sinks emit — the
+set-based update-from-staging join, the expire UPDATE of the SCD2
+commit, and the coercion of the reference's DUAL timestamp wire format
+(CaptureChangeMySQL emits epoch-millis; the Jolt-stamped SCD2 columns
+are 'yyyy-MM-dd HH:mm:ss' strings — SURVEY.md §2.3) — are factored
+here so pointing the sinks at a real MySQL is a parameter, not a
+rewrite.
+
+Derby (the tested default) uses the portable correlated-subquery
+UPDATE; MySQL uses its idiomatic (and on InnoDB markedly faster)
+multi-table ``UPDATE … JOIN``. Both generate from the same inputs and
+are covered by statement-shape tests; only Derby's are executed
+against a live database (no fake MySQL test — the MySQL strings are
+asserted literally and run the day a server exists).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class SqlDialect:
+    """Statement generator for one target database.
+
+    Identifier conventions follow the sinks' existing contract:
+    STAGING column names are quoted (Spark's JDBC writer creates them
+    case-sensitively), target-table identifiers are used verbatim as
+    the caller wrote them.
+    """
+
+    name: str
+    quote_char: str = '"'
+
+    def q(self, ident: str) -> str:
+        return f"{self.quote_char}{ident}{self.quote_char}"
+
+    def _on(self, key_cols: Sequence[str]) -> str:
+        return " AND ".join(f"s.{self.q(k)} = t.{k}" for k in key_cols)
+
+    def update_from_staging(
+        self,
+        table: str,
+        staging: str,
+        key_cols: Sequence[str],
+        set_cols: Sequence[str],
+    ) -> str:
+        """jdbc_update's set-based UPDATE: target rows matching a
+        staging key take the staging values (one statement; the
+        database executes it as a join)."""
+        on = self._on(key_cols)
+        sets = ", ".join(
+            f"{c} = (SELECT s.{self.q(c)} FROM {staging} s WHERE {on})"
+            for c in set_cols
+        )
+        return (  # noqa: S608 — identifiers come from the caller
+            f"UPDATE {table} t SET {sets} "
+            f"WHERE EXISTS (SELECT 1 FROM {staging} s WHERE {on})"
+        )
+
+    def expire_update(
+        self, table: str, staging: str, key_cols: Sequence[str]
+    ) -> str:
+        """jdbc_scd2_commit's expire statement: close the currently-
+        open version of every touched key at that key's first change
+        timestamp (reference FT:4646-4797, minus its Bug 1)."""
+        on = self._on(key_cols)
+        return (  # noqa: S608
+            f"UPDATE {table} t SET "
+            f"valid_until = (SELECT s.{self.q('first_change_ts')} "
+            f"FROM {staging} s WHERE {on}), "
+            f"is_current = 'N' "
+            f"WHERE t.is_current = 'Y' "
+            f"AND EXISTS (SELECT 1 FROM {staging} s WHERE {on})"
+        )
+
+    def insert_from_staging(
+        self, table: str, staging: str, cols: Sequence[str]
+    ) -> str:
+        quoted = ", ".join(self.q(c) for c in cols)
+        return (  # noqa: S608
+            f"INSERT INTO {table} ({', '.join(cols)}) "
+            f"SELECT {quoted} FROM {staging}"
+        )
+
+    def timestamp_from_wire(self, expr: str) -> str:
+        """In-database coercion of the reference's dual timestamp wire
+        format: an all-digits value is epoch MILLIS (CaptureChangeMySQL
+        event time), anything else is the Jolt-stamped
+        'yyyy-MM-dd HH:mm:ss' string. Engine-side flows coerce with
+        Spark Column expressions (functions/el.py); this exists for
+        callers pushing raw wire values straight into the database."""
+        raise NotImplementedError
+
+
+class DerbyDialect(SqlDialect):
+    """Embedded Derby — the dialect every sink test executes against."""
+
+    def __init__(self) -> None:
+        super().__init__(name="derby", quote_char='"')
+
+    def timestamp_from_wire(self, expr: str) -> str:
+        # Derby has no epoch constructor: add millis to the epoch
+        # timestamp via its {fn TIMESTAMPADD} escape. The inner VARCHAR
+        # cast matters: Spark's JDBC writer maps StringType to CLOB,
+        # and Derby refuses CLOB→BIGINT / TIMESTAMP(CLOB) directly.
+        v = f"CAST({expr} AS VARCHAR(64))"
+        return (
+            f"CASE WHEN {v} NOT LIKE '%-%' THEN "
+            f"{{fn TIMESTAMPADD(SQL_TSI_SECOND, CAST({v} AS BIGINT) / 1000, "
+            f"TIMESTAMP('1970-01-01 00:00:00'))}} "
+            f"ELSE TIMESTAMP({v}) END"
+        )
+
+
+class MySqlDialect(SqlDialect):
+    """MySQL (the reference's actual target, FT:1079-1083). UNTESTED
+    against a live server — env-blocked like the Kafka jar (README);
+    statement shapes are pinned by tests/test_dialects.py and run the
+    day a mysqld + connector jar exist."""
+
+    def __init__(self) -> None:
+        super().__init__(name="mysql", quote_char="`")
+
+    def update_from_staging(self, table, staging, key_cols, set_cols):
+        on = " AND ".join(f"t.{k} = s.{self.q(k)}" for k in key_cols)
+        sets = ", ".join(f"t.{c} = s.{self.q(c)}" for c in set_cols)
+        # multi-table UPDATE: one pass, no correlated re-evaluation
+        return f"UPDATE {table} t JOIN {staging} s ON {on} SET {sets}"  # noqa: S608
+
+    def expire_update(self, table, staging, key_cols):
+        on = " AND ".join(f"t.{k} = s.{self.q(k)}" for k in key_cols)
+        return (  # noqa: S608
+            f"UPDATE {table} t JOIN {staging} s ON {on} "
+            f"SET t.valid_until = s.{self.q('first_change_ts')}, "
+            f"t.is_current = 'N' "
+            f"WHERE t.is_current = 'Y'"
+        )
+
+    def timestamp_from_wire(self, expr: str) -> str:
+        return (
+            f"CASE WHEN {expr} REGEXP '^[0-9]+$' THEN "
+            f"FROM_UNIXTIME(CAST({expr} AS UNSIGNED) / 1000) "
+            f"ELSE STR_TO_DATE({expr}, '%Y-%m-%d %H:%i:%s') END"
+        )
+
+
+DERBY = DerbyDialect()
+MYSQL = MySqlDialect()
+
+DIALECTS: dict[str, SqlDialect] = {"derby": DERBY, "mysql": MYSQL}
+
+
+def dialect_for_url(url: str) -> SqlDialect:
+    """jdbc:mysql://… → MYSQL, jdbc:derby:… → DERBY (default: Derby's
+    portable correlated forms, which are ANSI enough for most JDBC
+    targets)."""
+    for name, d in DIALECTS.items():
+        if url.startswith(f"jdbc:{name}"):
+            return d
+    return DERBY

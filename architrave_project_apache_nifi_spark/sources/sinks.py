@@ -28,6 +28,8 @@ from collections.abc import Callable, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .dialects import SqlDialect, dialect_for_url
+
 
 def write_history(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Write the SCD2 history store. Partitioned by ``is_current`` so
@@ -271,6 +273,7 @@ def jdbc_update(
     set_cols: Sequence[str],
     properties: dict[str, str],
     staging_table: str | None = None,
+    dialect: "SqlDialect | None" = None,
 ) -> int:
     """PutDatabaseRecord UPDATE path (statement-type=UPDATE, update-keys
     ProductID, max batch 1000 — FT:4699/4736/4764). Spark's JDBC sink has
@@ -293,16 +296,11 @@ def jdbc_update(
     df.select(*set_cols, *key_cols).write.mode("overwrite").jdbc(
         url, staging, properties=properties
     )
-    # Spark's JDBC writer quotes the staging columns (case-sensitive);
-    # target-table identifiers are used verbatim as the caller wrote them
-    on = " AND ".join(f's."{k}" = t.{k}' for k in key_cols)
-    sets = ", ".join(
-        f'{c} = (SELECT s."{c}" FROM {staging} s WHERE {on})' for c in set_cols
-    )
-    sql = (  # noqa: S608 — identifiers come from the caller, not user data
-        f"UPDATE {table} t SET {sets} "
-        f"WHERE EXISTS (SELECT 1 FROM {staging} s WHERE {on})"
-    )
+    # dialect seam (sources/dialects.py): Derby = portable correlated
+    # UPDATE (the executed-in-tests form), MySQL = multi-table
+    # UPDATE … JOIN; auto-detected from the URL unless passed.
+    d = dialect or dialect_for_url(url)
+    sql = d.update_from_staging(table, staging, key_cols, set_cols)
     try:
         return execute_sql(spark, url, sql, properties)
     finally:
@@ -319,6 +317,7 @@ def jdbc_scd2_commit(
     order_cols: Sequence[str] = (),
     tombstone_col: str | None = None,
     batch_id: int | None = None,
+    dialect: "SqlDialect | None" = None,
 ) -> tuple[int, int]:
     """The reference's ENTIRE update path — expire the previously-
     current row (PutDatabaseRecord UPDATE, final_template.xml:4646-4797)
@@ -370,19 +369,11 @@ def jdbc_scd2_commit(
     first_change.write.mode("overwrite").jdbc(url, stage_x, properties=properties)
     new_versions.write.mode("overwrite").jdbc(url, stage_i, properties=properties)
 
-    on = " AND ".join(f's."{k}" = t.{k}' for k in keys)
-    expire_sql = (  # noqa: S608 — identifiers come from the caller
-        f"UPDATE {table} t SET "
-        f'valid_until = (SELECT s."first_change_ts" FROM {stage_x} s WHERE {on}), '
-        f"is_current = 'N' "
-        f"WHERE t.is_current = 'Y' "
-        f"AND EXISTS (SELECT 1 FROM {stage_x} s WHERE {on})"
-    )
-    cols = new_versions.columns
-    quoted = ", ".join(f'"{c}"' for c in cols)
-    insert_sql = (  # noqa: S608 — identifiers come from the caller
-        f"INSERT INTO {table} ({', '.join(cols)}) SELECT {quoted} FROM {stage_i}"
-    )
+    # dialect seam (sources/dialects.py): expire/insert statements per
+    # target database; Derby's forms are the live-tested ones
+    d = dialect or dialect_for_url(url)
+    expire_sql = d.expire_update(table, stage_x, keys)
+    insert_sql = d.insert_from_staging(table, stage_i, new_versions.columns)
 
     markers = None
     if batch_id is not None:
