@@ -134,73 +134,21 @@ def scd2_build_skewed(
     Degenerate limit: a hot key whose events all share ONE timestamp
     cannot be split (equal ts must stay together for tie ordering) —
     that is a data bug upstream, not a partitioning problem."""
+    from .skew_windows import _bucketed_exchange, hot_ts_buckets
+
     keys = _as_list(key_cols)
-    # monotone numeric image of ts for percentile edges / bucket
-    # comparison (timestamp + timestamp_ntz both via unix_micros; the
-    # session tz is pinned UTC so the ntz reinterpretation is monotone)
-    if dict(changes.dtypes)[ts_col].startswith("timestamp"):
-        def _num(c):  # noqa: E306
-            return F.unix_micros(c.cast("timestamp")).cast("double")
-    else:
-        def _num(c):
-            return c.cast("double")
-    # Hot-key detection + edges from ONE agg over a deterministic 1%
-    # row-hash sample (count estimate ×denom; sample percentiles ≈ full
-    # percentiles, and ANY edges give exact results — bucketing is only
-    # a balance choice). Borderline keys flipping paths is harmless:
-    # a cold key through the bucketed window gets bucket counts of 1-ish
-    # and identical chains. The hot set joins with NO hint (AQE sizes
-    # it); cold rows take bucket 0, making (key, 0) ≡ (key) — one code
-    # path, and only THREE lineage passes over `changes` total
-    # (sampled agg, the window input, the boundary summary).
-    denom = 100 if hot_key_rows >= 100 * n_ts_buckets else 1
-    sampled = changes
-    if denom > 1:
-        sampled = changes.filter(
-            F.pmod(
-                F.xxhash64(*[F.col(k) for k in keys], F.col(ts_col)),
-                denom,
-            )
-            == 0
-        )
-    qs = [i / n_ts_buckets for i in range(1, n_ts_buckets)]
-    # Edges land as n-1 SCALAR columns, not an array: the per-row bucket
-    # is then a chain of n-1 codegen'd comparisons. The array form
-    # (size(filter(edges, e -> e < ts))) is a higher-order function —
-    # interpreted per element, outside whole-stage codegen — and
-    # measured 20x slower over the full fact (1960 s CPU vs ~100 s at
-    # 20M rows; the same projection-collapse class of trap as
-    # dedup._shingle_sets).
-    edge_cols = [f"__e{i}" for i in range(n_ts_buckets - 1)]
-    hot_edges = (
-        sampled.groupBy(*keys)
-        .agg(
-            (F.count(F.lit(1)) * denom).alias("__n"),
-            F.percentile_approx(_num(F.col(ts_col)), qs).alias("__edges"),
-        )
-        .filter(F.col("__n") > hot_key_rows)
-        .select(
-            *keys,
-            *[F.col("__edges")[i].alias(c) for i, c in enumerate(edge_cols)],
-        )
+    # Hot-key detection + time-range bucketing + the load-bearing
+    # explicit (keys, __b) exchange all live in operators/skew_windows
+    # (shared with sessionize_skewed / running_window_skewed — this
+    # function pioneered the pattern in r5; the measured traps are
+    # documented there). Cold keys ride bucket 0, so (key, 0) ≡ (key)
+    # and one code path serves both; only THREE lineage passes over
+    # `changes` total (sampled agg, the window input, the boundary
+    # summary).
+    merged = _bucketed_exchange(
+        hot_ts_buckets(changes, keys, ts_col, hot_key_rows, n_ts_buckets),
+        keys,
     )
-    merged = changes.join(hot_edges, keys, "left")
-    tsn = _num(F.col(ts_col))
-    # count of edges strictly below ts; NULL edges (cold key) and NULL
-    # ts both compare to false, so cold rows land in bucket 0 unaided
-    bucket = sum(
-        (F.when(F.col(c) < tsn, 1).otherwise(0) for c in edge_cols),
-        F.lit(0),
-    )
-    merged = merged.withColumn("__b", bucket).drop(*edge_cols)
-    # EXPLICIT (key, bucket) exchange. Without it the salting is
-    # silently defeated: when the hot-edges join runs as an SMJ it
-    # leaves the fact hashpartitioned on the keys alone, and
-    # hashpartitioning(keys) SATISFIES the window's
-    # ClusteredDistribution([keys, __b]) (subset rule) — Spark reuses
-    # the skewed exchange and the hot key stays in one task (measured:
-    # the straggler came back at 6.5M rows/task until this line).
-    merged = merged.repartition(*[F.col(k) for k in keys], F.col("__b"))
     w = Window.partitionBy(*keys, "__b").orderBy(
         *[F.col(c).asc() for c in [ts_col, *order_cols]]
     )

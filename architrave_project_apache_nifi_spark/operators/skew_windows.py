@@ -1,0 +1,289 @@
+"""Skew-resilient per-key WINDOW operators (round 5).
+
+AQE splits skewed shuffle partitions for JOINS, not for windows
+(measured: BASELINE.md §Skewed-key stress — a key holding 30% of the
+stream keeps 9.9× the median rows in one window task). The remedy that
+:func:`~..operators.scd2.scd2_build_skewed` pioneered generalizes to
+every cumulative/lag window in the engine:
+
+1. ``hot_ts_buckets`` — detect hot keys from a deterministic row-hash
+   sample and split their rows into time-range buckets via per-key
+   ``percentile_approx`` edges (monotone in ts; equal timestamps stay
+   together, so tie order never straddles a boundary). Cold keys ride
+   bucket 0, so a window over ``(key, bucket)`` is IDENTICAL to one
+   over ``(key)`` for them — one code path.
+2. The main window runs over ``(key, bucket)`` — the hot key spreads
+   over ``n_ts_buckets`` tasks.
+3. Cross-bucket state (running offsets, previous bucket's last value /
+   max timestamp) comes from a per-``(key, bucket)`` algebraic summary
+   (≤ keys × buckets rows) windowed over buckets and joined back — the
+   sharded-prefix-sum pattern ``operators/packing.py`` uses for
+   sequence packing, applied to window state.
+
+Exactness: integer outputs (session ids, row numbers, ntiles) are
+bit-identical to the plain window; floating running sums reassociate
+(local + offset instead of strictly sequential) — differences are at
+the 1-ulp-per-bucket level, far inside the oracle compare's %.9g.
+
+The explicit ``repartition(keys, bucket)`` before each main window is
+load-bearing: ``hashpartitioning(keys)`` from an upstream join
+SATISFIES ``ClusteredDistribution([keys, bucket])`` (subset rule) and
+Spark would silently reuse the skewed exchange (measured in r5 —
+see scd2_build_skewed).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+BUCKET = "__b"
+
+
+def _as_list(cols: str | Sequence[str]) -> list[str]:
+    return [cols] if isinstance(cols, str) else list(cols)
+
+
+def _ts_num(df: DataFrame, ts_col: str):
+    """Monotone numeric image of the event-time column (timestamp and
+    timestamp_ntz via unix_micros — session tz is pinned UTC, so the
+    ntz reinterpretation is monotone; numerics cast straight)."""
+    if dict(df.dtypes)[ts_col].startswith("timestamp"):
+        def num(c: Column) -> Column:
+            return F.unix_micros(c.cast("timestamp")).cast("double")
+    else:
+        def num(c: Column) -> Column:
+            return c.cast("double")
+    return num
+
+
+def hot_ts_buckets(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    ts_col: str,
+    hot_key_rows: int = 5_000_000,
+    n_ts_buckets: int = 32,
+) -> DataFrame:
+    """Append the time-range bucket column ``__b``: 0 for cold keys,
+    ``|{percentile edge < ts}|`` for keys whose estimated row count
+    exceeds ``hot_key_rows``.
+
+    Detection + edges come from ONE aggregate over a deterministic 1%
+    row-hash sample when the threshold is large enough to concentrate
+    (``hot_key_rows ≥ 100 × n_ts_buckets``), else exact. Edges land as
+    n-1 SCALAR columns and the bucket is a chain of codegen'd
+    comparisons — the array higher-order ``filter()`` form runs
+    interpreted per element (measured 20× slower over a 20M-row fact).
+    NULL edges (cold key) and NULL ts both compare false → bucket 0."""
+    keys = _as_list(key_cols)
+    num = _ts_num(df, ts_col)
+    denom = 100 if hot_key_rows >= 100 * n_ts_buckets else 1
+    sampled = df
+    if denom > 1:
+        sampled = df.filter(
+            F.pmod(
+                F.xxhash64(*[F.col(k) for k in keys], F.col(ts_col)), denom
+            )
+            == 0
+        )
+    qs = [i / n_ts_buckets for i in range(1, n_ts_buckets)]
+    edge_cols = [f"__e{i}" for i in range(n_ts_buckets - 1)]
+    hot_edges = (
+        sampled.groupBy(*keys)
+        .agg(
+            (F.count(F.lit(1)) * denom).alias("__n"),
+            F.percentile_approx(num(F.col(ts_col)), qs).alias("__edges"),
+        )
+        .filter(F.col("__n") > hot_key_rows)
+        .select(
+            *keys,
+            *[F.col("__edges")[i].alias(c) for i, c in enumerate(edge_cols)],
+        )
+    )
+    merged = df.join(hot_edges, keys, "left")  # no hint: AQE sizes it
+    tsn = num(F.col(ts_col))
+    bucket = sum(
+        (F.when(F.col(c) < tsn, 1).otherwise(0) for c in edge_cols),
+        F.lit(0),
+    )
+    return merged.withColumn(BUCKET, bucket).drop(*edge_cols)
+
+
+def _bucketed_exchange(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """The load-bearing explicit (keys, __b) repartition — see module
+    docstring (hashpartitioning(keys) would otherwise satisfy the
+    window's clustering requirement and resurrect the straggler)."""
+    return df.repartition(*[F.col(k) for k in keys], F.col(BUCKET))
+
+
+def sessionize_skewed(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    ts_col: str,
+    gap_s: float,
+    order_cols: Sequence[str] = (),
+    hot_key_rows: int = 5_000_000,
+    n_ts_buckets: int = 32,
+) -> DataFrame:
+    """:func:`~.temporal.sessionize` (gap-based session ids, 1-based
+    dense per key), bit-identical output, hot keys spread over time
+    buckets.
+
+    Cross-bucket state: a bucket-first row's previous event time is the
+    previous bucket's MAX ts (buckets are time-disjoint); its session
+    counter offset is the running sum of new-session flags over all
+    preceding buckets — both from one per-(key, bucket) summary."""
+    keys = _as_list(key_cols)
+    gap_us = int(gap_s * 1_000_000)
+    bucketed = _bucketed_exchange(hot_ts_buckets(
+        df, keys, ts_col, hot_key_rows, n_ts_buckets
+    ), keys)
+
+    w = Window.partitionBy(*keys, BUCKET).orderBy(
+        F.col(ts_col).asc(), *[F.col(c).asc() for c in order_cols]
+    )
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev_local = F.lag(ts_us).over(w)
+
+    # per-bucket summary BEFORE flags: the previous bucket's max ts
+    # closes the boundary gap question for each bucket's first row
+    summ = bucketed.groupBy(*keys, BUCKET).agg(
+        F.max(ts_us).alias("__max_us")
+    )
+    wk = Window.partitionBy(*keys).orderBy(BUCKET)
+    summ = summ.withColumn("__prev_max_us", F.lag("__max_us").over(wk)).select(
+        *keys, BUCKET, "__prev_max_us"
+    )
+    flagged = bucketed.join(summ, [*keys, BUCKET], "left").withColumn(
+        "__new",
+        (
+            F.coalesce(prev_local, F.col("__prev_max_us")).isNull()
+            | (
+                ts_us - F.coalesce(prev_local, F.col("__prev_max_us"))
+                > F.lit(gap_us)
+            )
+        ).cast("int"),
+    )
+    local_sess = F.sum("__new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # integer prefix over buckets: each bucket's session offset is the
+    # flag total of all preceding buckets of its key
+    flag_tot = flagged.groupBy(*keys, BUCKET).agg(
+        F.sum("__new").alias("__flags")
+    )
+    offsets = flag_tot.withColumn(
+        "__off",
+        F.coalesce(
+            F.sum("__flags").over(
+                wk.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select(*keys, BUCKET, "__off")
+    return (
+        flagged.withColumn("__local_sess", local_sess)
+        .join(offsets, [*keys, BUCKET], "left")
+        .withColumn(
+            "session_id", (F.col("__local_sess") + F.col("__off")).cast("long")
+        )
+        .drop(BUCKET, "__prev_max_us", "__new", "__local_sess", "__off")
+    )
+
+
+def running_window_skewed(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    ts_col: str,
+    value_col: str,
+    order_cols: Sequence[str] = (),
+    n_tiles: int = 4,
+    hot_key_rows: int = 5_000_000,
+    n_ts_buckets: int = 32,
+) -> DataFrame:
+    """The ``window_running_spend`` trio — cumulative sum, lag delta,
+    ntile — over a (key, time-bucket) window with sharded-prefix
+    cross-bucket state, so one hot key cannot serialize the sort.
+
+    Adds columns ``running_sum`` (double; reassociated at bucket
+    boundaries — 1-ulp-class differences vs the sequential window),
+    ``delta_vs_prev`` (exact: previous value is carried, not summed)
+    and ``tile`` (exact: ntile arithmetic over the two-phase global row
+    number and the per-key total)."""
+    keys = _as_list(key_cols)
+    bucketed = _bucketed_exchange(hot_ts_buckets(
+        df, keys, ts_col, hot_key_rows, n_ts_buckets
+    ), keys)
+    order = [F.col(ts_col).asc(), *[F.col(c).asc() for c in order_cols]]
+    w = Window.partitionBy(*keys, BUCKET).orderBy(*order)
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    # ONE summary row per (key, bucket): row count, value total, and
+    # the bucket's last value in (ts, order) order (max_by — algebraic)
+    summ = bucketed.groupBy(*keys, BUCKET).agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.sum(value_col).alias("__vsum"),
+        F.max_by(
+            F.col(value_col),
+            F.struct(F.col(ts_col), *[F.col(c) for c in order_cols]),
+        ).alias("__last_val"),
+    )
+    wk = Window.partitionBy(*keys).orderBy(BUCKET)
+    prefix = (
+        summ.withColumn(
+            "__row_off",
+            F.coalesce(
+                F.sum("__cnt").over(
+                    wk.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "__val_off",
+            F.coalesce(
+                F.sum("__vsum").over(
+                    wk.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0.0),
+            ),
+        )
+        .withColumn("__prev_last", F.lag("__last_val").over(wk))
+        .withColumn(
+            "__n",
+            F.sum("__cnt").over(
+                wk.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .select(*keys, BUCKET, "__row_off", "__val_off", "__prev_last", "__n")
+    )
+    joined = bucketed.join(prefix, [*keys, BUCKET], "left")
+    rn = (F.row_number().over(w) + F.col("__row_off")).cast("long")
+    running = F.sum(value_col).over(wcum) + F.col("__val_off")
+    prev_val = F.coalesce(
+        F.lag(value_col).over(w), F.col("__prev_last")
+    )
+    # ntile(t): the first n % t tiles get ceil(n/t) rows
+    n = F.col("__n")
+    base = (n / n_tiles).cast("long")
+    rem = n - base * n_tiles
+    big = (base + 1) * rem  # rows covered by the oversized tiles
+    tile = (
+        F.when(rn <= big, ((rn - 1) / (base + 1)).cast("long") + 1)
+        .otherwise(
+            rem
+            + ((rn - big - 1) / F.greatest(base, F.lit(1))).cast("long")
+            + 1
+        )
+        .cast("int")
+    )
+    return (
+        joined.withColumn("running_sum", running)
+        .withColumn("delta_vs_prev", F.col(value_col) - prev_val)
+        .withColumn("tile", tile)
+        .drop(BUCKET, "__row_off", "__val_off", "__prev_last", "__n")
+    )

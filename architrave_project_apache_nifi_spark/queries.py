@@ -2001,6 +2001,32 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sessionize_skew_salted",
+    REGISTRY["sessionize_events"].oracle,
+)
+def q_sessionize_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sessionize_skewed (operators/skew_windows.py): the gap-session
+    window over (key, time-bucket) with sharded-prefix session offsets
+    — bit-identical to temporal.sessionize, hot keys spread over
+    n_ts_buckets tasks (AQE does not split skewed window partitions;
+    BASELINE.md §Skewed-key stress). Threshold forced low so the gate
+    exercises the hot path on every key."""
+    from .operators.skew_windows import sessionize_skewed
+
+    events = load(spark, "events", sf_dir)
+    sess = sessionize_skewed(
+        events, "user_id", "ts", 1800.0, ("event_id",),
+        hot_key_rows=5, n_ts_buckets=8,
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@register(
     "q4_order_priority",
     """
 SELECT o_orderpriority, count(*) AS n_orders
@@ -2493,6 +2519,35 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
             "delta_vs_prev"
         ),
         F.ntile(4).over(w_row).alias("ts_quartile"),
+    )
+
+
+@register(
+    "running_spend_skew_salted",
+    REGISTRY["window_running_spend"].oracle,
+)
+def q_running_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """running_window_skewed (operators/skew_windows.py): cumulative
+    sum + lag delta + ntile over a (key, time-bucket) window with
+    sharded-prefix cross-bucket state — the skew-resilient form of
+    window_running_spend (integer outputs exact; the running sum
+    reassociates at bucket boundaries, absorbed by round(2))."""
+    from .operators.skew_windows import running_window_skewed
+
+    events = load(spark, "events", sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    out = running_window_skewed(
+        events, "user_id", "ts", "value", ("event_id",),
+        hot_key_rows=5, n_ts_buckets=8,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("running_sum", 2).alias("running_spend"),
+        F.round("delta_vs_prev", 4).alias("delta_vs_prev"),
+        F.col("tile").alias("ts_quartile"),
     )
 
 
@@ -5453,8 +5508,11 @@ _OVERFLOW = [
     "score_lift_deciles",  # ntile + per-bin agg ≈ histogram/percentile twins
     "rfm_user_segments",  # per-user agg + ntile scoring ≈ lift/window twins
     "score_roc_auc",  # sharded midrank prefix sum ≈ quantile_transform/KS twins
-    # round 5: skew-salted build — exact twin of in-window scd2_build
+    # round 5: skew-salted window family — exact twins of in-window
+    # scd2_build / sessionize_events / window_running_spend
     "scd2_build_skew_salted",
+    "sessionize_skew_salted",
+    "running_spend_skew_salted",
 ]
 
 

@@ -151,3 +151,95 @@ def test_latest_per_user_aggregate_is_partial_aggregated(spark):
     plan = formatted_plan(df)
     assert "Window" not in plan
     assert "partial_max" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Generalized skew-window toolkit (operators/skew_windows.py)
+
+from architrave_project_apache_nifi_spark.operators.skew_windows import (  # noqa: E402
+    running_window_skewed,
+    sessionize_skewed,
+)
+from architrave_project_apache_nifi_spark.operators.temporal import (  # noqa: E402
+    sessionize,
+)
+
+
+def test_sessionize_skewed_bit_identical(spark):
+    """Session ids are integers — the bucketed form must be EXACTLY the
+    plain form on a hot-key corpus (threshold forces the hot path for
+    every key), including gap-on-boundary and tie cases."""
+    ev = _hot_events(spark, n_hot=900, n_cold=1500, n_keys=40)
+    # widen gaps so sessions actually break: scale seconds to minutes
+    ev = ev.withColumn(
+        "change_ts",
+        F.timestamp_seconds(
+            F.unix_timestamp("change_ts") * 40 % 100_000_000
+        ),
+    )
+    plain = sessionize(ev, "ProductID", "change_ts", 600.0, ("seq",))
+    salted = sessionize_skewed(
+        ev, "ProductID", "change_ts", 600.0, ("seq",),
+        hot_key_rows=10, n_ts_buckets=7,
+    )
+    cols = ["ProductID", "seq", "session_id"]
+    assert sorted(map(tuple, plain.select(*cols).collect())) == sorted(
+        map(tuple, salted.select(*cols).collect())
+    )
+
+
+def test_running_window_skewed_matches_plain(spark):
+    """Row numbers / ntiles / lag deltas exact; running sums within FP
+    reassociation tolerance."""
+    ev = _hot_events(spark, n_hot=700, n_cold=900, n_keys=25)
+    w = Window.partitionBy("ProductID").orderBy("change_ts", "seq")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    plain = {
+        (r.ProductID, r.seq): (r.run, r.delta, r.tile)
+        for r in ev.select(
+            "ProductID", "seq",
+            F.sum("Price").over(wcum).alias("run"),
+            (F.col("Price") - F.lag("Price").over(w)).alias("delta"),
+            F.ntile(4).over(w).alias("tile"),
+        ).collect()
+    }
+    salted = {
+        (r.ProductID, r.seq): (r.running_sum, r.delta_vs_prev, r.tile)
+        for r in running_window_skewed(
+            ev, "ProductID", "change_ts", "Price", ("seq",),
+            hot_key_rows=10, n_ts_buckets=6,
+        ).collect()
+    }
+    assert set(plain) == set(salted)
+    for k, (run, delta, tile) in plain.items():
+        srun, sdelta, stile = salted[k]
+        assert stile == tile, (k, stile, tile)
+        assert (sdelta is None) == (delta is None)
+        if delta is not None:
+            assert abs(sdelta - delta) < 1e-9
+        assert abs(srun - run) <= 1e-6 * max(1.0, abs(run)), (k, srun, run)
+
+
+def test_sessionize_skewed_null_ts_and_single_ts(spark):
+    """Degenerate shapes: NULL event times (bucket 0, sort-first) and a
+    hot key with ONE distinct timestamp (unsplittable by contract) must
+    still be bit-identical to the plain form."""
+    import datetime as dt2
+
+    rows = (
+        [(1, i, 1.0, None) for i in range(5)]
+        + [(2, 100 + i, 2.0, dt2.datetime(2026, 1, 1, 9, 0)) for i in range(50)]
+        + [(3, 200 + i, 3.0, dt2.datetime(2026, 1, 1, 9, i % 45)) for i in range(60)]
+    )
+    ev = spark.createDataFrame(
+        rows, "ProductID INT, seq LONG, Price DOUBLE, change_ts TIMESTAMP"
+    )
+    plain = sessionize(ev, "ProductID", "change_ts", 60.0, ("seq",))
+    salted = sessionize_skewed(
+        ev, "ProductID", "change_ts", 60.0, ("seq",),
+        hot_key_rows=3, n_ts_buckets=4,
+    )
+    cols = ["ProductID", "seq", "session_id"]
+    assert sorted(map(tuple, plain.select(*cols).collect())) == sorted(
+        map(tuple, salted.select(*cols).collect())
+    )
