@@ -287,3 +287,87 @@ def running_window_skewed(
         .withColumn("tile", tile)
         .drop(BUCKET, "__row_off", "__val_off", "__prev_last", "__n")
     )
+
+
+def asof_join_skewed(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: Sequence[str],
+    right_order_cols: Sequence[str] = (),
+    prefix: str = "asof_",
+    hot_key_rows: int = 5_000_000,
+    n_ts_buckets: int = 32,
+) -> DataFrame:
+    """:func:`~.temporal.asof_join` (backward inclusive: each left row
+    takes the latest right row with ``right_ts <= left_ts`` per key;
+    ties resolve to the greatest ``right_order_cols``), bit-identical
+    output, hot keys spread over time buckets.
+
+    Same union + fill-forward formulation; the scan window runs over
+    ``(key, bucket)`` and the cross-bucket carry is each bucket's last
+    right-side value in scan order — ``max_by`` over the bucket with a
+    NULL ordering key for left rows (max_by ignores NULL keys) —
+    fill-forwarded over the per-key bucket summary, so a bucket with
+    no rights inherits the nearest earlier bucket's carry."""
+    keys = _as_list(key_cols)
+    rv = F.struct(*[F.col(c) for c in right_value_cols])
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        *[F.col(c) for c in right_order_cols],
+        rv.alias("__rv"),
+    ).withColumn("__is_left", F.lit(0))
+    l = (
+        left.withColumn("__ts", F.col(left_ts))
+        .withColumn("__is_left", F.lit(1))
+    )
+    merged = l.unionByName(r, allowMissingColumns=True)
+    bucketed = _bucketed_exchange(
+        hot_ts_buckets(merged, keys, "__ts", hot_key_rows, n_ts_buckets),
+        keys,
+    )
+
+    order = [F.col("__ts").asc(), F.col("__is_left").asc()]
+    order += [F.col(c).asc() for c in right_order_cols]
+    w = (
+        Window.partitionBy(*keys, BUCKET)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # bucket carry: the last RIGHT row's value in (ts, order) order —
+    # left rows contribute a NULL ordering key, which max_by skips
+    right_ord = F.when(
+        F.col("__is_left") == 0,
+        F.struct(F.col("__ts"), *[F.col(c) for c in right_order_cols]),
+    )
+    summ = bucketed.groupBy(*keys, BUCKET).agg(
+        F.max_by(F.col("__rv"), right_ord).alias("__bucket_last")
+    )
+    wk = Window.partitionBy(*keys).orderBy(BUCKET)
+    carry = summ.withColumn(
+        "__carry",
+        F.last("__bucket_last", ignorenulls=True).over(
+            wk.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    ).select(*keys, BUCKET, "__carry")
+
+    out = (
+        bucketed.join(carry, [*keys, BUCKET], "left")
+        .withColumn(
+            "__last_rv",
+            F.coalesce(
+                F.last("__rv", ignorenulls=True).over(w), F.col("__carry")
+            ),
+        )
+        .filter(F.col("__is_left") == 1)
+        .drop(
+            BUCKET, "__carry", "__rv", "__ts", "__is_left",
+            *[c for c in right_order_cols if c not in left.columns],
+        )
+    )
+    for c in right_value_cols:
+        out = out.withColumn(f"{prefix}{c}", F.col("__last_rv").getField(c))
+    return out.drop("__last_rv")

@@ -1929,6 +1929,40 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_skew_salted",
+    REGISTRY["asof_join_last_click"].oracle,
+)
+def q_asof_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """asof_join_skewed (operators/skew_windows.py): the union +
+    fill-forward as-of scan over (key, time-bucket) with the per-bucket
+    last-right carry fill-forwarded across right-less buckets —
+    bit-identical to temporal.asof_join, hot keys spread over
+    n_ts_buckets tasks. Hot path forced on at the gate SF."""
+    from .operators.skew_windows import asof_join_skewed
+
+    events = load(spark, "events", sf_dir)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join_skewed(
+        purchases,
+        clicks,
+        "user_id",
+        "ts",
+        "ts",
+        right_value_cols=("value",),
+        right_order_cols=("event_id",),
+        prefix="last_click_",
+        hot_key_rows=5,
+        n_ts_buckets=8,
+    )
+    return out.select("event_id", "user_id", "ts", "value", "last_click_value")
+
+
+@register(
     "range_join_clicks_before_purchase",
     """
 SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
@@ -5513,6 +5547,7 @@ _OVERFLOW = [
     "scd2_build_skew_salted",
     "sessionize_skew_salted",
     "running_spend_skew_salted",
+    "asof_skew_salted",
 ]
 
 

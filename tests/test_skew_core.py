@@ -243,3 +243,38 @@ def test_sessionize_skewed_null_ts_and_single_ts(spark):
     assert sorted(map(tuple, plain.select(*cols).collect())) == sorted(
         map(tuple, salted.select(*cols).collect())
     )
+
+
+def test_asof_join_skewed_bit_identical(spark):
+    """Backward as-of with the hot path forced on every key — including
+    a key whose matching rights live only in earlier buckets (carry
+    must fill across right-less buckets) — must equal temporal.asof_join
+    exactly."""
+    from architrave_project_apache_nifi_spark.operators.skew_windows import (
+        asof_join_skewed,
+    )
+    from architrave_project_apache_nifi_spark.operators.temporal import (
+        asof_join,
+    )
+
+    ev = _hot_events(spark, n_hot=800, n_cold=1200, n_keys=30)
+    purchases = ev.filter(F.col("seq") % 3 == 0).select(
+        "ProductID", F.col("seq").alias("p_seq"), "change_ts", "Price"
+    )
+    clicks = ev.filter(F.col("seq") % 3 != 0).select(
+        "ProductID", "change_ts", F.col("seq").alias("event_id"),
+        F.col("Price").alias("value"),
+    )
+    kw = dict(
+        key_cols="ProductID", left_ts="change_ts", right_ts="change_ts",
+        right_value_cols=("value", "event_id"),
+        right_order_cols=("event_id",), prefix="last_",
+    )
+    plain = asof_join(purchases, clicks, **kw)
+    salted = asof_join_skewed(
+        purchases, clicks, **kw, hot_key_rows=10, n_ts_buckets=6
+    )
+    cols = ["ProductID", "p_seq", "last_value", "last_event_id"]
+    assert sorted(
+        map(tuple, plain.select(*cols).collect())
+    ) == sorted(map(tuple, salted.select(*cols).collect()))
