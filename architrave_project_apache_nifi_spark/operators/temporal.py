@@ -161,10 +161,12 @@ def sessionize(
         F.col(ts_col).asc(), *[F.col(c).asc() for c in order_cols]
     )
     gap_us = int(gap_s * 1_000_000)
-    prev = F.lag(F.unix_micros(F.col(ts_col))).over(w)
-    new_sess = (
-        prev.isNull() | (F.unix_micros(F.col(ts_col)) - prev > F.lit(gap_us))
-    ).cast("int")
+    # cast: unix_micros rejects TIMESTAMP_NTZ (e.g. DuckDB-written
+    # parquet); the ntz→ltz reinterpretation is monotone under the
+    # session's pinned UTC, which is all gap arithmetic needs
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev = F.lag(ts_us).over(w)
+    new_sess = (prev.isNull() | (ts_us - prev > F.lit(gap_us))).cast("int")
     return df.withColumn(
         "session_id",
         F.sum(new_sess).over(

@@ -22,6 +22,8 @@ import sys
 import time
 import urllib.request
 
+import pyspark.sql.window as WinMod
+
 sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import SparkSession  # noqa: E402
@@ -30,6 +32,13 @@ from pyspark.sql import functions as F  # noqa: E402
 from architrave_project_apache_nifi_spark.operators.scd2 import (  # noqa: E402
     scd2_build,
     scd2_build_skewed,
+)
+from architrave_project_apache_nifi_spark.operators.skew_windows import (  # noqa: E402
+    running_window_skewed,
+    sessionize_skewed,
+)
+from architrave_project_apache_nifi_spark.operators.temporal import (  # noqa: E402
+    sessionize,
 )
 from architrave_project_apache_nifi_spark.session import ENGINE_CONF  # noqa: E402
 
@@ -133,6 +142,28 @@ def main() -> None:
         "latest_aggmax": lambda d: (
             d.groupBy("user_id")
             .agg(F.max(F.struct("ts", "event_id", "value")).alias("m"))
+        ),
+        "sessionize_plain_window": lambda d: sessionize(
+            d, "user_id", "ts", 1800.0, ("event_id",)
+        ),
+        "sessionize_skewed": lambda d: sessionize_skewed(
+            d, "user_id", "ts", 1800.0, ("event_id",),
+            hot_key_rows=1_000_000, n_ts_buckets=32,
+        ),
+        "running_plain_window": lambda d: (
+            d.select(
+                "user_id", "event_id",
+                F.sum("value").over(
+                    WinMod.Window.partitionBy("user_id")
+                    .orderBy("ts", "event_id")
+                    .rowsBetween(WinMod.Window.unboundedPreceding,
+                                 WinMod.Window.currentRow)
+                ).alias("run"),
+            )
+        ),
+        "running_skewed": lambda d: running_window_skewed(
+            d, "user_id", "ts", "value", ("event_id",),
+            hot_key_rows=1_000_000, n_ts_buckets=32,
         ),
     }
     out = {}
