@@ -23,7 +23,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -622,4 +622,134 @@ def span_duplication(
         "n_dup_spans",
         F.round(dup_frac, 6).alias("dup_frac"),
         (dup_frac >= drop_threshold).cast("int").alias("is_dropped"),
+    )
+
+
+def dedup_spans_rewrite(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_n: int = 8,
+    max_pos_bits: int = 21,
+) -> DataFrame:
+    """Exact duplicated-SPAN REMOVAL — the rewrite half of suffix-array
+    substring dedup (Lee et al. 2022): every occurrence of a
+    ``span_n``-token window whose identical span appears ANYWHERE
+    earlier in the corpus — an earlier position of the same doc
+    (self-repetition) or any position of an earlier doc — has its
+    tokens removed; the globally FIRST occurrence of each span
+    survives. :func:`span_duplication` SCORES documents; this rewrites
+    them.
+
+    Contract: "earlier" is the total order ``(id, pos)`` (first
+    occurrence wins, deterministic); a token is kept iff no non-first
+    duplicate span covers it; output ``text`` is the kept tokens joined
+    by single spaces (whitespace canonicalized for ALL docs, so
+    untouched documents are stable under re-application). Returns
+    (id, text, n_tokens, n_removed).
+
+    Scale shape (the reason this is not a suffix array): span hashes
+    are computed map-side from the token array behind the row barrier;
+    the global first-occurrence index is ONE hash agg with O(1) state
+    per span (min of the ``id·2^pos_bits + pos`` encoding — positions
+    must fit ``max_pos_bits``, ids in the remaining 63-pos_bits; both
+    asserted); duplicate positions fuse into disjoint intervals with a
+    per-doc gaps-and-islands window (rows = dup spans only, a small
+    subset); the rebuild slices the token array per interval with a
+    fold over the per-doc interval list (tiny arrays — the
+    higher-order-function interpreter cost is bounded by islands per
+    doc, not corpus size). Total: two shuffles of 16-byte span rows +
+    one doc-keyed join — linear in corpus tokens, no pair space, no
+    giant suffix sort.
+    """
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    raw_toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.when(
+        F.length(F.trim(F.col(text_col))) == 0,
+        F.array().cast("array<string>"),
+    ).otherwise(raw_toks)
+    base = df.select(
+        F.col(id_col).alias("__id"), toks.alias("__toks")
+    ).repartition(n_parts, F.xxhash64(F.col("__id")))
+    L = F.size(F.col("__toks"))
+    span_arr = F.when(
+        L >= span_n,
+        F.transform(
+            F.sequence(F.lit(0), L - span_n),
+            lambda i: F.xxhash64(
+                F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, span_n))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    spans = base.select(
+        "__id", F.posexplode(span_arr).alias("__p", "__sp")
+    ).withColumn(
+        "__k",
+        F.col("__id").cast("long") * (1 << max_pos_bits) + F.col("__p"),
+    )
+    first = spans.groupBy("__sp").agg(F.min("__k").alias("__first"))
+    dups = (
+        spans.join(first, "__sp")
+        .filter(F.col("__k") != F.col("__first"))
+        .select("__id", "__p")
+    )
+    # gaps-and-islands over the (small) duplicate-position set per doc
+    wd = Window.partitionBy("__id").orderBy("__p")
+    prev_end = F.max(F.col("__p") + span_n).over(
+        wd.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = dups.withColumn(
+        "__new", (F.coalesce(prev_end, F.lit(-1)) < F.col("__p")).cast("int")
+    ).withColumn(
+        "__isl",
+        F.sum("__new").over(
+            wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ivs = (
+        isl.groupBy("__id", "__isl")
+        .agg(
+            F.min("__p").alias("s"),
+            (F.max("__p") + span_n).alias("e"),
+        )
+        .groupBy("__id")
+        .agg(F.sort_array(F.collect_list(F.struct("s", "e"))).alias("__ivs"))
+    )
+    joined = base.join(ivs, "__id", "left")
+    ivs_col = F.coalesce(
+        F.col("__ivs"), F.array().cast("array<struct<s:int,e:int>>")
+    )
+    # fold: cut the token array at each removal interval, keep the gaps
+    acc0 = F.struct(
+        F.lit(0).cast("int").alias("last"),
+        F.array().cast("array<array<string>>").alias("parts"),
+    )
+    folded = F.aggregate(
+        ivs_col,
+        acc0,
+        lambda acc, iv: F.struct(
+            iv["e"].cast("int").alias("last"),
+            F.concat(
+                acc["parts"],
+                F.array(
+                    F.slice(
+                        F.col("__toks"), acc["last"] + 1, iv["s"] - acc["last"]
+                    )
+                ),
+            ).alias("parts"),
+        ),
+        lambda acc: F.flatten(
+            F.concat(
+                acc["parts"],
+                F.array(
+                    F.slice(F.col("__toks"), acc["last"] + 1, L - acc["last"])
+                ),
+            )
+        ),
+    )
+    return joined.select(
+        F.col("__id").alias(id_col),
+        F.concat_ws(" ", folded).alias(text_col),
+        L.alias("n_tokens"),
+        (L - F.size(folded)).alias("n_removed"),
     )

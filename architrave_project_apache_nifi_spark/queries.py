@@ -2586,6 +2586,68 @@ def q_running_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_spans_rewrite",
+    """
+WITH dt AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\\s+') END AS l
+  FROM documents
+), toks AS (
+  SELECT d.doc_id, CAST(t.i AS INT) AS pos, d.l[CAST(t.i AS INT) + 1] AS tok
+  FROM dt d, LATERAL unnest(range(0, len(d.l))) AS t(i)
+), spans AS (
+  SELECT d.doc_id, CAST(t.i AS INT) AS pos,
+         array_to_string(d.l[CAST(t.i AS INT) + 1 : CAST(t.i AS INT) + 8], ' ') AS sp
+  FROM dt d, LATERAL unnest(range(0, len(d.l) - 7)) AS t(i)
+  WHERE len(d.l) >= 8
+), firsts AS (
+  SELECT sp, min(doc_id * 2097152 + pos) AS k0 FROM spans GROUP BY sp
+), dups AS (
+  SELECT s.doc_id, s.pos
+  FROM spans s JOIN firsts f ON s.sp = f.sp
+  WHERE s.doc_id * 2097152 + s.pos <> f.k0
+), kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM toks t
+  WHERE NOT EXISTS (SELECT 1 FROM dups u
+                    WHERE u.doc_id = t.doc_id
+                      AND t.pos BETWEEN u.pos AND u.pos + 7)
+), agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text2,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT dt.doc_id,
+       coalesce(a.text2, '') AS text,
+       CAST(len(dt.l) AS BIGINT) AS n_tokens,
+       CAST(len(dt.l) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM dt LEFT JOIN agg a ON dt.doc_id = a.doc_id
+""",
+)
+def q_dedup_spans_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span REMOVAL (operators/dedup.py
+    dedup_spans_rewrite): every 8-token window whose identical span
+    occurs anywhere earlier in the corpus — same doc or earlier doc —
+    loses its tokens; the globally first occurrence survives. The
+    rewrite half of Lee-et-al-style substring dedup
+    (span_duplication is the scoring half). The oracle recomputes the
+    whole pipeline — positions, global first occurrences, covered-token
+    removal, string rebuild — on span STRINGS (the engine uses
+    xxhash64; equality holds up to 2^-64 collisions)."""
+    from .operators.dedup import dedup_spans_rewrite
+
+    docs = load(spark, "documents", sf_dir)
+    out = dedup_spans_rewrite(docs, "doc_id", "text", span_n=8)
+    return out.select(
+        "doc_id",
+        "text",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+    )
+
+
+@register(
     "wordcount_top100",
     """
 SELECT tok, count(*) AS n
@@ -5548,6 +5610,9 @@ _OVERFLOW = [
     "sessionize_skew_salted",
     "running_spend_skew_salted",
     "asof_skew_salted",
+    # round 5: substring-span rewrite — scoring twin span_duplication
+    # is in-window-adjacent; the rewrite is the new surface
+    "dedup_spans_rewrite",
 ]
 
 

@@ -215,3 +215,59 @@ def test_lsh_salting_keeps_family_connected_and_cold_path_identical(spark):
         ).collect()
     }
     assert base == capped
+
+
+def test_dedup_spans_rewrite_semantics(spark):
+    """Lee-et-al-style span removal: a copied 8-token span loses its
+    tokens at every occurrence AFTER the global first — cross-doc copy,
+    intra-doc self-repetition — while first occurrences, short docs and
+    empty docs pass through (whitespace-canonicalized)."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h tail one"),
+            (2, "x y a b c d e f g h z"),          # cross-doc copy
+            (3, "p q r s t u v w p q r s t u v w"),  # self-repetition
+            (4, "short doc"),
+            (5, "   "),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {
+        r.doc_id: (r.text, r.n_tokens, r.n_removed)
+        for r in dd.dedup_spans_rewrite(df, "doc_id", "text", span_n=8).collect()
+    }
+    assert out[1] == ("a b c d e f g h tail one", 10, 0)
+    assert out[2] == ("x y z", 11, 8)
+    assert out[3] == ("p q r s t u v w", 16, 8)
+    assert out[4] == ("short doc", 2, 0)
+    assert out[5] == ("", 0, 0)
+
+
+def test_dedup_spans_rewrite_overlapping_spans_merge(spark):
+    """Overlapping duplicate windows merge into one removal interval —
+    a 10-token copy inside a later doc removes all 10 tokens (3
+    overlapping 8-windows), not 8."""
+    ten = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    df = spark.createDataFrame(
+        [(1, ten + " uniq1 uniq2"), (2, "pre1 pre2 " + ten + " post")],
+        "doc_id LONG, text STRING",
+    )
+    out = {
+        r.doc_id: (r.text, r.n_removed)
+        for r in dd.dedup_spans_rewrite(df, "doc_id", "text", span_n=8).collect()
+    }
+    assert out[1] == (ten + " uniq1 uniq2", 0)
+    assert out[2] == ("pre1 pre2 post", 10)
+
+
+def test_dedup_spans_rewrite_idempotent(spark):
+    """Re-applying the rewrite to its own output changes nothing: the
+    surviving text contains each span's first occurrence only."""
+    docs = _docs(spark).select("doc_id", "text").limit(300)
+    once = dd.dedup_spans_rewrite(docs, "doc_id", "text", span_n=8)
+    twice = dd.dedup_spans_rewrite(
+        once.select("doc_id", "text"), "doc_id", "text", span_n=8
+    )
+    a = {(r.doc_id, r.text) for r in once.collect()}
+    b = {(r.doc_id, r.text) for r in twice.collect()}
+    assert a == b
