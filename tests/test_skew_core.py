@@ -278,3 +278,66 @@ def test_asof_join_skewed_bit_identical(spark):
     assert sorted(
         map(tuple, plain.select(*cols).collect())
     ) == sorted(map(tuple, salted.select(*cols).collect()))
+
+
+def test_running_and_asof_skewed_null_ts(spark):
+    """NULL event times (bucket 0, NULLS FIRST ordering) must not
+    diverge from the plain forms for the remaining family members."""
+    import datetime as dt2
+
+    from architrave_project_apache_nifi_spark.operators.skew_windows import (
+        asof_join_skewed,
+        running_window_skewed,
+    )
+    from architrave_project_apache_nifi_spark.operators.temporal import (
+        asof_join,
+    )
+
+    rows = [
+        (1, i, float(i), None if i % 7 == 0 else
+         dt2.datetime(2026, 1, 1, 8, 0) + dt2.timedelta(minutes=i))
+        for i in range(80)
+    ] + [(2, 100 + i, float(i), dt2.datetime(2026, 1, 1, 9, i % 50))
+         for i in range(30)]
+    ev = spark.createDataFrame(
+        rows, "ProductID INT, seq LONG, Price DOUBLE, change_ts TIMESTAMP"
+    )
+    w = Window.partitionBy("ProductID").orderBy("change_ts", "seq")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    plain_run = {
+        (r.ProductID, r.seq): (r.run, r.tile)
+        for r in ev.select(
+            "ProductID", "seq",
+            F.sum("Price").over(wcum).alias("run"),
+            F.ntile(4).over(w).alias("tile"),
+        ).collect()
+    }
+    got_run = {
+        (r.ProductID, r.seq): (r.running_sum, r.tile)
+        for r in running_window_skewed(
+            ev, "ProductID", "change_ts", "Price", ("seq",),
+            hot_key_rows=5, n_ts_buckets=4,
+        ).collect()
+    }
+    assert set(plain_run) == set(got_run)
+    for k, (run, tile) in plain_run.items():
+        assert got_run[k][1] == tile
+        assert abs(got_run[k][0] - run) < 1e-9
+
+    left = ev.filter(F.col("seq") % 2 == 0).select(
+        "ProductID", F.col("seq").alias("p_seq"), "change_ts"
+    )
+    right = ev.filter(F.col("seq") % 2 == 1).select(
+        "ProductID", "change_ts", F.col("seq").alias("event_id"),
+        F.col("Price").alias("value"),
+    )
+    kw = dict(
+        key_cols="ProductID", left_ts="change_ts", right_ts="change_ts",
+        right_value_cols=("value",), right_order_cols=("event_id",),
+    )
+    a = sorted(map(tuple, asof_join(left, right, **kw)
+                   .select("ProductID", "p_seq", "asof_value").collect()))
+    b = sorted(map(tuple, asof_join_skewed(
+        left, right, **kw, hot_key_rows=5, n_ts_buckets=4
+    ).select("ProductID", "p_seq", "asof_value").collect()))
+    assert a == b
