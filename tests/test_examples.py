@@ -26,6 +26,7 @@ REPO = os.path.join(os.path.dirname(__file__), "..")
         ("examples/tokenizer_dataset.py", "sampled windows:"),
         ("examples/monitoring_pipeline.py", "rollup equals recompute over accepted batches: True"),
         ("examples/late_events.py", "invariant violations after splice: 0"),
+        ("examples/hot_key_windows.py", "scd2_build_skewed equals scd2_build: True"),
     ],
 )
 def test_example_runs(script, expect):
