@@ -651,9 +651,10 @@ def dedup_spans_rewrite(
     Scale shape (the reason this is not a suffix array): span hashes
     are computed map-side from the token array behind the row barrier;
     the global first-occurrence index is ONE hash agg with O(1) state
-    per span (min of the ``id·2^pos_bits + pos`` encoding — positions
-    must fit ``max_pos_bits``, ids in the remaining 63-pos_bits; both
-    asserted); duplicate positions fuse into disjoint intervals with a
+    per span (min of the ``id·2^pos_bits + pos`` encoding — positions must fit
+    ``max_pos_bits`` (assert_true per span row) and ids must be
+    integral (checked eagerly; a string id would cast to NULL and
+    silently disable removal)); duplicate positions fuse into disjoint intervals with a
     per-doc gaps-and-islands window (rows = dup spans only, a small
     subset); the rebuild slices the token array per interval with a
     fold over the per-doc interval list (tiny arrays — the
@@ -662,6 +663,15 @@ def dedup_spans_rewrite(
     one doc-keyed join — linear in corpus tokens, no pair space, no
     giant suffix sort.
     """
+    int_types = ("tinyint", "smallint", "int", "bigint", "long")
+    id_dtype = dict(df.dtypes)[id_col]
+    if id_dtype not in int_types:
+        raise ValueError(
+            f"dedup_spans_rewrite: id_col {id_col!r} has type {id_dtype!r};"
+            " the first-occurrence order is the integer encoding"
+            " id*2^max_pos_bits + pos, so ids must be integral (a string"
+            " id would cast to NULL and silently disable all removal)."
+        )
     n_parts = df.sparkSession.sparkContext.defaultParallelism
     raw_toks = F.split(F.trim(F.col(text_col)), r"\s+")
     toks = F.when(
@@ -685,7 +695,19 @@ def dedup_spans_rewrite(
         "__id", F.posexplode(span_arr).alias("__p", "__sp")
     ).withColumn(
         "__k",
-        F.col("__id").cast("long") * (1 << max_pos_bits) + F.col("__p"),
+        # assert_true: a doc longer than 2^max_pos_bits tokens would
+        # overflow pos into the id bits and silently corrupt the
+        # first-occurrence order — fail loudly instead
+        F.when(
+            F.assert_true(
+                F.col("__p") < F.lit(1 << max_pos_bits),
+                F.lit(
+                    f"dedup_spans_rewrite: position >= 2^{max_pos_bits};"
+                    " raise max_pos_bits for very long documents"
+                ),
+            ).isNull(),
+            F.col("__id").cast("long") * (1 << max_pos_bits) + F.col("__p"),
+        ),
     )
     first = spans.groupBy("__sp").agg(F.min("__k").alias("__first"))
     dups = (

@@ -153,8 +153,15 @@ def scd2_build_skewed(
         *[F.col(c).asc() for c in [ts_col, *order_cols]]
     )
     local_next = F.lead(F.col(ts_col)).over(w)
-    chained = merged.withColumn("valid_from", F.col(ts_col)).withColumn(
-        "__local_until", local_next
+    # NULL-safe last-row detection: lead(ts) is also NULL when the NEXT
+    # row's ts is NULL (several NULL-ts rows in one bucket) — only a
+    # genuinely last row may take the next bucket's boundary, or the
+    # skewed build would close an interval scd2_build leaves open
+    has_local_next = F.lead(F.lit(1)).over(w)
+    chained = (
+        merged.withColumn("valid_from", F.col(ts_col))
+        .withColumn("__local_until", local_next)
+        .withColumn("__has_next", has_local_next)
     )
     summary = merged.groupBy(*keys, "__b").agg(
         F.min(ts_col).alias("__first_ts")
@@ -167,15 +174,19 @@ def scd2_build_skewed(
         chained.join(nxt_bucket, [*keys, "__b"], "left")
         .withColumn(
             "valid_until",
-            F.coalesce(F.col("__local_until"), F.col("__next_first")),
+            F.when(
+                F.col("__has_next").isNull(), F.col("__next_first")
+            ).otherwise(F.col("__local_until")),
         )
         .withColumn(
+            # mirror scd2_build exactly: current iff valid_until is NULL
+            # (including the degenerate next-row-has-NULL-ts case)
             "is_current",
             F.when(F.col("valid_until").isNull(), F.lit("Y")).otherwise(
                 F.lit("N")
             ),
         )
-        .drop("__b", "__local_until", "__next_first")
+        .drop("__b", "__local_until", "__next_first", "__has_next")
     )
     if tombstone_col is not None:
         out = out.filter(~F.col(tombstone_col)).drop(tombstone_col)

@@ -50,7 +50,8 @@ def _ts_num(df: DataFrame, ts_col: str):
     """Monotone numeric image of the event-time column (timestamp and
     timestamp_ntz via unix_micros — session tz is pinned UTC, so the
     ntz reinterpretation is monotone; numerics cast straight)."""
-    if dict(df.dtypes)[ts_col].startswith("timestamp"):
+    dtype = dict(df.dtypes)[ts_col]
+    if dtype.startswith("timestamp") or dtype == "date":
         def num(c: Column) -> Column:
             return F.unix_micros(c.cast("timestamp")).cast("double")
     else:
@@ -225,6 +226,7 @@ def running_window_skewed(
     summ = bucketed.groupBy(*keys, BUCKET).agg(
         F.count(F.lit(1)).alias("__cnt"),
         F.sum(value_col).alias("__vsum"),
+        F.count(value_col).alias("__nn"),  # non-NULL values (sum skips)
         F.max_by(
             F.col(value_col),
             F.struct(F.col(ts_col), *[F.col(c) for c in order_cols]),
@@ -250,6 +252,15 @@ def running_window_skewed(
                 F.lit(0.0),
             ),
         )
+        .withColumn(
+            "__nn_off",
+            F.coalesce(
+                F.sum("__nn").over(
+                    wk.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
         .withColumn("__prev_last", F.lag("__last_val").over(wk))
         .withColumn(
             "__n",
@@ -259,14 +270,28 @@ def running_window_skewed(
                 )
             ),
         )
-        .select(*keys, BUCKET, "__row_off", "__val_off", "__prev_last", "__n")
+        .select(
+            *keys, BUCKET, "__row_off", "__val_off", "__nn_off",
+            "__prev_last", "__n",
+        )
     )
     joined = bucketed.join(prefix, [*keys, BUCKET], "left")
     rn = (F.row_number().over(w) + F.col("__row_off")).cast("long")
-    running = F.sum(value_col).over(wcum) + F.col("__val_off")
-    prev_val = F.coalesce(
-        F.lag(value_col).over(w), F.col("__prev_last")
+    # NULL semantics must mirror the plain window exactly (code-review
+    # r5): sum() skips NULL values, so the running sum is NULL only
+    # while the ENTIRE prefix (local + prior buckets) has zero non-NULL
+    # values; and a NULL lag(value) means 'previous value is NULL' when
+    # a previous row exists — only a true bucket-first row may take the
+    # previous bucket's last value.
+    nn_total = F.count(value_col).over(wcum) + F.col("__nn_off")
+    running = F.when(nn_total == 0, F.lit(None).cast("double")).otherwise(
+        F.coalesce(F.sum(value_col).over(wcum), F.lit(0.0))
+        + F.col("__val_off")
     )
+    prev_exists = F.lag(F.lit(1)).over(w)
+    prev_val = F.when(
+        prev_exists.isNull(), F.col("__prev_last")
+    ).otherwise(F.lag(value_col).over(w))
     # ntile(t): the first n % t tiles get ceil(n/t) rows
     n = F.col("__n")
     base = (n / n_tiles).cast("long")
@@ -285,7 +310,10 @@ def running_window_skewed(
         joined.withColumn("running_sum", running)
         .withColumn("delta_vs_prev", F.col(value_col) - prev_val)
         .withColumn("tile", tile)
-        .drop(BUCKET, "__row_off", "__val_off", "__prev_last", "__n")
+        .drop(
+            BUCKET, "__row_off", "__val_off", "__nn_off", "__prev_last",
+            "__n",
+        )
     )
 
 

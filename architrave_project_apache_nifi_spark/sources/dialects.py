@@ -107,15 +107,21 @@ class DerbyDialect(SqlDialect):
         super().__init__(name="derby", quote_char='"')
 
     def timestamp_from_wire(self, expr: str) -> str:
-        # Derby has no epoch constructor: add millis to the epoch
-        # timestamp via its {fn TIMESTAMPADD} escape. The inner VARCHAR
+        # Derby has no epoch constructor: add whole seconds, then the
+        # millisecond remainder as FRAC_SECOND (nanoseconds — Derby's
+        # TIMESTAMPADD count is INT, so the two-step split keeps both
+        # counts in range AND preserves sub-second precision, matching
+        # the MySQL dialect's FROM_UNIXTIME(v/1000)). The inner VARCHAR
         # cast matters: Spark's JDBC writer maps StringType to CLOB,
         # and Derby refuses CLOB→BIGINT / TIMESTAMP(CLOB) directly.
         v = f"CAST({expr} AS VARCHAR(64))"
+        secs = f"CAST(CAST({v} AS BIGINT) / 1000 AS INT)"
+        nanos = f"CAST(MOD(CAST({v} AS BIGINT), 1000) * 1000000 AS INT)"
         return (
             f"CASE WHEN {v} NOT LIKE '%-%' THEN "
-            f"{{fn TIMESTAMPADD(SQL_TSI_SECOND, CAST({v} AS BIGINT) / 1000, "
-            f"TIMESTAMP('1970-01-01 00:00:00'))}} "
+            f"{{fn TIMESTAMPADD(SQL_TSI_FRAC_SECOND, {nanos}, "
+            f"{{fn TIMESTAMPADD(SQL_TSI_SECOND, {secs}, "
+            f"TIMESTAMP('1970-01-01 00:00:00'))}})}} "
             f"ELSE TIMESTAMP({v}) END"
         )
 

@@ -23,12 +23,13 @@ Per batch:
 3. WITHIN-batch screen: candidates among the batch itself (``id_a <
    id_b`` band join), verified the same way; verified pairs are then
    resolved TRANSITIVELY (connected components, operators/cluster.py)
-   keeping each component's min id — so a chain A~B, B~C drops B and C
-   and keeps exactly one representative per near-dup cluster. A doc is
-   never dropped merely because its only near-dup was itself dropped by
-   an unrelated pair (the naive "drop the higher id of every pair" rule
-   over-deletes on chains; this matches batch dedup_cluster_canonical
-   semantics instead).
+   keeping each component's MIN id — exactly one canonical
+   representative per near-dup cluster, matching batch
+   dedup_cluster_canonical semantics. NOTE the deliberate semantic
+   choice: cluster-canonical keeps FEWER docs than sequential greedy
+   keep-first would (pairs (1,5),(2,5) form component {1,2,5}: only 1
+   survives, though 2's only verified near-dup was 5) — near-dup
+   similarity is treated as cluster membership, not a pairwise veto.
 4. Survivors append corpus + bands + sigs as this batch's directories.
 
 Exactly-once: a replayed micro-batch excludes its OWN directories from
@@ -189,12 +190,12 @@ def ingest_batch(
             )
             .select("__id_a", "__id_b")
         )
-        # Transitive resolution: keep each near-dup component's min id.
-        # Per-pair "drop the higher id" over-deletes on chains (A~B
-        # drops B, B~C drops C even when A !~ C); components keep
-        # exactly one representative per cluster — the batch
-        # dedup_cluster_canonical convention. The component table is
-        # bounded by |nodes in verified pairs|, tiny vs the batch.
+        # Transitive resolution: keep each near-dup component's MIN id
+        # — the batch dedup_cluster_canonical convention (one canonical
+        # per cluster; see the module docstring for how this differs
+        # from per-pair or greedy-keep-first rules). The component
+        # table is bounded by |nodes in verified pairs|, tiny vs the
+        # batch.
         batch_dups = (
             connected_components(verified, src="__id_a", dst="__id_b")
             .filter(F.col("id") != F.col("comp"))

@@ -133,8 +133,7 @@ def main() -> None:
             d.withColumn(
                 "rn",
                 F.row_number().over(
-                    __import__("pyspark.sql.window", fromlist=["Window"])
-                    .Window.partitionBy("user_id")
+                    WinMod.Window.partitionBy("user_id")
                     .orderBy(F.col("ts").desc(), F.col("event_id").desc())
                 ),
             ).filter("rn = 1")

@@ -84,7 +84,12 @@ def test_derby_wire_coercion_executes(spark):
     url = "jdbc:derby:memory:dialects;create=true"
     props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
     spark.createDataFrame(
-        [("millis", "1705320000000"), ("stamped", "2024-01-15 12:00:00")],
+        [
+            ("millis", "1705320000000"),
+            ("stamped", "2024-01-15 12:00:00"),
+            ("millis_frac", "1705320000500"),   # sub-second preserved
+            ("stamped_frac", "2024-01-15 12:00:00.5"),
+        ],
         "kind STRING, v STRING",
     ).write.mode("overwrite").jdbc(url, "wire", properties=props)
     expr = DERBY.timestamp_from_wire('"v"')
@@ -94,3 +99,7 @@ def test_derby_wire_coercion_executes(spark):
         for r in spark.read.jdbc(url, f"({q}) w", properties=props).collect()
     }
     assert rows["millis"] == rows["stamped"], rows
+    # code-review r5: epoch-millis must keep sub-second precision
+    # (integer-second truncation would silently reorder CDC events)
+    assert rows["millis_frac"] == rows["stamped_frac"], rows
+    assert rows["millis_frac"] != rows["millis"], rows

@@ -341,3 +341,76 @@ def test_running_and_asof_skewed_null_ts(spark):
         left, right, **kw, hot_key_rows=5, n_ts_buckets=4
     ).select("ProductID", "p_seq", "asof_value").collect()))
     assert a == b
+
+
+def test_scd2_build_skewed_null_ts_rows_match_plain(spark):
+    """Hot key with MULTIPLE NULL event times (code-review r5): a NULL
+    lead(ts) must not be mistaken for 'no next row' — only genuinely
+    last rows may take the next bucket's boundary timestamp."""
+    import datetime as dt2
+
+    rows = (
+        [(1, i, float(i), None) for i in range(4)]  # several NULL ts
+        + [(1, 10 + i, float(i), dt2.datetime(2026, 1, 1, 8, i))
+           for i in range(40)]
+        + [(2, 100 + i, float(i), dt2.datetime(2026, 1, 1, 9, i % 30))
+           for i in range(30)]
+    )
+    ev = spark.createDataFrame(
+        rows, "ProductID INT, seq LONG, Price DOUBLE, change_ts TIMESTAMP"
+    )
+    plain = scd2_build(ev, "ProductID", "change_ts", ("seq",))
+    salted = scd2_build_skewed(
+        ev, "ProductID", "change_ts", ("seq",),
+        hot_key_rows=5, n_ts_buckets=4,
+    )
+    assert _norm(salted) == _norm(plain)
+
+
+def test_running_window_skewed_null_values_match_plain(spark):
+    """NULL VALUES (not timestamps; code-review r5): sum skips NULLs,
+    lag does not — delta must be NULL after a NULL-valued predecessor
+    and the running sum must stay NULL only while the whole prefix is
+    NULL-valued."""
+    import datetime as dt2
+
+    from architrave_project_apache_nifi_spark.operators.skew_windows import (
+        running_window_skewed,
+    )
+
+    rows = [
+        (1, i,
+         None if i in (0, 1, 7, 20, 21) else float(i),
+         dt2.datetime(2026, 1, 1, 8, 0) + dt2.timedelta(minutes=i))
+        for i in range(60)
+    ] + [(2, 100 + i, None, dt2.datetime(2026, 1, 1, 9, i))
+         for i in range(10)]  # all-NULL key
+    ev = spark.createDataFrame(
+        rows, "ProductID INT, seq LONG, Price DOUBLE, change_ts TIMESTAMP"
+    )
+    w = Window.partitionBy("ProductID").orderBy("change_ts", "seq")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    plain = {
+        (r.ProductID, r.seq): (r.run, r.delta)
+        for r in ev.select(
+            "ProductID", "seq",
+            F.sum("Price").over(wcum).alias("run"),
+            (F.col("Price") - F.lag("Price").over(w)).alias("delta"),
+        ).collect()
+    }
+    got = {
+        (r.ProductID, r.seq): (r.running_sum, r.delta_vs_prev)
+        for r in running_window_skewed(
+            ev, "ProductID", "change_ts", "Price", ("seq",),
+            hot_key_rows=5, n_ts_buckets=5,
+        ).collect()
+    }
+    assert set(plain) == set(got)
+    for k, (run, delta) in plain.items():
+        srun, sdelta = got[k]
+        assert (srun is None) == (run is None), (k, srun, run)
+        if run is not None:
+            assert abs(srun - run) < 1e-9, (k, srun, run)
+        assert (sdelta is None) == (delta is None), (k, sdelta, delta)
+        if delta is not None:
+            assert abs(sdelta - delta) < 1e-9
