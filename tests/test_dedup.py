@@ -271,3 +271,55 @@ def test_dedup_spans_rewrite_idempotent(spark):
     a = {(r.doc_id, r.text) for r in once.collect()}
     b = {(r.doc_id, r.text) for r in twice.collect()}
     assert a == b
+
+
+def _spans_rewrite_reference(docs, n):
+    """Pure-Python reference for dedup_spans_rewrite: global
+    first-occurrence span survival over (id, pos) order."""
+    toks = {i: (t.split() if t.strip() else []) for i, t in docs}
+    first = {}
+    for i in sorted(toks):
+        tl = toks[i]
+        for p in range(len(tl) - n + 1):
+            sp = " ".join(tl[p : p + n])
+            first.setdefault(sp, (i, p))
+    out = {}
+    for i in sorted(toks):
+        tl = toks[i]
+        covered = [False] * len(tl)
+        for p in range(len(tl) - n + 1):
+            sp = " ".join(tl[p : p + n])
+            if first[sp] != (i, p):
+                for j in range(p, p + n):
+                    covered[j] = True
+        kept = [t for t, c in zip(tl, covered) if not c]
+        out[i] = (" ".join(kept), len(tl), len(tl) - len(kept))
+    return out
+
+
+def test_dedup_spans_rewrite_property_vs_reference(spark):
+    """Randomized cross-check (code-review hardening): a tiny token
+    alphabet forces dense span collisions — intra-doc repeats,
+    cross-doc copies, overlapping windows — and the Spark pipeline
+    must match the brute-force reference on every doc."""
+    import random
+
+    rng = random.Random(20260815)
+    for trial in range(3):
+        docs = []
+        for i in range(40):
+            L = rng.randrange(0, 30)
+            docs.append(
+                (i, " ".join(rng.choice("abcdefg") for _ in range(L)))
+            )
+        expect = _spans_rewrite_reference(docs, 5)
+        got = {
+            r.doc_id: (r.text, r.n_tokens, r.n_removed)
+            for r in dd.dedup_spans_rewrite(
+                spark.createDataFrame(docs, "doc_id LONG, text STRING"),
+                "doc_id", "text", span_n=5,
+            ).collect()
+        }
+        assert got == expect, {
+            k: (got[k], expect[k]) for k in expect if got[k] != expect[k]
+        }
