@@ -399,3 +399,82 @@ def asof_join_skewed(
     for c in right_value_cols:
         out = out.withColumn(f"{prefix}{c}", F.col("__last_rv").getField(c))
     return out.drop("__last_rv")
+
+
+def asof_join_forward_skewed(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: Sequence[str],
+    right_order_cols: Sequence[str] = (),
+    prefix: str = "next_",
+    hot_key_rows: int = 5_000_000,
+    n_ts_buckets: int = 32,
+) -> DataFrame:
+    """:func:`~.temporal.asof_join_forward` (each left row takes the
+    EARLIEST right with ``right_ts >= left_ts``; ties resolve to the
+    smallest ``right_order_cols``), bit-identical, hot keys spread over
+    time buckets — the descending-scan mirror of
+    :func:`asof_join_skewed`: the scan runs time-DESC within
+    (key, bucket); a bucket's carry is its last right in that scan
+    order, i.e. its MIN (ts, order) right (``min_by``), inherited from
+    HIGHER buckets (``last`` over buckets ordered descending)."""
+    keys = _as_list(key_cols)
+    rv = F.struct(*[F.col(c) for c in right_value_cols])
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        *[F.col(c) for c in right_order_cols],
+        rv.alias("__rv"),
+    ).withColumn("__is_left", F.lit(0))
+    l = (
+        left.withColumn("__ts", F.col(left_ts))
+        .withColumn("__is_left", F.lit(1))
+    )
+    merged = l.unionByName(r, allowMissingColumns=True)
+    bucketed = _bucketed_exchange(
+        hot_ts_buckets(merged, keys, "__ts", hot_key_rows, n_ts_buckets),
+        keys,
+    )
+
+    order = [F.col("__ts").desc(), F.col("__is_left").asc()]
+    order += [F.col(c).desc() for c in right_order_cols]
+    w = (
+        Window.partitionBy(*keys, BUCKET)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    right_ord = F.when(
+        F.col("__is_left") == 0,
+        F.struct(F.col("__ts"), *[F.col(c) for c in right_order_cols]),
+    )
+    summ = bucketed.groupBy(*keys, BUCKET).agg(
+        F.min_by(F.col("__rv"), right_ord).alias("__bucket_last")
+    )
+    wk = Window.partitionBy(*keys).orderBy(F.col(BUCKET).desc())
+    carry = summ.withColumn(
+        "__carry",
+        F.last("__bucket_last", ignorenulls=True).over(
+            wk.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    ).select(*keys, BUCKET, "__carry")
+
+    out = (
+        bucketed.join(carry, [*keys, BUCKET], "left")
+        .withColumn(
+            "__last_rv",
+            F.coalesce(
+                F.last("__rv", ignorenulls=True).over(w), F.col("__carry")
+            ),
+        )
+        .filter(F.col("__is_left") == 1)
+        .drop(
+            BUCKET, "__carry", "__rv", "__ts", "__is_left",
+            *[c for c in right_order_cols if c not in left.columns],
+        )
+    )
+    for c in right_value_cols:
+        out = out.withColumn(f"{prefix}{c}", F.col("__last_rv").getField(c))
+    return out.drop("__last_rv")

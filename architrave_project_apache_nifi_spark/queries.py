@@ -4780,6 +4780,37 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_forward_skew_salted",
+    REGISTRY["asof_join_next_purchase"].oracle,
+)
+def q_asof_forward_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """asof_join_forward_skewed (operators/skew_windows.py): the
+    descending-scan mirror of asof_skew_salted — earliest right
+    at-or-after, carry inherited from HIGHER time buckets. Hot path
+    forced on at the gate SF."""
+    from .operators.skew_windows import asof_join_forward_skewed
+
+    events = load(spark, "events", sf_dir)
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return asof_join_forward_skewed(
+        clicks,
+        purchases,
+        "user_id",
+        "ts",
+        "ts",
+        right_value_cols=("value",),
+        right_order_cols=("event_id",),
+        hot_key_rows=5,
+        n_ts_buckets=8,
+    )
+
+
+@register(
     "winsorize_values",
     """
 WITH b AS (
@@ -5610,6 +5641,7 @@ _OVERFLOW = [
     "sessionize_skew_salted",
     "running_spend_skew_salted",
     "asof_skew_salted",
+    "asof_forward_skew_salted",
     # round 5: substring-span rewrite — scoring twin span_duplication
     # is in-window-adjacent; the rewrite is the new surface
     "dedup_spans_rewrite",

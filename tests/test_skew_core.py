@@ -414,3 +414,43 @@ def test_running_window_skewed_null_values_match_plain(spark):
         assert (sdelta is None) == (delta is None), (k, sdelta, delta)
         if delta is not None:
             assert abs(sdelta - delta) < 1e-9
+
+
+def test_asof_join_forward_skewed_bit_identical(spark):
+    """Forward mirror: earliest right at-or-after, smallest-order tie
+    break, carry inherited from HIGHER time buckets — exact equality
+    with temporal.asof_join_forward under the forced hot path,
+    including NULL left timestamps."""
+    import datetime as dt2
+
+    from architrave_project_apache_nifi_spark.operators.skew_windows import (
+        asof_join_forward_skewed,
+    )
+    from architrave_project_apache_nifi_spark.operators.temporal import (
+        asof_join_forward,
+    )
+
+    ev = _hot_events(spark, n_hot=800, n_cold=1200, n_keys=30)
+    left = ev.filter(F.col("seq") % 3 == 0).select(
+        "ProductID", F.col("seq").alias("p_seq"),
+        F.when(F.col("seq") % 9 == 0, F.lit(None)).otherwise(
+            F.col("change_ts")
+        ).alias("change_ts"),
+    )
+    right = ev.filter(F.col("seq") % 3 != 0).select(
+        "ProductID", "change_ts", F.col("seq").alias("event_id"),
+        F.col("Price").alias("value"),
+    )
+    kw = dict(
+        key_cols="ProductID", left_ts="change_ts", right_ts="change_ts",
+        right_value_cols=("value", "event_id"),
+        right_order_cols=("event_id",),
+    )
+    a = sorted(map(tuple, asof_join_forward(left, right, **kw)
+                   .select("ProductID", "p_seq", "next_value",
+                           "next_event_id").collect()))
+    b = sorted(map(tuple, asof_join_forward_skewed(
+        left, right, **kw, hot_key_rows=10, n_ts_buckets=6
+    ).select("ProductID", "p_seq", "next_value",
+             "next_event_id").collect()))
+    assert a == b
