@@ -359,6 +359,9 @@ def scd2_apply_late(
     tombstone_col: str | None = None,
     dedupe: bool = True,
     max_broadcast_keys: int = 1_000_000,
+    skewed_rebuild: bool = False,
+    hot_key_rows: int = 5_000_000,
+    n_ts_buckets: int = 32,
 ) -> DataFrame:
     """Merge a batch that may contain LATE events (event time older
     than the key's current ``valid_from``) by SPLICING: the touched
@@ -389,7 +392,9 @@ def scd2_apply_late(
     Scale: one broadcast semi/anti split of the history on the touched
     keys (history itself never shuffles; only the affected subset —
     bounded by batch keys x versions-per-key — enters the rebuild
-    window), then a union. The reference's two-sink race cannot express
+    window), then a union. ``skewed_rebuild=True`` routes the rebuild
+    through :func:`scd2_build_skewed` (exact-equal) for backfills whose
+    touched set includes a hot key. The reference's two-sink race cannot express
     this at all; a backfill there silently corrupts history
     (README.md:186-195).
     """
@@ -422,9 +427,18 @@ def scd2_apply_late(
         )
     if dedupe:
         merged_in = merged_in.dropDuplicates([*keys, ts_col, *order_cols])
-    rebuilt = scd2_build(
-        merged_in, keys, ts_col, order_cols, tombstone_col=tombstone_col
-    )
+    if skewed_rebuild:
+        # large backfills are exactly where a degenerate hot key shows
+        # up; the time-range-salted build is exact-equal (oracled)
+        rebuilt = scd2_build_skewed(
+            merged_in, keys, ts_col, order_cols,
+            tombstone_col=tombstone_col,
+            hot_key_rows=hot_key_rows, n_ts_buckets=n_ts_buckets,
+        )
+    else:
+        rebuilt = scd2_build(
+            merged_in, keys, ts_col, order_cols, tombstone_col=tombstone_col
+        )
     untouched = widen_like(untouched, rebuilt)
     return untouched.unionByName(rebuilt.select(*untouched.columns))
 

@@ -454,3 +454,23 @@ def test_asof_join_forward_skewed_bit_identical(spark):
     ).select("ProductID", "p_seq", "next_value",
              "next_event_id").collect()))
     assert a == b
+
+
+def test_apply_late_skewed_rebuild_matches_plain(spark):
+    """scd2_apply_late(skewed_rebuild=True) must equal the plain splice
+    (the bucketed rebuild is exact) on a hot-key backfill."""
+    from architrave_project_apache_nifi_spark.operators.scd2 import (
+        scd2_apply_late,
+    )
+
+    ev = _hot_events(spark, n_hot=600, n_cold=900, n_keys=20)
+    first = ev.filter(F.col("seq") % 2 == 0)
+    late = ev.filter(F.col("seq") % 2 == 1)
+    hist = scd2_build(first, "ProductID", "change_ts", ("seq",))
+    plain = scd2_apply_late(hist, late, "ProductID", "change_ts", ("seq",))
+    salted = scd2_apply_late(
+        hist, late, "ProductID", "change_ts", ("seq",),
+        skewed_rebuild=True, hot_key_rows=50, n_ts_buckets=6,
+    )
+    assert _norm(salted) == _norm(plain)
+    assert scd2_invariants(salted, "ProductID").count() == 0
