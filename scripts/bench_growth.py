@@ -14,7 +14,13 @@ SEPARATE process each, so JVM heap history from the big run cannot
 contaminate the small one. ``--isolate q1 q2`` additionally re-times
 the named queries in their own fresh sessions at the big SF — use for
 queries that share a bench pass with a quadratic neighbor and absorb
-its GC pressure (BASELINE.md footnote 1).
+its GC pressure (BASELINE.md footnote 1). Standard r5 invocation for
+the known contamination-prone entries:
+
+    python scripts/bench_growth.py --isolate q3_shipping_priority \
+        q6_revenue_change doc_fingerprint
+
+(measured isolated truths recorded in BASELINE.md footnote 3).
 """
 from __future__ import annotations
 
