@@ -474,3 +474,79 @@ def test_apply_late_skewed_rebuild_matches_plain(spark):
     )
     assert _norm(salted) == _norm(plain)
     assert scd2_invariants(salted, "ProductID").count() == 0
+
+
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # key
+            st.integers(min_value=0, max_value=5),   # minute — heavy ties
+            st.floats(min_value=0, max_value=9, allow_nan=False),
+        ),
+        min_size=1, max_size=40,
+    ),
+    buckets=st.integers(min_value=2, max_value=5),
+)
+def test_sessionize_and_running_skewed_property(spark, events, buckets):
+    """ADVERSARIAL ties (code-review hardening): many rows share the
+    same timestamp, so bucket edges constantly fall ON tied values —
+    the equal-ts-same-bucket invariant and the tie ordering across
+    summaries must hold for ANY draw. Threshold 0 forces the hot path
+    for every key."""
+    import datetime as dt2
+
+    from architrave_project_apache_nifi_spark.operators.skew_windows import (
+        running_window_skewed,
+        sessionize_skewed,
+    )
+    from architrave_project_apache_nifi_spark.operators.temporal import (
+        sessionize,
+    )
+
+    rows = [
+        (k, i, v, dt2.datetime(2026, 1, 1, 8, m))
+        for i, (k, m, v) in enumerate(events)
+    ]
+    ev = spark.createDataFrame(
+        rows, "ProductID INT, seq LONG, Price DOUBLE, change_ts TIMESTAMP"
+    )
+    plain_s = sessionize(ev, "ProductID", "change_ts", 90.0, ("seq",))
+    got_s = sessionize_skewed(
+        ev, "ProductID", "change_ts", 90.0, ("seq",),
+        hot_key_rows=0, n_ts_buckets=buckets,
+    )
+    cols = ["ProductID", "seq", "session_id"]
+    assert sorted(map(tuple, plain_s.select(*cols).collect())) == sorted(
+        map(tuple, got_s.select(*cols).collect())
+    )
+
+    w = Window.partitionBy("ProductID").orderBy("change_ts", "seq")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    plain_r = {
+        (r.ProductID, r.seq): (r.run, r.delta, r.tile)
+        for r in ev.select(
+            "ProductID", "seq",
+            F.sum("Price").over(wcum).alias("run"),
+            (F.col("Price") - F.lag("Price").over(w)).alias("delta"),
+            F.ntile(4).over(w).alias("tile"),
+        ).collect()
+    }
+    got_r = {
+        (r.ProductID, r.seq): (r.running_sum, r.delta_vs_prev, r.tile)
+        for r in running_window_skewed(
+            ev, "ProductID", "change_ts", "Price", ("seq",),
+            hot_key_rows=0, n_ts_buckets=buckets,
+        ).collect()
+    }
+    assert set(plain_r) == set(got_r)
+    for k, (run, delta, tile) in plain_r.items():
+        srun, sdelta, stile = got_r[k]
+        assert stile == tile
+        assert (sdelta is None) == (delta is None)
+        if delta is not None:
+            assert abs(sdelta - delta) < 1e-9
+        assert abs(srun - run) < 1e-9
