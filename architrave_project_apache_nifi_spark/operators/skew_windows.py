@@ -478,3 +478,110 @@ def asof_join_forward_skewed(
     for c in right_value_cols:
         out = out.withColumn(f"{prefix}{c}", F.col("__last_rv").getField(c))
     return out.drop("__last_rv")
+
+
+def trailing_range_window_skewed(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    ts_col: str,
+    value_col: str,
+    window_s: int = 86_400,
+    hot_key_rows: int = 5_000_000,
+    n_ts_buckets: int = 32,
+) -> DataFrame:
+    """Trailing TIME-RANGE aggregates per key (``RANGE BETWEEN
+    window_s PRECEDING AND CURRENT ROW`` over epoch seconds) — the
+    skew-resilient form of ``window_trailing_24h_spend``. Adds
+    ``trail_sum`` and ``trail_cnt``; NULL semantics mirror the plain
+    frame exactly (sum is NULL iff the frame holds zero non-NULL
+    values; count counts rows).
+
+    Formulation: a trailing range sum is the DIFFERENCE OF TWO PREFIX
+    READS — cum(t) − cum(t − window_s − 1) — so it composes from the
+    toolkit's two primitives instead of needing range-frame-specific
+    bucket machinery: (1) the inclusive cumulative (local RANGE window
+    inside each time bucket — ties share a bucket because the bucket is
+    a function of ts — plus the per-bucket offsets), and (2) a
+    backward as-of read of the per-second cumulative table at the
+    shifted timestamp, which is exactly :func:`asof_join_skewed` and is
+    itself hot-key-safe. Tie rows (same epoch second) share one frame
+    and one cumulative value, so the per-second table collapses ties
+    with a plain max."""
+    keys = _as_list(key_cols)
+    sec = F.col(ts_col).cast("timestamp").cast("long")
+    bucketed = _bucketed_exchange(
+        hot_ts_buckets(df, keys, ts_col, hot_key_rows, n_ts_buckets), keys
+    ).withColumn("__sec", sec)
+    wr = (
+        Window.partitionBy(*keys, BUCKET)
+        .orderBy("__sec")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wk = Window.partitionBy(*keys).orderBy(BUCKET)
+    summ = bucketed.groupBy(*keys, BUCKET).agg(
+        F.sum(value_col).alias("__vsum"),
+        F.count(F.lit(1)).alias("__cnt"),
+        F.count(value_col).alias("__nn"),
+    )
+    prefix = summ.select(
+        *keys,
+        BUCKET,
+        F.coalesce(
+            F.sum("__vsum").over(wk.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0.0),
+        ).alias("__voff"),
+        F.coalesce(
+            F.sum("__cnt").over(wk.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("__coff"),
+        F.coalesce(
+            F.sum("__nn").over(wk.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("__nnoff"),
+    )
+    cum = (
+        bucketed.join(prefix, [*keys, BUCKET], "left")
+        .withColumn(
+            "__cumv",
+            F.coalesce(F.sum(value_col).over(wr), F.lit(0.0)) + F.col("__voff"),
+        )
+        .withColumn("__cumc", F.count(F.lit(1)).over(wr) + F.col("__coff"))
+        .withColumn("__cumn", F.count(value_col).over(wr) + F.col("__nnoff"))
+        .drop(BUCKET, "__voff", "__coff", "__nnoff")
+    )
+    # per-second cumulative table: ties share one frame, hence one value
+    per_sec = cum.groupBy(*keys, "__sec").agg(
+        F.max("__cumv").alias("__pv"),
+        F.max("__cumc").alias("__pc"),
+        F.max("__cumn").alias("__pn"),
+    )
+    probed = asof_join_skewed(
+        cum.withColumn("__lookup", F.col("__sec") - F.lit(window_s + 1)),
+        per_sec,
+        keys,
+        "__lookup",
+        "__sec",
+        right_value_cols=("__pv", "__pc", "__pn"),
+        prefix="__at_",
+        hot_key_rows=hot_key_rows,
+        n_ts_buckets=n_ts_buckets,
+    )
+    nn24 = F.col("__cumn") - F.coalesce(F.col("__at___pn"), F.lit(0))
+    return (
+        probed.withColumn(
+            "trail_sum",
+            F.when(nn24 == 0, F.lit(None).cast("double")).otherwise(
+                F.col("__cumv") - F.coalesce(F.col("__at___pv"), F.lit(0.0))
+            ),
+        )
+        .withColumn(
+            "trail_cnt",
+            (F.col("__cumc") - F.coalesce(F.col("__at___pc"), F.lit(0))).cast(
+                "long"
+            ),
+        )
+        .drop(
+            "__sec", "__lookup", "__cumv", "__cumc", "__cumn",
+            "__at___pv", "__at___pc", "__at___pn",
+        )
+    )

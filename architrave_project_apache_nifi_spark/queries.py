@@ -3992,6 +3992,34 @@ def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "trailing_24h_skew_salted",
+    REGISTRY["window_trailing_24h_spend"].oracle,
+)
+def q_trailing_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """trailing_range_window_skewed (operators/skew_windows.py): the
+    trailing RANGE frame expressed as a difference of two
+    skew-resilient prefix reads (bucketed cumulative + as-of read of
+    the per-second cumulative at t − 24h − 1s) — a pure composition of
+    the toolkit\'s primitives; hot path forced on at the gate SF."""
+    from .operators.skew_windows import trailing_range_window_skewed
+
+    events = load(spark, "events", sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    out = trailing_range_window_skewed(
+        events, "user_id", "ts", "value", 86_400,
+        hot_key_rows=5, n_ts_buckets=8,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("trail_sum", 2).alias("spend_24h"),
+        F.col("trail_cnt").alias("n_24h"),
+    )
+
+
+@register(
     "constraint_report",
     """
 SELECT 'totalprice_positive' AS rule, count(*) AS n_rows,
@@ -5642,6 +5670,7 @@ _OVERFLOW = [
     "running_spend_skew_salted",
     "asof_skew_salted",
     "asof_forward_skew_salted",
+    "trailing_24h_skew_salted",
     # round 5: substring-span rewrite — scoring twin span_duplication
     # is in-window-adjacent; the rewrite is the new surface
     "dedup_spans_rewrite",

@@ -550,3 +550,51 @@ def test_sessionize_and_running_skewed_property(spark, events, buckets):
         if delta is not None:
             assert abs(sdelta - delta) < 1e-9
         assert abs(srun - run) < 1e-9
+
+
+def test_trailing_range_window_skewed_matches_plain(spark):
+    """Trailing RANGE frame as a difference of two skew-resilient
+    prefix reads: NULL values, tied epoch seconds, and a hot key must
+    all match the plain rangeBetween window exactly."""
+    import datetime as dt2
+
+    from architrave_project_apache_nifi_spark.operators.skew_windows import (
+        trailing_range_window_skewed,
+    )
+
+    rows = [
+        (k, k * 1000 + i,
+         None if i % 6 == 0 else float(i % 9),
+         dt2.datetime(2026, 1, 1) + dt2.timedelta(hours=(i * 5) % 200))
+        for k in range(4)
+        for i in range(120 if k == 0 else 30)   # key 0 hot
+    ]
+    rows += [(0, 5000 + i, 2.0, dt2.datetime(2026, 1, 1, 3, 0, 30))
+             for i in range(4)]  # tied second on the hot key
+    ev = spark.createDataFrame(
+        rows, "user_id INT, event_id LONG, value DOUBLE, ts TIMESTAMP"
+    )
+    sec = F.col("ts").cast("long")
+    w = Window.partitionBy("user_id").orderBy(sec).rangeBetween(-86400, 0)
+    plain = {
+        (r.user_id, r.event_id): (r.s, r.c)
+        for r in ev.select(
+            "user_id", "event_id",
+            F.sum("value").over(w).alias("s"),
+            F.count(F.lit(1)).over(w).alias("c"),
+        ).collect()
+    }
+    got = {
+        (r.user_id, r.event_id): (r.trail_sum, r.trail_cnt)
+        for r in trailing_range_window_skewed(
+            ev, "user_id", "ts", "value", 86400,
+            hot_key_rows=20, n_ts_buckets=5,
+        ).collect()
+    }
+    assert set(plain) == set(got)
+    for k, (s, c) in plain.items():
+        gs, gc = got[k]
+        assert gc == c, (k, gc, c)
+        assert (gs is None) == (s is None), (k, gs, s)
+        if s is not None:
+            assert abs(gs - s) < 1e-9
