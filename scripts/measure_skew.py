@@ -34,10 +34,12 @@ from architrave_project_apache_nifi_spark.operators.scd2 import (  # noqa: E402
     scd2_build_skewed,
 )
 from architrave_project_apache_nifi_spark.operators.skew_windows import (  # noqa: E402
+    asof_join_skewed,
     running_window_skewed,
     sessionize_skewed,
 )
 from architrave_project_apache_nifi_spark.operators.temporal import (  # noqa: E402
+    asof_join,
     sessionize,
 )
 from architrave_project_apache_nifi_spark.session import ENGINE_CONF  # noqa: E402
@@ -162,6 +164,27 @@ def main() -> None:
         ),
         "running_skewed": lambda d: running_window_skewed(
             d, "user_id", "ts", "value", ("event_id",),
+            hot_key_rows=1_000_000, n_ts_buckets=32,
+        ),
+        "asof_plain": lambda d: asof_join(
+            d.filter("event_id % 3 = 0").select(
+                "user_id", F.col("event_id").alias("left_id"), "ts"
+            ),
+            d.filter("event_id % 3 != 0").select(
+                "user_id", "ts", "event_id", "value"
+            ),
+            "user_id", "ts", "ts",
+            right_value_cols=("value",), right_order_cols=("event_id",),
+        ),
+        "asof_skewed": lambda d: asof_join_skewed(
+            d.filter("event_id % 3 = 0").select(
+                "user_id", F.col("event_id").alias("left_id"), "ts"
+            ),
+            d.filter("event_id % 3 != 0").select(
+                "user_id", "ts", "event_id", "value"
+            ),
+            "user_id", "ts", "ts",
+            right_value_cols=("value",), right_order_cols=("event_id",),
             hot_key_rows=1_000_000, n_ts_buckets=32,
         ),
     }
