@@ -317,6 +317,91 @@ def running_window_skewed(
     )
 
 
+def _asof_join_skewed_directional(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: Sequence[str],
+    right_order_cols: Sequence[str],
+    prefix: str,
+    hot_key_rows: int,
+    n_ts_buckets: int,
+    forward: bool,
+) -> DataFrame:
+    """Shared union + scan + bucket-carry skeleton for both as-of
+    directions. ``forward`` flips exactly four things: the scan order
+    (ts/order DESC instead of ASC), the bucket summary (``min_by``
+    instead of ``max_by``), the carry direction (inherited from HIGHER
+    buckets), and nothing else — a change to the skeleton lands in both
+    directions by construction (code-review r5: the two public
+    functions used to be hand-mirrored copies)."""
+    keys = _as_list(key_cols)
+    rv = F.struct(*[F.col(c) for c in right_value_cols])
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        *[F.col(c) for c in right_order_cols],
+        rv.alias("__rv"),
+    ).withColumn("__is_left", F.lit(0))
+    l = (
+        left.withColumn("__ts", F.col(left_ts))
+        .withColumn("__is_left", F.lit(1))
+    )
+    merged = l.unionByName(r, allowMissingColumns=True)
+    bucketed = _bucketed_exchange(
+        hot_ts_buckets(merged, keys, "__ts", hot_key_rows, n_ts_buckets),
+        keys,
+    )
+
+    def scan_dir(c: Column) -> Column:
+        return c.desc() if forward else c.asc()
+
+    order = [scan_dir(F.col("__ts")), F.col("__is_left").asc()]
+    order += [scan_dir(F.col(c)) for c in right_order_cols]
+    w = (
+        Window.partitionBy(*keys, BUCKET)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # bucket carry: the last RIGHT row's value in scan order — left
+    # rows contribute a NULL ordering key, which max_by/min_by skip
+    right_ord = F.when(
+        F.col("__is_left") == 0,
+        F.struct(F.col("__ts"), *[F.col(c) for c in right_order_cols]),
+    )
+    pick_last = F.min_by if forward else F.max_by
+    summ = bucketed.groupBy(*keys, BUCKET).agg(
+        pick_last(F.col("__rv"), right_ord).alias("__bucket_last")
+    )
+    wk = Window.partitionBy(*keys).orderBy(scan_dir(F.col(BUCKET)))
+    carry = summ.withColumn(
+        "__carry",
+        F.last("__bucket_last", ignorenulls=True).over(
+            wk.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    ).select(*keys, BUCKET, "__carry")
+
+    out = (
+        bucketed.join(carry, [*keys, BUCKET], "left")
+        .withColumn(
+            "__last_rv",
+            F.coalesce(
+                F.last("__rv", ignorenulls=True).over(w), F.col("__carry")
+            ),
+        )
+        .filter(F.col("__is_left") == 1)
+        .drop(
+            BUCKET, "__carry", "__rv", "__ts", "__is_left",
+            *[c for c in right_order_cols if c not in left.columns],
+        )
+    )
+    for c in right_value_cols:
+        out = out.withColumn(f"{prefix}{c}", F.col("__last_rv").getField(c))
+    return out.drop("__last_rv")
+
+
 def asof_join_skewed(
     left: DataFrame,
     right: DataFrame,
@@ -340,65 +425,11 @@ def asof_join_skewed(
     NULL ordering key for left rows (max_by ignores NULL keys) —
     fill-forwarded over the per-key bucket summary, so a bucket with
     no rights inherits the nearest earlier bucket's carry."""
-    keys = _as_list(key_cols)
-    rv = F.struct(*[F.col(c) for c in right_value_cols])
-    r = right.select(
-        *keys,
-        F.col(right_ts).alias("__ts"),
-        *[F.col(c) for c in right_order_cols],
-        rv.alias("__rv"),
-    ).withColumn("__is_left", F.lit(0))
-    l = (
-        left.withColumn("__ts", F.col(left_ts))
-        .withColumn("__is_left", F.lit(1))
+    return _asof_join_skewed_directional(
+        left, right, key_cols, left_ts, right_ts, right_value_cols,
+        right_order_cols, prefix, hot_key_rows, n_ts_buckets,
+        forward=False,
     )
-    merged = l.unionByName(r, allowMissingColumns=True)
-    bucketed = _bucketed_exchange(
-        hot_ts_buckets(merged, keys, "__ts", hot_key_rows, n_ts_buckets),
-        keys,
-    )
-
-    order = [F.col("__ts").asc(), F.col("__is_left").asc()]
-    order += [F.col(c).asc() for c in right_order_cols]
-    w = (
-        Window.partitionBy(*keys, BUCKET)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    # bucket carry: the last RIGHT row's value in (ts, order) order —
-    # left rows contribute a NULL ordering key, which max_by skips
-    right_ord = F.when(
-        F.col("__is_left") == 0,
-        F.struct(F.col("__ts"), *[F.col(c) for c in right_order_cols]),
-    )
-    summ = bucketed.groupBy(*keys, BUCKET).agg(
-        F.max_by(F.col("__rv"), right_ord).alias("__bucket_last")
-    )
-    wk = Window.partitionBy(*keys).orderBy(BUCKET)
-    carry = summ.withColumn(
-        "__carry",
-        F.last("__bucket_last", ignorenulls=True).over(
-            wk.rowsBetween(Window.unboundedPreceding, -1)
-        ),
-    ).select(*keys, BUCKET, "__carry")
-
-    out = (
-        bucketed.join(carry, [*keys, BUCKET], "left")
-        .withColumn(
-            "__last_rv",
-            F.coalesce(
-                F.last("__rv", ignorenulls=True).over(w), F.col("__carry")
-            ),
-        )
-        .filter(F.col("__is_left") == 1)
-        .drop(
-            BUCKET, "__carry", "__rv", "__ts", "__is_left",
-            *[c for c in right_order_cols if c not in left.columns],
-        )
-    )
-    for c in right_value_cols:
-        out = out.withColumn(f"{prefix}{c}", F.col("__last_rv").getField(c))
-    return out.drop("__last_rv")
 
 
 def asof_join_forward_skewed(
@@ -421,63 +452,11 @@ def asof_join_forward_skewed(
     (key, bucket); a bucket's carry is its last right in that scan
     order, i.e. its MIN (ts, order) right (``min_by``), inherited from
     HIGHER buckets (``last`` over buckets ordered descending)."""
-    keys = _as_list(key_cols)
-    rv = F.struct(*[F.col(c) for c in right_value_cols])
-    r = right.select(
-        *keys,
-        F.col(right_ts).alias("__ts"),
-        *[F.col(c) for c in right_order_cols],
-        rv.alias("__rv"),
-    ).withColumn("__is_left", F.lit(0))
-    l = (
-        left.withColumn("__ts", F.col(left_ts))
-        .withColumn("__is_left", F.lit(1))
+    return _asof_join_skewed_directional(
+        left, right, key_cols, left_ts, right_ts, right_value_cols,
+        right_order_cols, prefix, hot_key_rows, n_ts_buckets,
+        forward=True,
     )
-    merged = l.unionByName(r, allowMissingColumns=True)
-    bucketed = _bucketed_exchange(
-        hot_ts_buckets(merged, keys, "__ts", hot_key_rows, n_ts_buckets),
-        keys,
-    )
-
-    order = [F.col("__ts").desc(), F.col("__is_left").asc()]
-    order += [F.col(c).desc() for c in right_order_cols]
-    w = (
-        Window.partitionBy(*keys, BUCKET)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    right_ord = F.when(
-        F.col("__is_left") == 0,
-        F.struct(F.col("__ts"), *[F.col(c) for c in right_order_cols]),
-    )
-    summ = bucketed.groupBy(*keys, BUCKET).agg(
-        F.min_by(F.col("__rv"), right_ord).alias("__bucket_last")
-    )
-    wk = Window.partitionBy(*keys).orderBy(F.col(BUCKET).desc())
-    carry = summ.withColumn(
-        "__carry",
-        F.last("__bucket_last", ignorenulls=True).over(
-            wk.rowsBetween(Window.unboundedPreceding, -1)
-        ),
-    ).select(*keys, BUCKET, "__carry")
-
-    out = (
-        bucketed.join(carry, [*keys, BUCKET], "left")
-        .withColumn(
-            "__last_rv",
-            F.coalesce(
-                F.last("__rv", ignorenulls=True).over(w), F.col("__carry")
-            ),
-        )
-        .filter(F.col("__is_left") == 1)
-        .drop(
-            BUCKET, "__carry", "__rv", "__ts", "__is_left",
-            *[c for c in right_order_cols if c not in left.columns],
-        )
-    )
-    for c in right_value_cols:
-        out = out.withColumn(f"{prefix}{c}", F.col("__last_rv").getField(c))
-    return out.drop("__last_rv")
 
 
 def trailing_range_window_skewed(
