@@ -66,6 +66,7 @@ def hot_ts_buckets(
     ts_col: str,
     hot_key_rows: int = 5_000_000,
     n_ts_buckets: int = 32,
+    sample_salt_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Append the time-range bucket column ``__b``: 0 for cold keys,
     ``|{percentile edge < ts}|`` for keys whose estimated row count
@@ -77,7 +78,18 @@ def hot_ts_buckets(
     n-1 SCALAR columns and the bucket is a chain of codegen'd
     comparisons — the array higher-order ``filter()`` form runs
     interpreted per element (measured 20× slower over a 20M-row fact).
-    NULL edges (cold key) and NULL ts both compare false → bucket 0."""
+    NULL edges (cold key) and NULL ts both compare false → bucket 0.
+
+    Sampling limitation: the hash is over ``(keys, ts)``, so all rows
+    sharing one ``(key, ts)`` are sampled all-or-nothing. For hot keys
+    whose timestamps are coarse (many ties per value) the row-count
+    estimate has tie-group-sized variance and can under-detect —
+    a perf-only miss (the key falls back to the single plain-window
+    task), never a correctness one. Callers with a finer-grained
+    column available (e.g. a sequence id, or the raw microsecond ts
+    when bucketing on a truncated copy) should pass it via
+    ``sample_salt_cols``: it is mixed into the sampling hash only —
+    never into the bucket edges — making the sample per-row."""
     keys = _as_list(key_cols)
     num = _ts_num(df, ts_col)
     denom = 100 if hot_key_rows >= 100 * n_ts_buckets else 1
@@ -85,7 +97,12 @@ def hot_ts_buckets(
     if denom > 1:
         sampled = df.filter(
             F.pmod(
-                F.xxhash64(*[F.col(k) for k in keys], F.col(ts_col)), denom
+                F.xxhash64(
+                    *[F.col(k) for k in keys],
+                    F.col(ts_col),
+                    *[F.col(c) for c in sample_salt_cols],
+                ),
+                denom,
             )
             == 0
         )
@@ -479,18 +496,33 @@ def trailing_range_window_skewed(
     READS — cum(t) − cum(t − window_s − 1) — so it composes from the
     toolkit's two primitives instead of needing range-frame-specific
     bucket machinery: (1) the inclusive cumulative (local RANGE window
-    inside each time bucket — ties share a bucket because the bucket is
-    a function of ts — plus the per-bucket offsets), and (2) a
+    inside each time bucket plus the per-bucket offsets), and (2) a
     backward as-of read of the per-second cumulative table at the
     shifted timestamp, which is exactly :func:`asof_join_skewed` and is
-    itself hot-key-safe. Tie rows (same epoch second) share one frame
-    and one cumulative value, so the per-second table collapses ties
-    with a plain max."""
+    itself hot-key-safe. The RANGE frame ties on EPOCH SECONDS, so the
+    buckets must be a function of the epoch second too — bucketing on
+    the raw (microsecond) ts would let a percentile edge fall inside a
+    second and split a tie group across buckets, silently undercutting
+    the earlier rows' cumulative (ADVICE r5, reproduced with 100 ms
+    spacing). Hence ``__sec`` is computed FIRST and is the bucketing
+    column; the raw ts is mixed into the detection sample hash only
+    (``sample_salt_cols``) so coarse-second ties don't inflate the
+    sample variance. Tie rows (same epoch second) then share one
+    bucket, one frame and one cumulative value, and the per-second
+    table collapses ties with a plain max."""
     keys = _as_list(key_cols)
     sec = F.col(ts_col).cast("timestamp").cast("long")
     bucketed = _bucketed_exchange(
-        hot_ts_buckets(df, keys, ts_col, hot_key_rows, n_ts_buckets), keys
-    ).withColumn("__sec", sec)
+        hot_ts_buckets(
+            df.withColumn("__sec", sec),
+            keys,
+            "__sec",
+            hot_key_rows,
+            n_ts_buckets,
+            sample_salt_cols=(ts_col,),
+        ),
+        keys,
+    )
     wr = (
         Window.partitionBy(*keys, BUCKET)
         .orderBy("__sec")

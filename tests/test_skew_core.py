@@ -598,3 +598,59 @@ def test_trailing_range_window_skewed_matches_plain(spark):
         assert (gs is None) == (s is None), (k, gs, s)
         if s is not None:
             assert abs(gs - s) < 1e-9
+
+
+def test_trailing_range_window_skewed_subsecond_ties(spark):
+    """ADVICE r5 (high): the RANGE frame ties on epoch seconds, so the
+    buckets must be a function of the epoch second. With sub-second
+    timestamps dense enough that a percentile edge lands mid-second,
+    the old micros-bucketed form split same-second tie groups across
+    buckets and undercounted trail_sum/trail_cnt for the earlier rows
+    (repro: 400 events 100 ms apart, hot_key_rows=50, n_ts_buckets=7
+    -> 33/400 rows wrong). Must match the plain window exactly."""
+    import datetime as dt2
+
+    from architrave_project_apache_nifi_spark.operators.skew_windows import (
+        trailing_range_window_skewed,
+    )
+
+    base = dt2.datetime(2026, 1, 1)
+    rows = [
+        (1, i, float(i % 7),
+         base + dt2.timedelta(milliseconds=100 * i))
+        for i in range(400)
+    ]
+    # second key, cold, sparse sub-second ties
+    rows += [
+        (2, 1000 + i, 1.0, base + dt2.timedelta(milliseconds=250 * i))
+        for i in range(20)
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id INT, event_id LONG, value DOUBLE, ts TIMESTAMP"
+    )
+    win_s = 5
+    sec = F.col("ts").cast("long")
+    w = (
+        Window.partitionBy("user_id").orderBy(sec).rangeBetween(-win_s, 0)
+    )
+    plain = {
+        (r.user_id, r.event_id): (r.s, r.c)
+        for r in ev.select(
+            "user_id", "event_id",
+            F.sum("value").over(w).alias("s"),
+            F.count(F.lit(1)).over(w).alias("c"),
+        ).collect()
+    }
+    got = {
+        (r.user_id, r.event_id): (r.trail_sum, r.trail_cnt)
+        for r in trailing_range_window_skewed(
+            ev, "user_id", "ts", "value", win_s,
+            hot_key_rows=50, n_ts_buckets=7,
+        ).collect()
+    }
+    assert set(plain) == set(got)
+    bad = [
+        k for k, (s, c) in plain.items()
+        if got[k][1] != c or abs((got[k][0] or 0.0) - (s or 0.0)) > 1e-9
+    ]
+    assert not bad, f"{len(bad)} rows wrong, e.g. {bad[:5]}"
