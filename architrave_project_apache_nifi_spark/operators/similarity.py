@@ -378,64 +378,59 @@ def ivf_probe(
     query_id_col: str = "query_id",
     k: int = 10,
     nprobe: int = 4,
+    max_query_rows: int = 10_000,
 ) -> DataFrame:
     """Probe an already-built IVF index: each query scores only its
     ``nprobe`` nearest cells — a ~nprobe/nlist fraction of the corpus
     instead of 100%, with NO training on the query path.
 
-    The probed cell set (≤ n_queries × nprobe ints) is collected and
-    pushed as an ``isin`` filter BEFORE the join, so a disk-resident
-    index (ivf_load of list_id-partitioned parquet) scans only the
-    probed partitions; the exploded query side broadcasts, the corpus
-    never shuffles — same scale shape as ``lsh_topk`` but with
-    data-adaptive cells."""
+    The query block (id + full float64 vector) is collected on the
+    driver through ``_collect_block`` — an unbounded query set carries
+    ~8 × dim × nprobe bytes per row once exploded, so a corpus-sized
+    set OOMs the driver; ``max_query_rows`` (default 10k, well below
+    brute-force's cap because of the vector payload) bounds it with an
+    error naming the knob. Cell assignment then runs driver-side in
+    one numpy matmul (centroids are already local — no Spark job), and
+    the probed cell set is pushed as an ``isin`` filter BEFORE the
+    join, so a disk-resident index (ivf_load of list_id-partitioned
+    parquet) scans only the probed partitions; the exploded query side
+    broadcasts, the corpus never shuffles — same scale shape as
+    ``lsh_topk`` but with data-adaptive cells."""
     import numpy as np
-    import pandas as pd
 
     id_col = index.id_col
     C = np.array(index.centroids, dtype=np.float64)
     nprobe = min(nprobe, index.nlist)
 
-    def probe(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            Q = np.stack(pdf["__qv"].to_numpy()).astype(np.float64)
-            # centroids live on the unit sphere (spherical quantizer):
-            # rank cells by L2 of the NORMALIZED query — identical order
-            # to cosine against the centroids. Zero-norm queries stay
-            # zero (deterministic cells) instead of NaN-ing the row.
-            nrm = np.sqrt((Q * Q).sum(1))
-            Qn = Q / np.where(nrm == 0, 1.0, nrm)[:, None]
-            d2 = (Qn * Qn).sum(1)[:, None] - 2 * Qn @ C.T + (C * C).sum(1)[None, :]
-            near = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
-            yield pd.DataFrame(
-                {
-                    query_id_col: pdf[query_id_col].to_numpy().repeat(nprobe),
-                    "probe": near.reshape(-1).astype(np.int32),
-                    "__qv": [list(v) for v in Q for _ in range(nprobe)],
-                }
-            )
-
     probe_schema = f"{query_id_col} long, probe int, __qv array<double>"
-    # Tiny by construction (n_queries × nprobe rows): collect ONCE and
-    # rebuild as a local DataFrame — the probe UDF runs exactly once,
-    # nothing is left cached (a serving loop calling ivf_probe
-    # repeatedly must not leak executor storage), and the collected
-    # cell set is what turns a partitioned on-disk index into a
-    # partition-pruned scan.
-    probed_rows = (
-        queries.select(
-            query_id_col, _as_double(F.col(vec_col)).alias("__qv")
-        )
-        .mapInPandas(probe, probe_schema)
-        .collect()
+    qrows = _collect_block(
+        queries.select(query_id_col, _as_double(F.col(vec_col)).alias("__qv")),
+        [query_id_col, "__qv"],
+        max_query_rows,
+        "ivf_probe",
+        "max_query_rows",
     )
+    probed_rows: list[tuple] = []
+    if qrows:
+        Q = np.array([list(r["__qv"]) for r in qrows], dtype=np.float64)
+        # centroids live on the unit sphere (spherical quantizer):
+        # rank cells by L2 of the NORMALIZED query — identical order
+        # to cosine against the centroids. Zero-norm queries stay
+        # zero (deterministic cells) instead of NaN-ing the row.
+        nrm = np.sqrt((Q * Q).sum(1))
+        Qn = Q / np.where(nrm == 0, 1.0, nrm)[:, None]
+        d2 = (Qn * Qn).sum(1)[:, None] - 2 * Qn @ C.T + (C * C).sum(1)[None, :]
+        near = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+        probed_rows = [
+            (r[query_id_col], int(cell), v.tolist())
+            for r, v, cells in zip(qrows, Q, near)
+            for cell in cells
+        ]
     spark = index.assigned.sparkSession
     qprobes = spark.createDataFrame(probed_rows, probe_schema).withColumn(
         "__qn", l2_norm(F.col("__qv"))
     )
-    probed_cells = sorted({r.probe for r in probed_rows})
+    probed_cells = sorted({cell for _, cell, _ in probed_rows})
 
     pruned = index.assigned.filter(F.col("list_id").isin(probed_cells))
     scored = pruned.join(
@@ -519,6 +514,7 @@ def ivf_topk(
     nprobe: int = 4,
     seed: int = 42,
     max_iter: int = 5,
+    max_query_rows: int = 10_000,
 ) -> DataFrame:
     """Build-then-probe convenience wrapper (one-shot use; repeated
     querying should ``ivf_build``/``ivf_save`` once and probe many)."""
@@ -526,7 +522,10 @@ def ivf_topk(
         corpus, id_col, vec_col, nlist=nlist, seed=seed, max_iter=max_iter,
         materialize=False,
     )
-    return ivf_probe(index, queries, vec_col, query_id_col, k=k, nprobe=nprobe)
+    return ivf_probe(
+        index, queries, vec_col, query_id_col, k=k, nprobe=nprobe,
+        max_query_rows=max_query_rows,
+    )
 
 
 def lsh_topk(

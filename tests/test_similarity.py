@@ -359,6 +359,35 @@ def test_hard_negatives_guards_driver_collect(spark):
     assert hard_negatives(corpus, anchors, k=2, max_anchors=6).count() == 12
 
 
+def test_ivf_probe_guards_driver_collect(spark):
+    """The probe's query-side collect carries full float64 vectors
+    (×nprobe once exploded) — a corpus-sized query set must raise
+    naming max_query_rows instead of OOMing the driver (VERDICT r4-r6
+    carry-over); at the ceiling it still runs and results are
+    unchanged vs an uncapped call."""
+    import pytest
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, float(i % 3)]) for i in range(40)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    q = spark.createDataFrame(
+        [(i, [1.0, float(i), 0.5]) for i in range(6)],
+        "query_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    index = sim.ivf_build(emb, nlist=4, materialize=False)
+    with pytest.raises(ValueError, match="max_query_rows"):
+        sim.ivf_probe(index, q, k=2, nprobe=2, max_query_rows=5)
+    capped = sorted(
+        map(tuple, sim.ivf_probe(index, q, k=2, nprobe=2, max_query_rows=6).collect())
+    )
+    default = sorted(map(tuple, sim.ivf_probe(index, q, k=2, nprobe=2).collect()))
+    assert capped == default and len(capped) > 0
+    # wrapper passes the knob through
+    with pytest.raises(ValueError, match="max_query_rows"):
+        sim.ivf_topk(emb, q, k=2, nlist=4, nprobe=2, max_query_rows=5)
+
+
 def test_ivf_clustered_corpus_high_recall_at_low_scan(spark):
     """The isotropic-corpus tests above concede recall ≈ scan fraction
     (any space-partitioning index degenerates on directionally uniform
