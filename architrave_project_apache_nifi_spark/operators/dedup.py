@@ -175,7 +175,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
-    max_band_bucket: int | None = 10_000,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH: docs agreeing on any
     full band of ``num_hashes/bands`` minhashes collide. Returns
@@ -204,8 +204,14 @@ def minhash_lsh_candidates(
     survives with probability 1 − (1 − 1/s)^k (≈0.99 for s=4, k=16);
     transitive consumers (cluster canonicalization, dedup) reconnect
     the family through surviving chains. The documented trade: direct
-    pair recall inside oversized buckets drops; set the cap to None to
-    disable. Detection costs one count-agg over the 16-byte band rows
+    pair recall inside oversized buckets drops — which is why salting
+    is OPT-IN (default ``None``): a caller consuming the pairs
+    non-transitively (no connected-components step) would otherwise
+    lose in-family pairs with no signal (ADVICE r5). Transitive
+    consumers on skew-prone corpora should pass an explicit cap
+    (10_000 bounds any task's pair output to 10⁸ — the production
+    setting); unsalted, one 10⁵-doc family is a 10¹⁰-pair task.
+    Detection costs one count-agg over the 16-byte band rows
     plus a join against the hot set, which is empty/tiny by definition
     (|hot| ≤ band_rows / cap) — AQE sizes the materialized agg stage at
     runtime and broadcasts when it fits, shuffle-joins when an

@@ -1249,7 +1249,12 @@ def q_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.cluster import canonical_docs
 
     docs = load(spark, "documents", sf_dir)
-    cands = dd.minhash_lsh_candidates(docs, "doc_id", "text", 64, 64, _SHINGLE_N)
+    # transitive consumer (connected components) → hot-band salting is
+    # safe and on: one oversized doc family must not become a single
+    # |family|²-pair task (salting is opt-in since r7; ADVICE r5)
+    cands = dd.minhash_lsh_candidates(
+        docs, "doc_id", "text", 64, 64, _SHINGLE_N, max_band_bucket=10_000
+    )
     pairs = dd.verify_candidate_pairs(
         docs, cands, "doc_id", "text", _JACCARD_THRESHOLD, _SHINGLE_N
     )
@@ -2948,7 +2953,11 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs (approximate — verified against exact
     Jaccard in tests/test_dedup.py; the oracled composed pipeline is
-    `dedup_lsh_verified`)."""
+    `dedup_lsh_verified`). Raw pairs are consumed directly here (no
+    transitive closure), so hot-band salting stays at its opt-in
+    default of off — a skewed production corpus feeding a
+    connected-components step should pass max_band_bucket (see
+    dedup_cluster_canonical)."""
     docs = load(spark, "documents", sf_dir)
     return dd.minhash_lsh_candidates(docs, "doc_id", "text", 64, 16, _SHINGLE_N)
 
@@ -3794,7 +3803,11 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.splits import leakage_safe_split
 
     docs = load(spark, "documents", sf_dir)
-    cands = dd.minhash_lsh_candidates(docs, "doc_id", "text", 64, 64, _SHINGLE_N)
+    # transitive consumer (split assignment closes over components) →
+    # salting on; a dropped direct pair reconnects through chains
+    cands = dd.minhash_lsh_candidates(
+        docs, "doc_id", "text", 64, 64, _SHINGLE_N, max_band_bucket=10_000
+    )
     pairs = dd.verify_candidate_pairs(
         docs, cands, "doc_id", "text", _JACCARD_THRESHOLD, _SHINGLE_N
     )

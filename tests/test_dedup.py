@@ -200,8 +200,17 @@ def test_lsh_salting_keeps_family_connected_and_cold_path_identical(spark):
     n_fam_nodes = comp.filter(F.col("id") < 400).count()
     assert n_fam_nodes == 400, "salting lost family members entirely"
     assert len(fam_comps) == 1, f"family split into {len(fam_comps)} components"
-    # cold path: default cap (10k) never triggers on this corpus —
-    # candidates identical to salting disabled
+    # contract pin (ADVICE r5): salting is OPT-IN — the default drops
+    # nothing, ever; a non-transitive consumer of the default call
+    # gets the full candidate set
+    import inspect
+
+    assert (
+        inspect.signature(dd.minhash_lsh_candidates)
+        .parameters["max_band_bucket"].default is None
+    )
+    # cold path: an explicit cap that no bucket on this corpus exceeds
+    # yields candidates identical to salting disabled
     base = {
         (r.id_a, r.id_b)
         for r in dd.minhash_lsh_candidates(
@@ -211,7 +220,7 @@ def test_lsh_salting_keeps_family_connected_and_cold_path_identical(spark):
     capped = {
         (r.id_a, r.id_b)
         for r in dd.minhash_lsh_candidates(
-            df, "doc_id", "text", 64, 16, 2
+            df, "doc_id", "text", 64, 16, 2, max_band_bucket=10_000
         ).collect()
     }
     assert base == capped
