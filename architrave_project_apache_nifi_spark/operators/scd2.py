@@ -48,6 +48,9 @@ def scd2_build(
     ts_col: str,
     order_cols: Sequence[str] = (),
     tombstone_col: str | None = None,
+    skew_protection: bool | str = "auto",
+    hot_key_rows: int = 5_000_000,
+    n_ts_buckets: int = 32,
 ) -> DataFrame:
     """Build a full SCD2 history from a change stream (batch formulation).
 
@@ -73,10 +76,25 @@ def scd2_build(
     unavoidable shuffle of any per-key versioning. NOTE: AQE does NOT
     split skewed WINDOW partitions (only join partitions) — a business
     key carrying a large share of the stream becomes one straggler
-    task; route such streams through :func:`scd2_build_skewed`, which
-    time-range-salts hot keys' windows and is exact-equal
-    (tests/test_skew_core.py, oracle ``scd2_build_skew_salted``).
+    task. ``skew_protection="auto"`` (the default since r7) therefore
+    runs ONE bounded sampled detection job (``has_hot_keys`` — same
+    measured-not-guessed pattern as :func:`scd2_apply`'s broadcast
+    sizing) and routes a corpus with a key above ``hot_key_rows``
+    through :func:`scd2_build_skewed` (exact-equal output —
+    tests/test_skew_core.py, oracle ``scd2_build_skew_salted``); a
+    cold corpus keeps exactly this plan. Pass ``False`` for bounded
+    micro-batches or expensive un-cached lineage (auto re-reads the
+    input once), ``True`` to force the bucketed plan.
     """
+    from .skew_windows import engage_skew_protection
+
+    if engage_skew_protection(
+        changes, key_cols, ts_col, skew_protection, hot_key_rows, n_ts_buckets
+    ):
+        return scd2_build_skewed(
+            changes, key_cols, ts_col, order_cols, tombstone_col,
+            hot_key_rows, n_ts_buckets,
+        )
     keys = _as_list(key_cols)
     w = Window.partitionBy(*keys).orderBy(
         *[F.col(c).asc() for c in [ts_col, *order_cols]]
@@ -233,6 +251,7 @@ def scd2_apply(
     broadcast_changes: bool | None = None,
     max_broadcast_keys: int = 1_000_000,
     tombstone_col: str | None = None,
+    skew_protection: bool | str = "auto",
 ) -> DataFrame:
     """Merge a batch of changes into an existing SCD2 history.
 
@@ -286,7 +305,8 @@ def scd2_apply(
     )
 
     new_versions = scd2_build(
-        changes, keys, ts_col, order_cols, tombstone_col=tombstone_col
+        changes, keys, ts_col, order_cols, tombstone_col=tombstone_col,
+        skew_protection=skew_protection,
     ).select(*updated_history.columns)
     return updated_history.unionByName(new_versions)
 

@@ -60,6 +60,98 @@ def _ts_num(df: DataFrame, ts_col: str):
     return num
 
 
+def _detection_sample(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    denom: int,
+    sample_salt_cols: Sequence[str],
+) -> DataFrame:
+    """Deterministic 1/``denom`` row-hash sample used for hot-key
+    detection (shared by :func:`hot_ts_buckets` and
+    :func:`has_hot_keys`). The hash is over (keys, ts[, salts]) — see
+    the sampling-limitation note on :func:`hot_ts_buckets`."""
+    if denom <= 1:
+        return df
+    return df.filter(
+        F.pmod(
+            F.xxhash64(
+                *[F.col(k) for k in keys],
+                F.col(ts_col),
+                *[F.col(c) for c in sample_salt_cols],
+            ),
+            denom,
+        )
+        == 0
+    )
+
+
+def has_hot_keys(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    ts_col: str,
+    hot_key_rows: int = 5_000_000,
+    n_ts_buckets: int = 32,
+    sample_salt_cols: Sequence[str] = (),
+) -> bool:
+    """ONE bounded detection job: does any key's estimated row count
+    exceed ``hot_key_rows``?
+
+    This is the runtime gate behind ``skew_protection="auto"`` on the
+    plain entry points (scd2_build / sessionize / running_window): the
+    same deterministic 1% row-hash sample :func:`hot_ts_buckets` uses,
+    aggregated map-side to per-key counts, ``limit(1)`` on the
+    over-threshold set — the job ships at most one row to the driver
+    and scans only the key/ts(/salt) columns (Catalyst prunes the
+    rest). Same precedent as scd2_apply's measured broadcast sizing:
+    one cheap eager job buys the plan the data actually needs.
+
+    The denom rule mirrors hot_ts_buckets so auto-detection agrees
+    with what the bucketing itself would detect."""
+    keys = _as_list(key_cols)
+    denom = 100 if hot_key_rows >= 100 * n_ts_buckets else 1
+    sampled = _detection_sample(df, keys, ts_col, denom, sample_salt_cols)
+    hot = (
+        sampled.groupBy(*keys)
+        .agg((F.count(F.lit(1)) * denom).alias("__n"))
+        .filter(F.col("__n") > hot_key_rows)
+    )
+    return len(hot.limit(1).take(1)) > 0
+
+
+def engage_skew_protection(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    ts_col: str,
+    skew_protection: bool | str,
+    hot_key_rows: int,
+    n_ts_buckets: int,
+    sample_salt_cols: Sequence[str] = (),
+) -> bool:
+    """Resolve a ``skew_protection`` mode to a concrete decision.
+
+    ``True``/``False`` are forced (False = today's single-window plan,
+    zero extra jobs — the right call for bounded micro-batches or
+    expensive un-cached lineage, since "auto" re-reads the input
+    lineage once). ``"auto"`` (the default on the plain entry points
+    since r7) runs :func:`has_hot_keys`: cold corpora keep the exact
+    pre-r7 plan; a corpus with a hot key is routed through the
+    bucketed twin instead of stranding 30% of the stream in one
+    window task (BASELINE.md §Skewed-key stress)."""
+    if skew_protection is True:
+        return True
+    if not skew_protection:
+        return False
+    if skew_protection != "auto":
+        raise ValueError(
+            f"skew_protection must be True, False or 'auto', got "
+            f"{skew_protection!r}"
+        )
+    return has_hot_keys(
+        df, key_cols, ts_col, hot_key_rows, n_ts_buckets, sample_salt_cols
+    )
+
+
 def hot_ts_buckets(
     df: DataFrame,
     key_cols: str | Sequence[str],
@@ -93,19 +185,7 @@ def hot_ts_buckets(
     keys = _as_list(key_cols)
     num = _ts_num(df, ts_col)
     denom = 100 if hot_key_rows >= 100 * n_ts_buckets else 1
-    sampled = df
-    if denom > 1:
-        sampled = df.filter(
-            F.pmod(
-                F.xxhash64(
-                    *[F.col(k) for k in keys],
-                    F.col(ts_col),
-                    *[F.col(c) for c in sample_salt_cols],
-                ),
-                denom,
-            )
-            == 0
-        )
+    sampled = _detection_sample(df, keys, ts_col, denom, sample_salt_cols)
     qs = [i / n_ts_buckets for i in range(1, n_ts_buckets)]
     edge_cols = [f"__e{i}" for i in range(n_ts_buckets - 1)]
     hot_edges = (
@@ -331,6 +411,47 @@ def running_window_skewed(
             BUCKET, "__row_off", "__val_off", "__nn_off", "__prev_last",
             "__n",
         )
+    )
+
+
+def running_window(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    ts_col: str,
+    value_col: str,
+    order_cols: Sequence[str] = (),
+    n_tiles: int = 4,
+    skew_protection: bool | str = "auto",
+    hot_key_rows: int = 5_000_000,
+    n_ts_buckets: int = 32,
+) -> DataFrame:
+    """Cumulative sum + lag delta + ntile per key — the plain
+    single-window form of :func:`running_window_skewed`, with
+    ``skew_protection="auto"`` (r7): one bounded sampled detection job
+    decides at runtime whether any key exceeds ``hot_key_rows``; cold
+    corpora get exactly the one-shuffle one-sort plan below, a hot
+    corpus is routed through the bucketed twin instead of serializing
+    the sort in one task. Adds ``running_sum`` (double),
+    ``delta_vs_prev`` and ``tile`` — same columns either way."""
+    if engage_skew_protection(
+        df, key_cols, ts_col, skew_protection, hot_key_rows, n_ts_buckets
+    ):
+        return running_window_skewed(
+            df, key_cols, ts_col, value_col, order_cols, n_tiles,
+            hot_key_rows, n_ts_buckets,
+        )
+    keys = _as_list(key_cols)
+    order = [F.col(ts_col).asc(), *[F.col(c).asc() for c in order_cols]]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        df.withColumn(
+            "running_sum", F.sum(value_col).over(wcum).cast("double")
+        )
+        .withColumn(
+            "delta_vs_prev", F.col(value_col) - F.lag(value_col).over(w)
+        )
+        .withColumn("tile", F.ntile(n_tiles).over(w))
     )
 
 

@@ -152,10 +152,30 @@ def sessionize(
     ts_col: str,
     gap_s: float,
     order_cols: Sequence[str] = (),
+    skew_protection: bool | str = "auto",
+    hot_key_rows: int = 5_000_000,
+    n_ts_buckets: int = 32,
 ) -> DataFrame:
     """Assign gap-based session ids per key: a new session starts when
     the time since the previous event exceeds ``gap_s``. One shuffle
-    (the window partition); ids are 1-based and dense per key."""
+    (the window partition); ids are 1-based and dense per key.
+
+    ``skew_protection="auto"`` (default since r7): one bounded sampled
+    detection job; a key above ``hot_key_rows`` routes the whole call
+    through :func:`~.skew_windows.sessionize_skewed` (bit-identical
+    session ids, hot keys spread over time buckets — AQE never splits
+    a skewed window partition); cold corpora keep exactly this plan.
+    ``False`` skips the detection job, ``True`` forces the bucketed
+    form."""
+    from .skew_windows import engage_skew_protection, sessionize_skewed
+
+    if engage_skew_protection(
+        df, key_cols, ts_col, skew_protection, hot_key_rows, n_ts_buckets
+    ):
+        return sessionize_skewed(
+            df, key_cols, ts_col, gap_s, order_cols, hot_key_rows,
+            n_ts_buckets,
+        )
     keys = _as_list(key_cols)
     w = Window.partitionBy(*keys).orderBy(
         F.col(ts_col).asc(), *[F.col(c).asc() for c in order_cols]

@@ -2540,24 +2540,21 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """,
 )
 def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running sum + lag delta + ntile in ONE window spec — one sort,
-    one shuffle on user_id serves all three functions."""
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_row = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    """Running sum + lag delta + ntile via operators/skew_windows.
+    running_window — ONE window spec (one sort, one shuffle on
+    user_id) on a cold corpus; skew_protection='auto' (default) routes
+    a corpus with a hot key through the bucketed twin at runtime."""
+    from .operators.skew_windows import running_window
+
     events = load(spark, "events", sf_dir).filter(F.col("event_type") == "purchase")
-    return events.select(
+    out = running_window(events, "user_id", "ts", "value", ("event_id",))
+    return out.select(
         "event_id",
         "user_id",
         "ts",
-        F.round(F.sum("value").over(w), 2).alias("running_spend"),
-        F.round(F.col("value") - F.lag("value").over(w_row), 4).alias(
-            "delta_vs_prev"
-        ),
-        F.ntile(4).over(w_row).alias("ts_quartile"),
+        F.round("running_sum", 2).alias("running_spend"),
+        F.round("delta_vs_prev", 4).alias("delta_vs_prev"),
+        F.col("tile").alias("ts_quartile"),
     )
 
 

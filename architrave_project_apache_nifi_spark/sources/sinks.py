@@ -363,7 +363,10 @@ def jdbc_scd2_commit(
         F.min(ts_col).alias("first_change_ts")
     )
     new_versions = scd2_build(
-        changes, keys, ts_col, order_cols, tombstone_col=tombstone_col
+        changes, keys, ts_col, order_cols, tombstone_col=tombstone_col,
+        # micro-batch-sized input (foreachBatch) — skip the auto
+        # detection job; the JDBC write is the bottleneck here anyway
+        skew_protection=False,
     )
 
     first_change.write.mode("overwrite").jdbc(url, stage_x, properties=properties)

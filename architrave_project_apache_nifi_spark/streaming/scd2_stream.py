@@ -164,16 +164,20 @@ def _merge_batch(
                     )
                 if not changes.head(1):
                     return  # everything was late; nothing to merge
+            # skew_protection off: a micro-batch is bounded by the
+            # trigger (maxFilesPerTrigger), so per-key skew within one
+            # batch is batch-sized, and an extra eager detection job
+            # per batch would tax the 200 ms-class latency budget
             merged = scd2_apply(
                 current, changes, key, ts_col, order_cols=("cdc_sequence_id",),
-                tombstone_col=tombstone_col,
+                tombstone_col=tombstone_col, skew_protection=False,
             )
         else:
             # first batch, or every touched bucket is virgin (all-new
             # keys): there are no current rows to merge against
             merged = scd2_build(
                 changes, key, ts_col, order_cols=("cdc_sequence_id",),
-                tombstone_col=tombstone_col,
+                tombstone_col=tombstone_col, skew_protection=False,
             )
         merged = merged.persist()  # one evaluation feeds both commit writes
         try:

@@ -654,3 +654,152 @@ def test_trailing_range_window_skewed_subsecond_ties(spark):
         if got[k][1] != c or abs((got[k][0] or 0.0) - (s or 0.0)) > 1e-9
     ]
     assert not bad, f"{len(bad)} rows wrong, e.g. {bad[:5]}"
+
+
+# ---------------------------------------------------------------------------
+# skew_protection="auto" (r7): the plain entry points detect and route
+
+
+def test_auto_skew_protection_routes_hot_corpus(spark):
+    """The r5-r6 gap: a user calling the PLAIN scd2_build / sessionize
+    / running_window on a skewed corpus hit the measured 9.9x window
+    straggler unless they knew to pick the _skewed twin. With
+    skew_protection='auto' (the default) one bounded sampled job
+    detects the hot key and the call routes through the bucketed twin
+    — same output, time-bucketed plan."""
+    from architrave_project_apache_nifi_spark.operators.skew_windows import (
+        engage_skew_protection,
+        has_hot_keys,
+        running_window,
+    )
+    from architrave_project_apache_nifi_spark.plans.inspect import plan_signature
+
+    ev = _hot_events(spark, n_hot=1200, n_cold=2000)
+    assert has_hot_keys(
+        ev, "ProductID", "change_ts", hot_key_rows=500, n_ts_buckets=4
+    )
+    # production threshold (5M): this corpus is cold
+    assert not has_hot_keys(ev, "ProductID", "change_ts")
+
+    # scd2_build: auto engages (bucket column in the plan) and output
+    # equals the unprotected form
+    off = scd2_build(
+        ev, "ProductID", "change_ts", ("seq",), skew_protection=False
+    )
+    auto = scd2_build(
+        ev, "ProductID", "change_ts", ("seq",),
+        hot_key_rows=500, n_ts_buckets=8,
+    )
+    # cold corpus (default 5M threshold): plan shape identical to off —
+    # signatures taken BEFORE any collect (an executed df explains its
+    # AQE-final plan, not the deterministic initial one)
+    cold_auto = scd2_build(ev, "ProductID", "change_ts", ("seq",))
+    assert plan_signature(cold_auto) == plan_signature(off)
+    assert "__b" not in formatted_plan(cold_auto)
+    assert "__b" in formatted_plan(auto), "auto did not take the bucketed path"
+    assert _norm(auto) == _norm(off)
+
+    # sessionize: integer session ids bit-identical through the gate
+    sess_off = sessionize(
+        ev, "ProductID", "change_ts", 600.0, ("seq",), skew_protection=False
+    )
+    sess_auto = sessionize(
+        ev, "ProductID", "change_ts", 600.0, ("seq",),
+        hot_key_rows=500, n_ts_buckets=6,
+    )
+    assert "__b" in formatted_plan(sess_auto)
+    cols = ["ProductID", "seq", "session_id"]
+    assert sorted(map(tuple, sess_auto.select(*cols).collect())) == sorted(
+        map(tuple, sess_off.select(*cols).collect())
+    )
+
+    # running_window: integers exact, running sum within reassociation
+    run_off = {
+        (r.ProductID, r.seq): (r.running_sum, r.delta_vs_prev, r.tile)
+        for r in running_window(
+            ev, "ProductID", "change_ts", "Price", ("seq",),
+            skew_protection=False,
+        ).collect()
+    }
+    auto_df = running_window(
+        ev, "ProductID", "change_ts", "Price", ("seq",),
+        hot_key_rows=500, n_ts_buckets=6,
+    )
+    assert "__b" in formatted_plan(auto_df)
+    run_auto = {
+        (r.ProductID, r.seq): (r.running_sum, r.delta_vs_prev, r.tile)
+        for r in auto_df.collect()
+    }
+    assert set(run_off) == set(run_auto)
+    for k, (run, delta, tile) in run_off.items():
+        arun, adelta, atile = run_auto[k]
+        assert atile == tile
+        assert (adelta is None) == (delta is None)
+        if delta is not None:
+            assert abs(adelta - delta) < 1e-9
+        assert abs(arun - run) <= 1e-6 * max(1.0, abs(run))
+
+    # mode validation
+    import pytest
+
+    with pytest.raises(ValueError, match="skew_protection"):
+        engage_skew_protection(ev, "ProductID", "change_ts", "always", 5, 4)
+
+
+def test_hot_detection_sampled_branch_and_salt(spark):
+    """ADVICE r6: exercise the SAMPLED detection branch (denom > 1,
+    i.e. hot_key_rows >= 100 * n_ts_buckets) end-to-end, and the
+    sample_salt_cols wiring: a hot key with row-distinct timestamps is
+    detected straight from the 1% hash sample; a hot key whose rows
+    tie on TWO coarse timestamps is all-or-nothing per (key, ts) draw
+    (the documented under-detection) until the per-row salt column is
+    mixed into the sampling hash."""
+    import datetime as dt
+
+    from architrave_project_apache_nifi_spark.operators.skew_windows import (
+        has_hot_keys,
+        hot_ts_buckets,
+    )
+
+    base = dt.datetime(2026, 3, 1)
+    fine = spark.createDataFrame(
+        [
+            (0, i, base + dt.timedelta(seconds=i))
+            for i in range(2000)
+        ],
+        "ProductID INT, seq LONG, change_ts TIMESTAMP",
+    )
+    # hot_key_rows=200 >= 100*n_ts_buckets(2) -> denom=100 (sampled);
+    # ~20 sampled rows estimate the key at ~2000 >> 200
+    assert has_hot_keys(
+        fine, "ProductID", "change_ts", hot_key_rows=200, n_ts_buckets=2
+    )
+    bucketed = hot_ts_buckets(
+        fine, "ProductID", "change_ts", hot_key_rows=200, n_ts_buckets=2
+    )
+    n_buckets = bucketed.select("__b").distinct().count()
+    assert n_buckets == 2, f"sampled detection did not bucket ({n_buckets})"
+
+    # coarse ties: 2 distinct ts x 1000 rows — the (key, ts) hash has
+    # two draws at 1%; with THESE timestamps neither lands in the
+    # sample (pinned deterministic data), so the unsalted estimate
+    # under-detects; the per-row salt makes the sample per-row again
+    coarse = spark.createDataFrame(
+        [
+            (0, i, base + dt.timedelta(hours=i % 2))
+            for i in range(2000)
+        ],
+        "ProductID INT, seq LONG, change_ts TIMESTAMP",
+    )
+    unsalted = has_hot_keys(
+        coarse, "ProductID", "change_ts", hot_key_rows=200, n_ts_buckets=2
+    )
+    salted = has_hot_keys(
+        coarse, "ProductID", "change_ts", hot_key_rows=200, n_ts_buckets=2,
+        sample_salt_cols=("seq",),
+    )
+    assert salted, "per-row salt failed to detect the tie-coarse hot key"
+    assert not unsalted, (
+        "expected the pinned coarse-ts corpus to dodge the unsalted "
+        "sample (update the pinned timestamps if the hash changed)"
+    )
