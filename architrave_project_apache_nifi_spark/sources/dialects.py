@@ -54,7 +54,10 @@ class SqlDialect:
     ) -> str:
         """jdbc_update's set-based UPDATE: target rows matching a
         staging key take the staging values (one statement; the
-        database executes it as a join)."""
+        database executes it as a join). Staging is KEY-UNIQUE by
+        jdbc_update's contract (enforced there before this statement
+        runs) — so the correlated scalar subquery below and MySQL's
+        multi-table JOIN form are equivalent, not merely similar."""
         on = self._on(key_cols)
         sets = ", ".join(
             f"{c} = (SELECT s.{self.q(c)} FROM {staging} s WHERE {on})"
@@ -138,7 +141,10 @@ class MySqlDialect(SqlDialect):
     def update_from_staging(self, table, staging, key_cols, set_cols):
         on = " AND ".join(f"t.{k} = s.{self.q(k)}" for k in key_cols)
         sets = ", ".join(f"t.{c} = s.{self.q(c)}" for c in set_cols)
-        # multi-table UPDATE: one pass, no correlated re-evaluation
+        # multi-table UPDATE: one pass, no correlated re-evaluation.
+        # Safe only because jdbc_update enforces key-unique staging —
+        # with duplicates this form would silently apply an arbitrary
+        # row where Derby's correlated form raises.
         return f"UPDATE {table} t JOIN {staging} s ON {on} SET {sets}"  # noqa: S608
 
     def expire_update(self, table, staging, key_cols):

@@ -290,12 +290,40 @@ def jdbc_update(
 
     Unlike the reference (which UPDATEs every history row of the key —
     Bug 1, README.md:186), callers pass the full intended key, e.g.
-    ``("ProductID", "valid_from")``. Returns rows updated."""
+    ``("ProductID", "valid_from")``. Returns rows updated.
+
+    STAGING IS KEY-UNIQUE BY CONTRACT (ADVICE r5): with duplicate
+    staging keys the two dialects diverge — Derby's correlated scalar
+    subquery raises at execution, MySQL's ``UPDATE … JOIN`` silently
+    applies an arbitrary duplicate — and the MySQL side is untestable
+    by construction. So the contract is enforced HERE, before either
+    statement runs: exact duplicate rows are dropped (harmless — same
+    values either way), and conflicting duplicates (same key,
+    different set values) raise a ValueError naming an offending key.
+    The uniqueness probe is one map-side-combined agg + limit(1) over
+    the batch-sized update set — same bounded-eager-job precedent as
+    scd2_apply's broadcast sizing."""
     spark = df.sparkSession
     staging = staging_table or f"{table}_stage"
-    df.select(*set_cols, *key_cols).write.mode("overwrite").jdbc(
-        url, staging, properties=properties
+    stage_df = df.select(*set_cols, *key_cols).dropDuplicates()
+    dup = (
+        stage_df.groupBy(*key_cols)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
     )
+    if dup:
+        key_repr = ", ".join(f"{k}={dup[0][k]!r}" for k in key_cols)
+        raise ValueError(
+            f"jdbc_update: conflicting staging rows for key ({key_repr}) — "
+            "multiple distinct value tuples for one update key. The "
+            "set-based UPDATE contract requires key-unique staging "
+            "(Derby would raise mid-statement, MySQL would silently pick "
+            "one). Deduplicate upstream (e.g. keep the latest version per "
+            "key) or extend key_cols with a discriminating column."
+        )
+    stage_df.write.mode("overwrite").jdbc(url, staging, properties=properties)
     # dialect seam (sources/dialects.py): Derby = portable correlated
     # UPDATE (the executed-in-tests form), MySQL = multi-table
     # UPDATE … JOIN; auto-detected from the URL unless passed.

@@ -69,6 +69,57 @@ def test_jdbc_update_stage_and_merge(spark):
         spark.read.jdbc(url, "hist_stage", properties=DERBY_PROPS).collect()
 
 
+def test_jdbc_update_key_unique_staging_contract(spark):
+    """ADVICE r5: with duplicate staging keys the dialects used to
+    diverge (Derby's correlated subquery raises mid-statement, MySQL's
+    UPDATE…JOIN silently applies an arbitrary row). The contract is now
+    enforced in jdbc_update before either statement runs: exact
+    duplicates dedupe harmlessly, conflicting duplicates raise."""
+    url = _url("updatedupdb")
+    sinks.execute_sql(
+        spark, url, "CREATE TABLE hist (pid INT, price DOUBLE, flag VARCHAR(1))"
+    )
+    seed = spark.createDataFrame(
+        [(1, 10.0, "Y"), (2, 20.0, "Y")], "pid INT, price DOUBLE, flag STRING"
+    )
+    sinks.jdbc_append(seed, url, "hist", DERBY_PROPS)
+
+    # conflicting duplicates: same key, different values → ValueError
+    # BEFORE any SQL executes, on either dialect path
+    conflicting = spark.createDataFrame(
+        [(99.0, "N", 1), (88.0, "N", 1)], "price DOUBLE, flag STRING, pid INT"
+    )
+    with pytest.raises(ValueError, match="conflicting staging rows"):
+        sinks.jdbc_update(
+            conflicting, url, "hist",
+            key_cols=("pid",), set_cols=("price", "flag"),
+            properties=DERBY_PROPS,
+        )
+    # target untouched by the refused update
+    back = {
+        r.PID: r.PRICE
+        for r in spark.read.jdbc(url, "hist", properties=DERBY_PROPS).collect()
+    }
+    assert back == {1: 10.0, 2: 20.0}
+
+    # exact duplicates: identical rows dedupe and the update applies
+    exact_dup = spark.createDataFrame(
+        [(99.0, "N", 1), (99.0, "N", 1)], "price DOUBLE, flag STRING, pid INT"
+    )
+    n = sinks.jdbc_update(
+        exact_dup, url, "hist",
+        key_cols=("pid",), set_cols=("price", "flag"),
+        properties=DERBY_PROPS,
+    )
+    assert n == 1
+    back = {
+        r.PID: (r.PRICE, r.FLAG)
+        for r in spark.read.jdbc(url, "hist", properties=DERBY_PROPS).collect()
+    }
+    assert back[1] == (99.0, "N")
+    assert back[2] == (20.0, "Y")
+
+
 def test_jdbc_append_transactional_all_or_nothing(spark):
     """The fragmented-transactions guarantee: a job that dies after
     staging (before the finalize statement) leaves the TARGET untouched;
