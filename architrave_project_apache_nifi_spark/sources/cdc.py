@@ -282,6 +282,68 @@ def write_golden_scenario(path: str, files: int = 1) -> list[str]:
     return out
 
 
+def write_replay(
+    path: str,
+    n_events: int = 50_000,
+    n_keys: int = 500,
+    files: int = 20,
+) -> int:
+    """Deterministic BULK CDC replay (streaming-throughput measurement,
+    soak tests): ``n_events`` insert/update envelopes over ``n_keys``
+    ProductIDs — first touch of a key is an insert, later touches are
+    updates with a hash-evolved price — monotone timestamps (1 s apart)
+    and ``cdc_sequence_id``, split across ``files`` JSON-lines files so
+    ``run_scd2_stream(..., max_files_per_trigger=1)`` replays them as
+    ``files`` micro-batches (the reference's 200 ms poll shape,
+    FT:4363, at measurable volume). Same wire shape as
+    :func:`golden_scenario_events`; fully deterministic (no RNG) so
+    repeated benches replay the identical stream. Returns the number
+    of data events written."""
+    os.makedirs(path, exist_ok=True)
+    base_ms = int(dt.datetime(2023, 9, 27, 10, 0, 0).timestamp() * 1000)
+    per = max(1, (n_events + files - 1) // files)
+    brands = ("Ralph Lauren", "Gucci", "Hugo Boss")
+    seq = 0
+    for f in range(files):
+        if seq >= n_events:
+            break
+        fp = os.path.join(path, f"replay_{f:05d}.json")
+        with open(fp, "w") as fh:
+            for _ in range(per):
+                if seq >= n_events:
+                    break
+                pid = 10_000 + (seq % n_keys)
+                row = {
+                    "ProductName": f"replay product {pid}",
+                    "ProductBrand": brands[pid % 3],
+                    "Target_Gender": "Female" if pid % 2 else "Male",
+                    "Price": round(50.0 + (seq * 2654435761 % 100_000) / 100.0, 2),
+                    "Currency": "Euro",
+                    "Description": "bulk replay row",
+                    "Launch_date": "2023-08-01",
+                    "ProductID": pid,
+                    "Loaded_at": "2023-09-27",
+                }
+                fh.write(
+                    json.dumps(
+                        {
+                            "type": "insert" if seq < n_keys else "update",
+                            "timestamp": base_ms + seq * 1000,
+                            "database": "sample_data",
+                            "table_name": "products_catalog",
+                            "cdc_sequence_id": seq + 1,
+                            "columns": [
+                                {"id": i + 1, "name": k, "value": str(v)}
+                                for i, (k, v) in enumerate(row.items())
+                            ],
+                        }
+                    )
+                    + "\n"
+                )
+                seq += 1
+    return seq
+
+
 def to_envelope(
     changes: DataFrame,
     key_cols: "Sequence[str]",

@@ -626,3 +626,32 @@ def test_splice_quarantine_folds_late_rows_into_fresh_store(spark, tmp_path):
     assert v[1].valid_until == v[2].valid_from  # spliced, not overlapped
     assert v[2].valid_until == v[3].valid_from
     assert scd2_invariants(hist2, "ProductID").isEmpty()
+
+
+def test_stream_bulk_replay_throughput_harness(spark, tmp_path):
+    """cdc.write_replay (the bench's streaming-throughput corpus) must
+    merge cleanly: every key ends with exactly one current row, total
+    version count equals the event count, and the chain invariants
+    hold — so the bench's rows/sec figure measures a CORRECT pipeline,
+    not a degenerate one."""
+    from architrave_project_apache_nifi_spark.operators.scd2 import scd2_invariants
+
+    src = tmp_path / "in"
+    n = cdc.write_replay(str(src), n_events=1200, n_keys=150, files=4)
+    assert n == 1200
+    q = run_scd2_stream(
+        spark, str(src), str(tmp_path / "hist"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    hist = read_history(spark, str(tmp_path / "hist"))
+    assert hist.count() == 1200
+    cur = hist.filter(F.col("is_current") == "Y")
+    assert cur.count() == 150
+    assert scd2_invariants(hist, "ProductID").count() == 0
+    # deterministic corpus: re-generating writes byte-identical files
+    src2 = tmp_path / "in2"
+    cdc.write_replay(str(src2), n_events=1200, n_keys=150, files=4)
+    a = sorted(p.read_bytes() for p in src.iterdir())
+    b = sorted(p.read_bytes() for p in src2.iterdir())
+    assert a == b
