@@ -201,12 +201,252 @@ def frame_sample_stub(
     return picked.mapInPandas(run, FRAME_SCHEMA)
 
 
-def decode_real(df: DataFrame, **_: object) -> DataFrame:
-    """Integration point for a real codec (PIL / torchaudio / pyav).
+# ---------------------------------------------------------------------------
+# Real codecs (r7): BMP + WAV in pure numpy — no external media library
+# needed, so the decode path stops being a stub for these two formats.
+# Other formats (JPEG/PNG/MP3/MP4) still need PIL/torchaudio/pyav and
+# raise a ValueError naming the integration point.
 
-    Same contract as ``decode_stub_features``; swap the stub's byte-sum
-    with the library call inside the mapInPandas closure."""
-    raise NotImplementedError(
-        "no image/audio codec libraries in this environment; use "
-        "decode_stub_features for the plumbing-verified deterministic stub"
+BMP_PAD_BYTE = 0xAB  # nonzero on purpose: a decoder that forgets to
+# strip row padding (or to un-flip the bottom-up rows) produces a
+# provably wrong position-weighted sum instead of silently passing
+
+
+def bmp_bytes(pixels) -> bytes:
+    """Encode an H×W×3 uint8 RGB array (row 0 = TOP) as an
+    uncompressed 24-bit BI_RGB BMP (BITMAPINFOHEADER): rows stored
+    bottom-up, channels BGR, each row padded to a 4-byte boundary with
+    ``BMP_PAD_BYTE``. Real encoder (any image viewer opens the
+    output); also the fixture generator for the decode oracle."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) // 4 * 4
+    body = bytearray()
+    for r in range(h - 1, -1, -1):
+        row = px[r, :, ::-1].tobytes()
+        body += row + bytes([BMP_PAD_BYTE]) * (stride - len(row))
+    data_off = 14 + 40
+    hdr = struct.pack("<2sIHHI", b"BM", data_off + len(body), 0, 0, data_off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return bytes(hdr + info + body)
+
+
+def wav_bytes(samples, sample_rate: int = 8000) -> bytes:
+    """Encode int16 PCM samples as a mono RIFF/WAVE file (canonical
+    44-byte header). Real encoder; also the audio fixture generator."""
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def _decode_bmp(buf: bytes):
+    import numpy as np
+
+    data_off = int.from_bytes(buf[10:14], "little")
+    w = int.from_bytes(buf[18:22], "little", signed=True)
+    h = int.from_bytes(buf[22:26], "little", signed=True)
+    bpp = int.from_bytes(buf[28:30], "little")
+    comp = int.from_bytes(buf[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"decode_real: only 24-bit BI_RGB BMP (got bpp={bpp}, compression={comp})")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = []
+    for r in range(h):
+        src_r = r if top_down else h - 1 - r
+        row = np.frombuffer(
+            buf, dtype=np.uint8, count=w * 3, offset=data_off + src_r * stride
+        ).reshape(w, 3)[:, ::-1]  # BGR -> RGB
+        rows.append(row)
+    px = np.concatenate(rows).reshape(-1).astype(np.int64)
+    weighted = int((np.arange(1, px.size + 1, dtype=np.int64) * px).sum())
+    return w, h, weighted
+
+
+def _decode_wav(buf: bytes):
+    import numpy as np
+
+    if buf[8:12] != b"WAVE":
+        raise ValueError("decode_real: RIFF payload is not WAVE")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        sz = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+        body = buf[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("decode_real: WAV missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_ch = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16:
+        raise ValueError(
+            f"decode_real: only 16-bit PCM WAV (got format={audio_format}, bits={bits})"
+        )
+    s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    weighted = int((np.arange(1, s.size + 1, dtype=np.int64) * s).sum())
+    return n_ch, rate, s.size // n_ch, weighted
+
+
+DECODED_REAL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("content_sum", LongType()),
+    ]
+)
+
+
+def decode_real(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """REAL decode over the same Arrow/mapInPandas plumbing as
+    ``decode_stub_features`` — pure-numpy BMP (uncompressed 24-bit,
+    padding stripped, bottom-up rows un-flipped, BGR→RGB) and WAV
+    (16-bit PCM, RIFF chunk walk) parsers, dispatched per row on the
+    payload magic bytes.
+
+    ``content_sum`` is the position-weighted sum Σ (i+1)·vᵢ over the
+    decoded values in canonical order (top-down RGB pixel bytes /
+    interleaved samples) — sensitive to row order, padding and channel
+    layout, so the DuckDB oracle's closed-form recomputation proves
+    the GEOMETRY of the decode, not just the byte multiset. Formats
+    beyond BMP/WAV raise a ValueError naming the library to integrate
+    (PIL / torchaudio / pyav inside this same closure)."""
+    picked = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(f"{media_col}.payload").alias("payload"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in DECODED_REAL_SCHEMA.fields}
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(raw)
+                row = dict.fromkeys(out)
+                row["doc_id"] = doc_id
+                if buf[:2] == b"BM":
+                    w, h, weighted = _decode_bmp(buf)
+                    row.update(
+                        kind="image", width=w, height=h, n_channels=3,
+                        n_samples=w * h, content_sum=weighted,
+                    )
+                elif buf[:4] == b"RIFF":
+                    n_ch, rate, n, weighted = _decode_wav(buf)
+                    row.update(
+                        kind="audio", n_channels=n_ch, sample_rate=rate,
+                        n_samples=n, duration_ms=n * 1000 // rate,
+                        content_sum=weighted,
+                    )
+                else:
+                    raise ValueError(
+                        "decode_real: unsupported payload magic "
+                        f"{buf[:4]!r} — BMP and WAV decode in pure numpy; "
+                        "JPEG/PNG/MP3/MP4 need PIL/torchaudio/pyav wired "
+                        "into this closure (decode_stub_features remains "
+                        "the format-agnostic deterministic stand-in)"
+                    )
+                for k, v in row.items():
+                    out[k].append(v)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "kind": out["kind"],
+                    "width": pd.Series(out["width"], dtype="Int32"),
+                    "height": pd.Series(out["height"], dtype="Int32"),
+                    "n_channels": pd.Series(out["n_channels"], dtype="Int32"),
+                    "sample_rate": pd.Series(out["sample_rate"], dtype="Int32"),
+                    "n_samples": pd.Series(out["n_samples"], dtype="Int64"),
+                    "duration_ms": pd.Series(out["duration_ms"], dtype="Int64"),
+                    "content_sum": pd.Series(out["content_sum"], dtype="Int64"),
+                }
+            )
+
+    return picked.mapInPandas(run, DECODED_REAL_SCHEMA)
+
+
+def synthetic_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL media fixtures from an id column: even ids
+    get a BMP (w = 4 + id%5, h = 3 + id%4, pixel byte i ≡ (id+i) mod
+    256 in top-down RGB order), odd ids a WAV (8 kHz, n = 800 + id%400
+    samples, sample i = ((id·31 + i·17) mod 65536) − 32768). Closed
+    forms a SQL oracle can recompute — the fixture side of the
+    ``multimodal_decode_real`` correctness gate. Returns (id, media)
+    with the payload as genuine BMP/WAV bytes."""
+    import numpy as np
+
+    picked = df.select(F.col(id_col).alias("doc_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, mimes = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 2 == 0:
+                    w, h = 4 + d % 5, 3 + d % 4
+                    i = np.arange(h * w * 3, dtype=np.int64)
+                    px = ((d + i) % 256).astype(np.uint8).reshape(h, w, 3)
+                    payloads.append(bmp_bytes(px))
+                    mimes.append("image/bmp")
+                else:
+                    n = 800 + d % 400
+                    i = np.arange(n, dtype=np.int64)
+                    payloads.append(
+                        wav_bytes(((d * 31 + i * 17) % 65536) - 32768)
+                    )
+                    mimes.append("audio/wav")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(pdf["doc_id"], dtype="int64"),
+                    "payload": payloads,
+                    "mime": mimes,
+                }
+            )
+
+    gen_schema = "doc_id long, payload binary, mime string"
+    raw = picked.mapInPandas(gen, gen_schema)
+    return raw.select(
+        "doc_id",
+        F.struct(
+            F.col("payload"),
+            F.struct(
+                F.col("mime").alias("mime"),
+                F.octet_length("payload").cast("long").alias("byte_len"),
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.lit(None).cast("long").alias("duration_ms"),
+            ).alias("meta"),
+        ).alias("media"),
     )

@@ -3558,6 +3558,48 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_decode_real",
+    """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(4 + doc_id % 5 AS INT) END AS width,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(3 + doc_id % 4 AS INT) END AS height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INT) AS n_channels,
+       CASE WHEN doc_id % 2 = 1 THEN CAST(8000 AS INT) END AS sample_rate,
+       CAST(CASE WHEN doc_id % 2 = 0
+                 THEN (4 + doc_id % 5) * (3 + doc_id % 4)
+                 ELSE 800 + doc_id % 400 END AS BIGINT) AS n_samples,
+       CASE WHEN doc_id % 2 = 1
+            THEN CAST((800 + doc_id % 400) * 1000 // 8000 AS BIGINT)
+       END AS duration_ms,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN
+              list_sum(list_transform(
+                range(0, (4 + doc_id % 5) * (3 + doc_id % 4) * 3),
+                i -> (i + 1) * ((doc_id + i) % 256)))
+            ELSE
+              list_sum(list_transform(
+                range(0, 800 + doc_id % 400),
+                i -> (i + 1) * (((doc_id * 31 + i * 17) % 65536) - 32768)))
+       END AS BIGINT) AS content_sum
+FROM documents
+""",
+)
+def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec decode (r7 — multimodal.py's last stub unstubbed):
+    pure-numpy BMP + WAV parsers over the same Arrow/mapInPandas
+    plumbing as the stub. Fixtures are genuine BMP/WAV bytes built by
+    mm.synthetic_media from doc_id alone, so the oracle recomputes
+    every decoded feature in closed form — content_sum is a
+    position-weighted sum over the canonical top-down-RGB /
+    interleaved-sample order, which a decoder that mishandles BMP row
+    padding (0xAB, nonzero by design), bottom-up row order or BGR
+    channel layout cannot reproduce."""
+    docs = load(spark, "documents", sf_dir).select("doc_id")
+    media = mm.synthetic_media(docs)
+    return mm.decode_real(media)
+
+
 # --- Training-data pipeline: PII redaction + sequence packing ---
 
 
@@ -5684,6 +5726,9 @@ _OVERFLOW = [
     # round 5: substring-span rewrite — scoring twin span_duplication
     # is in-window-adjacent; the rewrite is the new surface
     "dedup_spans_rewrite",
+    # round 7: real BMP/WAV codec — plumbing twin multimodal_decode_stub
+    # is in-window; the pure-numpy parsers are the new surface
+    "multimodal_decode_real",
 ]
 
 

@@ -44,9 +44,72 @@ def test_decode_stub_deterministic_and_shaped(spark):
     assert a[1].byte_len == len("hello world")
 
 
-def test_decode_real_is_explicit_stub(spark):
-    with pytest.raises(NotImplementedError):
-        mm.decode_real(_df(spark))
+def test_decode_real_rejects_unknown_magic(spark):
+    """Non-BMP/WAV payloads raise naming the integration point (the
+    former blanket NotImplementedError is gone — BMP and WAV decode
+    for real since r7)."""
+    media = mm.attach_media(_df(spark), "text", "application/octet-stream")
+    with pytest.raises(Exception, match="unsupported payload magic"):
+        mm.decode_real(media).collect()
+
+
+def test_bmp_roundtrip_geometry_sensitive():
+    """bmp_bytes ∘ _decode_bmp recovers dimensions and the
+    position-weighted content sum — including a width whose row needs
+    padding (w=3 → stride 12, three 0xAB pad bytes per row), so a
+    decoder that sums raw payload bytes or skips the bottom-up flip
+    fails this value."""
+    import numpy as np
+
+    px = np.arange(3 * 3 * 3, dtype=np.uint8).reshape(3, 3, 3) * 7 % 256
+    buf = mm.bmp_bytes(px)
+    assert buf[:2] == b"BM"
+    w, h, weighted = mm._decode_bmp(buf)
+    assert (w, h) == (3, 3)
+    flat = px.reshape(-1).astype(np.int64)
+    expect = int((np.arange(1, flat.size + 1) * flat).sum())
+    assert weighted == expect
+    # padding bytes are present and nonzero in the encoded form
+    assert mm.BMP_PAD_BYTE in buf[14 + 40:]
+
+
+def test_wav_roundtrip():
+    import numpy as np
+
+    s = (np.arange(500, dtype=np.int64) * 131 % 65536) - 32768
+    buf = mm.wav_bytes(s, sample_rate=8000)
+    n_ch, rate, n, weighted = mm._decode_wav(buf)
+    assert (n_ch, rate, n) == (1, 8000, 500)
+    assert weighted == int((np.arange(1, 501) * s).sum())
+
+
+def test_decode_real_matches_closed_form(spark):
+    """decode_real over synthetic_media equals the closed-form features
+    computed independently in Python — the same arithmetic the DuckDB
+    oracle of multimodal_decode_real runs."""
+    import numpy as np
+
+    ids = spark.range(0, 12).select(F.col("id").alias("doc_id"))
+    out = {
+        r.doc_id: r for r in mm.decode_real(mm.synthetic_media(ids)).collect()
+    }
+    assert set(out) == set(range(12))
+    for d in range(12):
+        r = out[d]
+        if d % 2 == 0:
+            w, h = 4 + d % 5, 3 + d % 4
+            i = np.arange(h * w * 3, dtype=np.int64)
+            expect = int(((i + 1) * ((d + i) % 256)).sum())
+            assert (r.kind, r.width, r.height, r.n_channels) == ("image", w, h, 3)
+            assert r.n_samples == w * h and r.content_sum == expect
+        else:
+            n = 800 + d % 400
+            i = np.arange(n, dtype=np.int64)
+            expect = int(((i + 1) * (((d * 31 + i * 17) % 65536) - 32768)).sum())
+            assert (r.kind, r.n_channels, r.sample_rate) == ("audio", 1, 8000)
+            assert r.n_samples == n
+            assert r.duration_ms == n * 1000 // 8000
+            assert r.content_sum == expect
 
 
 def test_resize_stub_shapes_and_determinism(spark):
