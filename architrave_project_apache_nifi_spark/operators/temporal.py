@@ -40,6 +40,9 @@ def asof_join(
     left_order_cols: Sequence[str] = (),
     right_order_cols: Sequence[str] = (),
     prefix: str = "asof_",
+    skew_protection: bool | str = "auto",
+    hot_key_rows: int = 5_000_000,
+    n_ts_buckets: int = 32,
 ) -> DataFrame:
     """For each left row, the latest right row with
     ``right_ts <= left_ts`` per key (backward, inclusive).
@@ -49,8 +52,28 @@ def asof_join(
     Right values are packed into one struct before the window, so a
     right row whose value column is genuinely NULL still matches
     (``last(..., ignorenulls)`` skips only absent rows, not null
-    fields)."""
+    fields).
+
+    ``skew_protection="auto"`` (default since r7, same contract as
+    :func:`sessionize`): one bounded sampled detection job over the
+    UNION of both sides' (key, ts) projections — the union is what the
+    as-of window actually partitions — routes a hot-key corpus through
+    :func:`~.skew_windows.asof_join_skewed` (bit-identical); cold
+    corpora keep this plan."""
     keys = _as_list(key_cols)
+    if skew_protection:
+        from .skew_windows import asof_join_skewed, engage_skew_protection
+
+        probe = left.select(
+            *keys, F.col(left_ts).alias("__ts")
+        ).unionByName(right.select(*keys, F.col(right_ts).alias("__ts")))
+        if engage_skew_protection(
+            probe, keys, "__ts", skew_protection, hot_key_rows, n_ts_buckets
+        ):
+            return asof_join_skewed(
+                left, right, keys, left_ts, right_ts, right_value_cols,
+                right_order_cols, prefix, hot_key_rows, n_ts_buckets,
+            )
     rv = F.struct(*[F.col(c) for c in right_value_cols])
     r = right.select(
         *keys,
@@ -204,6 +227,9 @@ def asof_join_forward(
     right_value_cols: Sequence[str],
     right_order_cols: Sequence[str] = (),
     prefix: str = "next_",
+    skew_protection: bool | str = "auto",
+    hot_key_rows: int = 5_000_000,
+    n_ts_buckets: int = 32,
 ) -> DataFrame:
     """Forward as-of: for each left row, the EARLIEST right row with
     ``right_ts >= left_ts`` per key (the "next event after" join —
@@ -212,8 +238,26 @@ def asof_join_forward(
     the last right seen at a left row is the nearest one at-or-after
     it. Ties on the timestamp resolve to the right row SMALLEST under
     ``right_order_cols`` (pass the event sequence id for
-    determinism). Same budget: one keyed shuffle, no pair space."""
+    determinism). Same budget: one keyed shuffle, no pair space.
+    ``skew_protection`` has :func:`asof_join`'s contract (skewed twin:
+    :func:`~.skew_windows.asof_join_forward_skewed`)."""
     keys = _as_list(key_cols)
+    if skew_protection:
+        from .skew_windows import (
+            asof_join_forward_skewed,
+            engage_skew_protection,
+        )
+
+        probe = left.select(
+            *keys, F.col(left_ts).alias("__ts")
+        ).unionByName(right.select(*keys, F.col(right_ts).alias("__ts")))
+        if engage_skew_protection(
+            probe, keys, "__ts", skew_protection, hot_key_rows, n_ts_buckets
+        ):
+            return asof_join_forward_skewed(
+                left, right, keys, left_ts, right_ts, right_value_cols,
+                right_order_cols, prefix, hot_key_rows, n_ts_buckets,
+            )
     rv = F.struct(*[F.col(c) for c in right_value_cols])
     r = right.select(
         *keys,

@@ -803,3 +803,41 @@ def test_hot_detection_sampled_branch_and_salt(spark):
         "expected the pinned coarse-ts corpus to dodge the unsalted "
         "sample (update the pinned timestamps if the hash changed)"
     )
+
+
+def test_auto_skew_protection_asof_both_directions(spark):
+    """asof_join / asof_join_forward share the auto gate (r7): the
+    detection probe is the UNION of both sides' (key, ts) projections
+    — what the as-of window actually partitions — so a hot key on
+    EITHER side engages the bucketed twin; output bit-identical, cold
+    plans unchanged."""
+    from architrave_project_apache_nifi_spark.operators.temporal import (
+        asof_join,
+        asof_join_forward,
+    )
+    from architrave_project_apache_nifi_spark.plans.inspect import plan_signature
+
+    ev = _hot_events(spark, n_hot=800, n_cold=1200, n_keys=30)
+    purchases = ev.filter(F.col("seq") % 3 == 0).select(
+        "ProductID", F.col("seq").alias("p_seq"), "change_ts", "Price"
+    )
+    clicks = ev.filter(F.col("seq") % 3 != 0).select(
+        "ProductID", "change_ts", F.col("seq").alias("event_id"),
+        F.col("Price").alias("value"),
+    )
+    for fn, pfx in ((asof_join, "asof_"), (asof_join_forward, "next_")):
+        kw = dict(
+            key_cols="ProductID", left_ts="change_ts", right_ts="change_ts",
+            right_value_cols=("value", "event_id"),
+            right_order_cols=("event_id",),
+        )
+        off = fn(purchases, clicks, **kw, skew_protection=False)
+        cold = fn(purchases, clicks, **kw)  # 5M threshold: no hot key
+        auto = fn(purchases, clicks, **kw, hot_key_rows=300, n_ts_buckets=5)
+        assert plan_signature(cold) == plan_signature(off)
+        assert "__b" not in formatted_plan(cold)
+        assert "__b" in formatted_plan(auto), f"{pfx} auto did not engage"
+        cols = ["ProductID", "p_seq", f"{pfx}value", f"{pfx}event_id"]
+        assert sorted(map(tuple, auto.select(*cols).collect())) == sorted(
+            map(tuple, off.select(*cols).collect())
+        )
