@@ -3,10 +3,12 @@
 Design: image/audio/video payloads are opaque ``binary`` columns with a
 typed metadata struct alongside. The Spark-side machinery — schema,
 partitioning, Arrow-batched decode UDFs, batch shapes — is real and
-tested; the actual codec step is STUBBED (the container has no
-image/audio libraries): ``decode_stub_features`` produces deterministic
-fake features, and ``decode_real`` raises ``NotImplementedError`` with
-the integration point documented.
+tested. Codecs: ``decode_real`` decodes BMP (uncompressed 24-bit) and
+WAV (16-bit PCM) for REAL in pure numpy (r7 — no external media
+library needed); formats beyond those (JPEG/PNG/MP3/MP4) raise a
+ValueError naming the PIL/torchaudio/pyav integration point, and
+``decode_stub_features`` remains the format-agnostic deterministic
+stand-in for plumbing tests.
 
 Scale notes: payload bytes dominate — keep them in their own parquet
 column (column pruning skips them unless selected), repartition by size
@@ -280,8 +282,29 @@ def _decode_bmp(buf: bytes):
         ).reshape(w, 3)[:, ::-1]  # BGR -> RGB
         rows.append(row)
     px = np.concatenate(rows).reshape(-1).astype(np.int64)
-    weighted = int((np.arange(1, px.size + 1, dtype=np.int64) * px).sum())
+    weighted = _weighted_sum(px)
     return w, h, weighted
+
+
+# Exactness bound for the position-weighted sum: n values bounded by
+# |v| <= 32768 give |sum| <= 32768 * n(n+1)/2, which stays inside
+# int64 for n up to ~2.3e7 (a ~7.7 MP RGB image / ~48 min of 8 kHz
+# PCM). Beyond that numpy would WRAP SILENTLY — raise instead.
+_MAX_WEIGHTED_N = 23_000_000
+
+
+def _weighted_sum(v) -> int:
+    import numpy as np
+
+    if v.size > _MAX_WEIGHTED_N:
+        raise ValueError(
+            f"decode_real: payload has {v.size} decoded values — the "
+            f"int64 position-weighted content_sum is exact only up to "
+            f"{_MAX_WEIGHTED_N} (silent numpy overflow beyond); split "
+            "oversized media upstream or extend content_sum to a "
+            "modular/float fingerprint for this size class"
+        )
+    return int((np.arange(1, v.size + 1, dtype=np.int64) * v).sum())
 
 
 def _decode_wav(buf: bytes):
@@ -309,8 +332,12 @@ def _decode_wav(buf: bytes):
         raise ValueError(
             f"decode_real: only 16-bit PCM WAV (got format={audio_format}, bits={bits})"
         )
+    if n_ch < 1:
+        # malformed fmt chunk: fail with the decoder's error contract,
+        # not a bare ZeroDivisionError from an executor
+        raise ValueError(f"decode_real: WAV fmt declares {n_ch} channels")
     s = np.frombuffer(data, dtype="<i2").astype(np.int64)
-    weighted = int((np.arange(1, s.size + 1, dtype=np.int64) * s).sum())
+    weighted = _weighted_sum(s)
     return n_ch, rate, s.size // n_ch, weighted
 
 

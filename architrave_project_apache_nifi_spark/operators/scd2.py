@@ -86,14 +86,20 @@ def scd2_build(
     micro-batches or expensive un-cached lineage (auto re-reads the
     input once), ``True`` to force the bucketed plan.
     """
-    from .skew_windows import engage_skew_protection
+    from .skew_windows import resolve_skew_protection
 
-    if engage_skew_protection(
-        changes, key_cols, ts_col, skew_protection, hot_key_rows, n_ts_buckets
-    ):
+    engaged, edges = resolve_skew_protection(
+        changes, key_cols, ts_col, skew_protection, hot_key_rows,
+        n_ts_buckets,
+        # order_cols (seq ids) salt the detection sample per-row, so a
+        # hot key whose rows tie on coarse timestamps is still seen
+        # (hot_ts_buckets sampling-limitation note)
+        sample_salt_cols=order_cols,
+    )
+    if engaged:
         return scd2_build_skewed(
             changes, key_cols, ts_col, order_cols, tombstone_col,
-            hot_key_rows, n_ts_buckets,
+            hot_key_rows, n_ts_buckets, hot_edges=edges,
         )
     keys = _as_list(key_cols)
     w = Window.partitionBy(*keys).orderBy(
@@ -120,6 +126,7 @@ def scd2_build_skewed(
     tombstone_col: str | None = None,
     hot_key_rows: int = 5_000_000,
     n_ts_buckets: int = 32,
+    hot_edges: "DataFrame | None" = None,
 ) -> DataFrame:
     """:func:`scd2_build` with HOT-KEY time-range salting — exact same
     output (property-tested equality + the DuckDB oracle), resilient to
@@ -164,7 +171,10 @@ def scd2_build_skewed(
     # `changes` total (sampled agg, the window input, the boundary
     # summary).
     merged = _bucketed_exchange(
-        hot_ts_buckets(changes, keys, ts_col, hot_key_rows, n_ts_buckets),
+        hot_ts_buckets(
+            changes, keys, ts_col, hot_key_rows, n_ts_buckets,
+            hot_edges=hot_edges,
+        ),
         keys,
     )
     w = Window.partitionBy(*keys, "__b").orderBy(

@@ -152,6 +152,104 @@ def engage_skew_protection(
     )
 
 
+def resolve_skew_protection(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    ts_col: str,
+    skew_protection: bool | str,
+    hot_key_rows: int,
+    n_ts_buckets: int,
+    sample_salt_cols: Sequence[str] = (),
+) -> tuple[bool, DataFrame | None]:
+    """:func:`engage_skew_protection` that also returns the harvested
+    hot edges (``detect_hot_edges``) so the routed twin skips its
+    in-plan re-detection — the auto entry points' gate since r7's
+    code review. ``True`` still means "forced, detect lazily in-plan"
+    (no eager job by contract); ``"auto"`` pays one job and hands its
+    edges forward."""
+    if skew_protection is True:
+        return True, None
+    if not skew_protection:
+        return False, None
+    if skew_protection != "auto":
+        raise ValueError(
+            f"skew_protection must be True, False or 'auto', got "
+            f"{skew_protection!r}"
+        )
+    return detect_hot_edges(
+        df, key_cols, ts_col, hot_key_rows, n_ts_buckets, sample_salt_cols
+    )
+
+
+def _hot_edges_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    hot_key_rows: int,
+    n_ts_buckets: int,
+    sample_salt_cols: Sequence[str],
+) -> DataFrame:
+    """The detection aggregate: one row per HOT key carrying its n-1
+    percentile edges as scalar columns ``__e0..`` (cold keys filtered
+    out). Shared by the lazy in-plan path (:func:`hot_ts_buckets`) and
+    the eager auto-gate (:func:`detect_hot_edges`) so both see the
+    same sample, threshold and edge arithmetic."""
+    num = _ts_num(df, ts_col)
+    denom = 100 if hot_key_rows >= 100 * n_ts_buckets else 1
+    sampled = _detection_sample(df, keys, ts_col, denom, sample_salt_cols)
+    qs = [i / n_ts_buckets for i in range(1, n_ts_buckets)]
+    edge_cols = [f"__e{i}" for i in range(n_ts_buckets - 1)]
+    return (
+        sampled.groupBy(*keys)
+        .agg(
+            (F.count(F.lit(1)) * denom).alias("__n"),
+            F.percentile_approx(num(F.col(ts_col)), qs).alias("__edges"),
+        )
+        .filter(F.col("__n") > hot_key_rows)
+        .select(
+            *keys,
+            *[F.col("__edges")[i].alias(c) for i, c in enumerate(edge_cols)],
+        )
+    )
+
+
+def detect_hot_edges(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    ts_col: str,
+    hot_key_rows: int = 5_000_000,
+    n_ts_buckets: int = 32,
+    sample_salt_cols: Sequence[str] = (),
+    max_hot_keys: int = 100_000,
+) -> tuple[bool, DataFrame | None]:
+    """EAGER hot-key detection that also HARVESTS the percentile edges
+    in the same single job (code-review r7: the auto gate used to
+    detect eagerly and then let the routed twin re-run the identical
+    sampled scan inside its plan — one redundant pass over un-cached
+    lineage, on exactly the hot corpora where it costs most).
+
+    Returns ``(engaged, edges)``: ``(False, None)`` — no hot key, stay
+    on the plain plan; ``(True, local_edges_df)`` — hot, with the
+    collected edges rebuilt as a local DataFrame the twin joins
+    instead of re-detecting (≤ ``max_hot_keys`` rows × n_ts_buckets
+    doubles — bounded by construction at |rows|/hot_key_rows hot
+    keys); ``(True, None)`` — hot set larger than ``max_hot_keys``
+    (adversarial: millions of barely-hot keys), fall back to the lazy
+    in-plan detection rather than ship an unbounded block through the
+    driver."""
+    keys = _as_list(key_cols)
+    agg = _hot_edges_agg(
+        df, keys, ts_col, hot_key_rows, n_ts_buckets, sample_salt_cols
+    )
+    rows = agg.limit(max_hot_keys + 1).collect()
+    if not rows:
+        return False, None
+    if len(rows) > max_hot_keys:
+        return True, None
+    spark = df.sparkSession
+    return True, spark.createDataFrame(rows, agg.schema)
+
+
 def hot_ts_buckets(
     df: DataFrame,
     key_cols: str | Sequence[str],
@@ -159,6 +257,7 @@ def hot_ts_buckets(
     hot_key_rows: int = 5_000_000,
     n_ts_buckets: int = 32,
     sample_salt_cols: Sequence[str] = (),
+    hot_edges: DataFrame | None = None,
 ) -> DataFrame:
     """Append the time-range bucket column ``__b``: 0 for cold keys,
     ``|{percentile edge < ts}|`` for keys whose estimated row count
@@ -181,25 +280,18 @@ def hot_ts_buckets(
     column available (e.g. a sequence id, or the raw microsecond ts
     when bucketing on a truncated copy) should pass it via
     ``sample_salt_cols``: it is mixed into the sampling hash only —
-    never into the bucket edges — making the sample per-row."""
+    never into the bucket edges — making the sample per-row.
+
+    ``hot_edges``: a pre-detected edges DataFrame (the
+    :func:`detect_hot_edges` harvest) — skips the in-plan detection
+    aggregate entirely, so an auto-gated call pays detection ONCE."""
     keys = _as_list(key_cols)
     num = _ts_num(df, ts_col)
-    denom = 100 if hot_key_rows >= 100 * n_ts_buckets else 1
-    sampled = _detection_sample(df, keys, ts_col, denom, sample_salt_cols)
-    qs = [i / n_ts_buckets for i in range(1, n_ts_buckets)]
     edge_cols = [f"__e{i}" for i in range(n_ts_buckets - 1)]
-    hot_edges = (
-        sampled.groupBy(*keys)
-        .agg(
-            (F.count(F.lit(1)) * denom).alias("__n"),
-            F.percentile_approx(num(F.col(ts_col)), qs).alias("__edges"),
+    if hot_edges is None:
+        hot_edges = _hot_edges_agg(
+            df, keys, ts_col, hot_key_rows, n_ts_buckets, sample_salt_cols
         )
-        .filter(F.col("__n") > hot_key_rows)
-        .select(
-            *keys,
-            *[F.col("__edges")[i].alias(c) for i, c in enumerate(edge_cols)],
-        )
-    )
     merged = df.join(hot_edges, keys, "left")  # no hint: AQE sizes it
     tsn = num(F.col(ts_col))
     bucket = sum(
@@ -224,6 +316,7 @@ def sessionize_skewed(
     order_cols: Sequence[str] = (),
     hot_key_rows: int = 5_000_000,
     n_ts_buckets: int = 32,
+    hot_edges: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`~.temporal.sessionize` (gap-based session ids, 1-based
     dense per key), bit-identical output, hot keys spread over time
@@ -236,7 +329,7 @@ def sessionize_skewed(
     keys = _as_list(key_cols)
     gap_us = int(gap_s * 1_000_000)
     bucketed = _bucketed_exchange(hot_ts_buckets(
-        df, keys, ts_col, hot_key_rows, n_ts_buckets
+        df, keys, ts_col, hot_key_rows, n_ts_buckets, hot_edges=hot_edges
     ), keys)
 
     w = Window.partitionBy(*keys, BUCKET).orderBy(
@@ -300,6 +393,7 @@ def running_window_skewed(
     n_tiles: int = 4,
     hot_key_rows: int = 5_000_000,
     n_ts_buckets: int = 32,
+    hot_edges: DataFrame | None = None,
 ) -> DataFrame:
     """The ``window_running_spend`` trio — cumulative sum, lag delta,
     ntile — over a (key, time-bucket) window with sharded-prefix
@@ -312,7 +406,7 @@ def running_window_skewed(
     number and the per-key total)."""
     keys = _as_list(key_cols)
     bucketed = _bucketed_exchange(hot_ts_buckets(
-        df, keys, ts_col, hot_key_rows, n_ts_buckets
+        df, keys, ts_col, hot_key_rows, n_ts_buckets, hot_edges=hot_edges
     ), keys)
     order = [F.col(ts_col).asc(), *[F.col(c).asc() for c in order_cols]]
     w = Window.partitionBy(*keys, BUCKET).orderBy(*order)
@@ -433,12 +527,14 @@ def running_window(
     corpus is routed through the bucketed twin instead of serializing
     the sort in one task. Adds ``running_sum`` (double),
     ``delta_vs_prev`` and ``tile`` — same columns either way."""
-    if engage_skew_protection(
-        df, key_cols, ts_col, skew_protection, hot_key_rows, n_ts_buckets
-    ):
+    engaged, edges = resolve_skew_protection(
+        df, key_cols, ts_col, skew_protection, hot_key_rows, n_ts_buckets,
+        sample_salt_cols=order_cols,  # per-row sample despite coarse ts
+    )
+    if engaged:
         return running_window_skewed(
             df, key_cols, ts_col, value_col, order_cols, n_tiles,
-            hot_key_rows, n_ts_buckets,
+            hot_key_rows, n_ts_buckets, hot_edges=edges,
         )
     keys = _as_list(key_cols)
     order = [F.col(ts_col).asc(), *[F.col(c).asc() for c in order_cols]]
@@ -467,6 +563,7 @@ def _asof_join_skewed_directional(
     hot_key_rows: int,
     n_ts_buckets: int,
     forward: bool,
+    hot_edges: DataFrame | None = None,
 ) -> DataFrame:
     """Shared union + scan + bucket-carry skeleton for both as-of
     directions. ``forward`` flips exactly four things: the scan order
@@ -489,7 +586,10 @@ def _asof_join_skewed_directional(
     )
     merged = l.unionByName(r, allowMissingColumns=True)
     bucketed = _bucketed_exchange(
-        hot_ts_buckets(merged, keys, "__ts", hot_key_rows, n_ts_buckets),
+        hot_ts_buckets(
+            merged, keys, "__ts", hot_key_rows, n_ts_buckets,
+            hot_edges=hot_edges,
+        ),
         keys,
     )
 
@@ -551,6 +651,7 @@ def asof_join_skewed(
     prefix: str = "asof_",
     hot_key_rows: int = 5_000_000,
     n_ts_buckets: int = 32,
+    hot_edges: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`~.temporal.asof_join` (backward inclusive: each left row
     takes the latest right row with ``right_ts <= left_ts`` per key;
@@ -566,7 +667,7 @@ def asof_join_skewed(
     return _asof_join_skewed_directional(
         left, right, key_cols, left_ts, right_ts, right_value_cols,
         right_order_cols, prefix, hot_key_rows, n_ts_buckets,
-        forward=False,
+        forward=False, hot_edges=hot_edges,
     )
 
 
@@ -581,6 +682,7 @@ def asof_join_forward_skewed(
     prefix: str = "next_",
     hot_key_rows: int = 5_000_000,
     n_ts_buckets: int = 32,
+    hot_edges: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`~.temporal.asof_join_forward` (each left row takes the
     EARLIEST right with ``right_ts >= left_ts``; ties resolve to the
@@ -593,7 +695,7 @@ def asof_join_forward_skewed(
     return _asof_join_skewed_directional(
         left, right, key_cols, left_ts, right_ts, right_value_cols,
         right_order_cols, prefix, hot_key_rows, n_ts_buckets,
-        forward=True,
+        forward=True, hot_edges=hot_edges,
     )
 
 

@@ -62,17 +62,19 @@ def asof_join(
     corpora keep this plan."""
     keys = _as_list(key_cols)
     if skew_protection:
-        from .skew_windows import asof_join_skewed, engage_skew_protection
+        from .skew_windows import asof_join_skewed, resolve_skew_protection
 
         probe = left.select(
             *keys, F.col(left_ts).alias("__ts")
         ).unionByName(right.select(*keys, F.col(right_ts).alias("__ts")))
-        if engage_skew_protection(
+        engaged, edges = resolve_skew_protection(
             probe, keys, "__ts", skew_protection, hot_key_rows, n_ts_buckets
-        ):
+        )
+        if engaged:
             return asof_join_skewed(
                 left, right, keys, left_ts, right_ts, right_value_cols,
                 right_order_cols, prefix, hot_key_rows, n_ts_buckets,
+                hot_edges=edges,
             )
     rv = F.struct(*[F.col(c) for c in right_value_cols])
     r = right.select(
@@ -190,14 +192,16 @@ def sessionize(
     a skewed window partition); cold corpora keep exactly this plan.
     ``False`` skips the detection job, ``True`` forces the bucketed
     form."""
-    from .skew_windows import engage_skew_protection, sessionize_skewed
+    from .skew_windows import resolve_skew_protection, sessionize_skewed
 
-    if engage_skew_protection(
-        df, key_cols, ts_col, skew_protection, hot_key_rows, n_ts_buckets
-    ):
+    engaged, edges = resolve_skew_protection(
+        df, key_cols, ts_col, skew_protection, hot_key_rows, n_ts_buckets,
+        sample_salt_cols=order_cols,  # per-row sample despite coarse ts
+    )
+    if engaged:
         return sessionize_skewed(
             df, key_cols, ts_col, gap_s, order_cols, hot_key_rows,
-            n_ts_buckets,
+            n_ts_buckets, hot_edges=edges,
         )
     keys = _as_list(key_cols)
     w = Window.partitionBy(*keys).orderBy(
@@ -245,18 +249,20 @@ def asof_join_forward(
     if skew_protection:
         from .skew_windows import (
             asof_join_forward_skewed,
-            engage_skew_protection,
+            resolve_skew_protection,
         )
 
         probe = left.select(
             *keys, F.col(left_ts).alias("__ts")
         ).unionByName(right.select(*keys, F.col(right_ts).alias("__ts")))
-        if engage_skew_protection(
+        engaged, edges = resolve_skew_protection(
             probe, keys, "__ts", skew_protection, hot_key_rows, n_ts_buckets
-        ):
+        )
+        if engaged:
             return asof_join_forward_skewed(
                 left, right, keys, left_ts, right_ts, right_value_cols,
                 right_order_cols, prefix, hot_key_rows, n_ts_buckets,
+                hot_edges=edges,
             )
     rv = F.struct(*[F.col(c) for c in right_value_cols])
     r = right.select(

@@ -300,7 +300,13 @@ def write_replay(
     repeated benches replay the identical stream. Returns the number
     of data events written."""
     os.makedirs(path, exist_ok=True)
-    base_ms = int(dt.datetime(2023, 9, 27, 10, 0, 0).timestamp() * 1000)
+    # pinned UTC: a naive .timestamp() is local-time — the corpus would
+    # vary with host TZ and break cross-environment byte determinism
+    base_ms = int(
+        dt.datetime(
+            2023, 9, 27, 10, 0, 0, tzinfo=dt.timezone.utc
+        ).timestamp() * 1000
+    )
     per = max(1, (n_events + files - 1) // files)
     brands = ("Ralph Lauren", "Gucci", "Hugo Boss")
     seq = 0

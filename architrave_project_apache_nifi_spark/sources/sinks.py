@@ -305,25 +305,35 @@ def jdbc_update(
     scd2_apply's broadcast sizing."""
     spark = df.sparkSession
     staging = staging_table or f"{table}_stage"
-    stage_df = df.select(*set_cols, *key_cols).dropDuplicates()
-    dup = (
-        stage_df.groupBy(*key_cols)
-        .count()
-        .filter(F.col("count") > 1)
-        .limit(1)
-        .collect()
-    )
-    if dup:
-        key_repr = ", ".join(f"{k}={dup[0][k]!r}" for k in key_cols)
-        raise ValueError(
-            f"jdbc_update: conflicting staging rows for key ({key_repr}) — "
-            "multiple distinct value tuples for one update key. The "
-            "set-based UPDATE contract requires key-unique staging "
-            "(Derby would raise mid-statement, MySQL would silently pick "
-            "one). Deduplicate upstream (e.g. keep the latest version per "
-            "key) or extend key_cols with a discriminating column."
+    # persist: the probe and the staging write must see ONE evaluation
+    # of the input lineage — nondeterministic lineage (rand(), a source
+    # re-read) could otherwise pass the probe and still stage
+    # conflicting keys, re-opening the divergence the probe closes
+    # (and expensive lineage would be computed twice)
+    stage_df = df.select(*set_cols, *key_cols).dropDuplicates().persist()
+    try:
+        dup = (
+            stage_df.groupBy(*key_cols)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
         )
-    stage_df.write.mode("overwrite").jdbc(url, staging, properties=properties)
+        if dup:
+            key_repr = ", ".join(f"{k}={dup[0][k]!r}" for k in key_cols)
+            raise ValueError(
+                f"jdbc_update: conflicting staging rows for key ({key_repr}) — "
+                "multiple distinct value tuples for one update key. The "
+                "set-based UPDATE contract requires key-unique staging "
+                "(Derby would raise mid-statement, MySQL would silently pick "
+                "one). Deduplicate upstream (e.g. keep the latest version per "
+                "key) or extend key_cols with a discriminating column."
+            )
+        stage_df.write.mode("overwrite").jdbc(
+            url, staging, properties=properties
+        )
+    finally:
+        stage_df.unpersist()
     # dialect seam (sources/dialects.py): Derby = portable correlated
     # UPDATE (the executed-in-tests form), MySQL = multi-table
     # UPDATE … JOIN; auto-detected from the URL unless passed.

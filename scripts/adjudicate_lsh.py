@@ -22,22 +22,11 @@ import json
 import os
 import subprocess
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
-
-def wait_for_quiet(load_max: float, timeout_s: float = 600.0) -> tuple[float, bool]:
-    """Block until loadavg_1m <= load_max or timeout; return
-    (loadavg_at_start, waited_out)."""
-    deadline = time.monotonic() + timeout_s
-    while True:
-        load1 = os.getloadavg()[0]
-        if load1 <= load_max:
-            return load1, False
-        if time.monotonic() >= deadline:
-            return load1, True
-        time.sleep(10.0)
+from bench import _wait_for_quiet  # noqa: E402 — ONE load-gate policy
 
 
 def run_variant(sf_dir: str, cap: int | None) -> dict:
@@ -67,18 +56,21 @@ print(json.dumps({{"warm": round(times[0], 3),
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    argv = sys.argv[1:]
     load_max = 2.0
-    if "--load-max" in sys.argv:
-        load_max = float(sys.argv[sys.argv.index("--load-max") + 1])
+    if "--load-max" in argv:
+        i = argv.index("--load-max")
+        load_max = float(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    args = [a for a in argv if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
 
     result: dict = {"sf_dir": sf_dir, "load_max": load_max, "variants": {}}
     for label, cap in (("salted_10k", 10_000), ("unsalted", None)):
-        load1, timed_out = wait_for_quiet(load_max)
+        gate = _wait_for_quiet(load_max, 600.0)
         result["variants"][label] = {
-            "loadavg_1m_at_start": round(load1, 2),
-            "load_wait_timed_out": timed_out,
+            "loadavg_1m_at_start": gate["loadavg_1m_at_start"],
+            "load_wait_timed_out": gate["proceeded_over_threshold"],
             **run_variant(sf_dir, cap),
         }
     s = result["variants"]["salted_10k"]["best"]

@@ -841,3 +841,36 @@ def test_auto_skew_protection_asof_both_directions(spark):
         assert sorted(map(tuple, auto.select(*cols).collect())) == sorted(
             map(tuple, off.select(*cols).collect())
         )
+
+
+def test_auto_gate_hands_edges_to_twin(spark):
+    """code-review r7: the auto gate must not pay detection twice — the
+    engaged plan joins the HARVESTED local edges (no percentile_approx
+    node), while the forced twin (skew_protection=True, lazy by
+    contract) still detects in-plan."""
+    from architrave_project_apache_nifi_spark.operators.skew_windows import (
+        detect_hot_edges,
+    )
+
+    ev = _hot_events(spark, n_hot=1200, n_cold=2000)
+    auto = scd2_build(
+        ev, "ProductID", "change_ts", ("seq",),
+        hot_key_rows=500, n_ts_buckets=8,
+    )
+    forced = scd2_build(
+        ev, "ProductID", "change_ts", ("seq",),
+        skew_protection=True, hot_key_rows=500, n_ts_buckets=8,
+    )
+    assert "percentile_approx" not in formatted_plan(auto), (
+        "auto re-detects in-plan — the detect_hot_edges harvest was lost"
+    )
+    assert "percentile_approx" in formatted_plan(forced)
+    assert _norm(auto) == _norm(forced)
+
+    # adversarial fallback: a hot set larger than max_hot_keys falls
+    # back to lazy in-plan detection instead of collecting unbounded
+    engaged, edges = detect_hot_edges(
+        ev, "ProductID", "change_ts", hot_key_rows=5, n_ts_buckets=4,
+        max_hot_keys=3,
+    )
+    assert engaged and edges is None
