@@ -305,11 +305,23 @@ class Scd2Store:
         prev_refs: dict[str, int] = dict(m["current_buckets"]) if m else {}
 
         closed_dir = self._closed_dir(batch_id)
-        closed_delta.write.mode("overwrite").parquet(closed_dir)
+        # repartition to n_buckets before writing: the merge plan ends
+        # at shuffle.partitions (32+) tasks, so the unshuffled write
+        # emits ~tasks×buckets near-empty parquet files per batch plus
+        # their commit-protocol renames — measured as the dominant
+        # per-micro-batch cost. One small batch-proportional shuffle
+        # buys one file per bucket (the small-files story this store
+        # exists to control; compact_closed then has ~32× fewer files
+        # to fold)
+        closed_delta.repartition(
+            self.n_buckets, F.col(self.key_col)
+        ).write.mode("overwrite").parquet(closed_dir)
 
         version_dir = os.path.join(self.path, "current", f"v={batch_id}")
         bucketed = new_current.withColumn(BUCKET, self.bucket_expr())
-        bucketed.write.mode("overwrite").partitionBy(BUCKET).parquet(version_dir)
+        bucketed.repartition(F.col(BUCKET)).write.mode("overwrite").partitionBy(
+            BUCKET
+        ).parquet(version_dir)
         written = {
             int(d.split("=", 1)[1])
             for d in os.listdir(version_dir)
