@@ -165,8 +165,15 @@ def resolve_skew_protection(
     hot edges (``detect_hot_edges``) so the routed twin skips its
     in-plan re-detection — the auto entry points' gate since r7's
     code review. ``True`` still means "forced, detect lazily in-plan"
-    (no eager job by contract); ``"auto"`` pays one job and hands its
-    edges forward."""
+    (no eager job by contract).
+
+    Two-phase on "auto" (bench-measured): the COLD path — the common
+    case — pays only the cheap count-only probe (:func:`has_hot_keys`:
+    map-side counts, limit 1); the per-key percentile-sketch harvest
+    runs as a second job ONLY when a hot key exists (one sketch per
+    key is what made a single-phase gate cost ~0.2-0.35 s per cold
+    call at sf0.1). The sample hash is deterministic, so the two
+    phases see the same counts and cannot disagree."""
     if skew_protection is True:
         return True, None
     if not skew_protection:
@@ -176,6 +183,10 @@ def resolve_skew_protection(
             f"skew_protection must be True, False or 'auto', got "
             f"{skew_protection!r}"
         )
+    if not has_hot_keys(
+        df, key_cols, ts_col, hot_key_rows, n_ts_buckets, sample_salt_cols
+    ):
+        return False, None
     return detect_hot_edges(
         df, key_cols, ts_col, hot_key_rows, n_ts_buckets, sample_salt_cols
     )
