@@ -562,6 +562,54 @@ def running_window(
     )
 
 
+def trailing_range_window(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    ts_col: str,
+    value_col: str,
+    window_s: int = 86_400,
+    skew_protection: bool | str = "auto",
+    hot_key_rows: int = 5_000_000,
+    n_ts_buckets: int = 32,
+) -> DataFrame:
+    """Trailing time-range aggregates (``RANGE BETWEEN window_s
+    PRECEDING AND CURRENT ROW`` over epoch seconds) — the plain
+    single-window form of :func:`trailing_range_window_skewed`, with
+    the same ``skew_protection="auto"`` contract as
+    :func:`running_window`. Adds ``trail_sum`` and ``trail_cnt``.
+
+    The auto probe runs on the EPOCH-SECOND image of ``ts_col`` (the
+    twin buckets on seconds — RANGE ties share a frame), salted with
+    the raw ts so coarse-second tie groups stay per-row in the sample;
+    harvested edges are therefore directly injectable into the twin."""
+    keys = _as_list(key_cols)
+    sec = F.col(ts_col).cast("timestamp").cast("long")
+    if skew_protection:
+        probe = df.select(
+            *[F.col(k) for k in keys], sec.alias("__sec"), F.col(ts_col)
+        )
+        engaged, edges = resolve_skew_protection(
+            probe, keys, "__sec", skew_protection, hot_key_rows,
+            n_ts_buckets, sample_salt_cols=(ts_col,),
+        )
+        if engaged:
+            return trailing_range_window_skewed(
+                df, keys, ts_col, value_col, window_s,
+                hot_key_rows, n_ts_buckets, hot_edges=edges,
+            )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(sec)
+        .rangeBetween(-int(window_s), Window.currentRow)
+    )
+    # one projection → one Window node (both frames share the spec)
+    return df.select(
+        "*",
+        F.sum(value_col).over(w).alias("trail_sum"),
+        F.count(F.lit(1)).over(w).alias("trail_cnt"),
+    )
+
+
 def _asof_join_skewed_directional(
     left: DataFrame,
     right: DataFrame,
@@ -718,6 +766,7 @@ def trailing_range_window_skewed(
     window_s: int = 86_400,
     hot_key_rows: int = 5_000_000,
     n_ts_buckets: int = 32,
+    hot_edges: DataFrame | None = None,
 ) -> DataFrame:
     """Trailing TIME-RANGE aggregates per key (``RANGE BETWEEN
     window_s PRECEDING AND CURRENT ROW`` over epoch seconds) — the
@@ -754,6 +803,7 @@ def trailing_range_window_skewed(
             hot_key_rows,
             n_ts_buckets,
             sample_salt_cols=(ts_col,),
+            hot_edges=hot_edges,
         ),
         keys,
     )

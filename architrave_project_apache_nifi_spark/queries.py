@@ -4025,21 +4025,18 @@ def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     single sorted pass. (Epoch-seconds ordering makes Spark and DuckDB
     agree exactly on the RANGE frame arithmetic; sub-second ties are
     summed identically because ties share a frame.)"""
+    from .operators.skew_windows import trailing_range_window
+
     events = load(spark, "events", sf_dir).filter(
         F.col("event_type") == "purchase"
     )
-    sec = F.col("ts").cast("long")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(sec)
-        .rangeBetween(-86400, Window.currentRow)
-    )
-    return events.select(
+    out = trailing_range_window(events, "user_id", "ts", "value", 86_400)
+    return out.select(
         "event_id",
         "user_id",
         "ts",
-        F.round(F.sum("value").over(w), 2).alias("spend_24h"),
-        F.count(F.lit(1)).over(w).alias("n_24h"),
+        F.round("trail_sum", 2).alias("spend_24h"),
+        F.col("trail_cnt").alias("n_24h"),
     )
 
 

@@ -874,3 +874,52 @@ def test_auto_gate_hands_edges_to_twin(spark):
         max_hot_keys=3,
     )
     assert engaged and edges is None
+
+
+def test_auto_skew_protection_trailing_range(spark):
+    """trailing_range_window (r7): the plain RANGE-frame form with the
+    auto gate — probe runs on the epoch-second image (the twin buckets
+    on seconds) salted with the raw ts; engaged output equals the
+    unprotected frame exactly, cold plans identical."""
+    from architrave_project_apache_nifi_spark.operators.skew_windows import (
+        trailing_range_window,
+    )
+    from architrave_project_apache_nifi_spark.plans.inspect import plan_signature
+
+    ev = _hot_events(spark, n_hot=900, n_cold=1400, n_keys=30)
+    kw = dict(key_cols="ProductID", ts_col="change_ts", value_col="Price",
+              window_s=3600)
+    off = trailing_range_window(ev, **kw, skew_protection=False)
+    cold = trailing_range_window(ev, **kw)
+    auto = trailing_range_window(ev, **kw, hot_key_rows=300, n_ts_buckets=5)
+    from architrave_project_apache_nifi_spark.operators.skew_windows import (
+        trailing_range_window_skewed,
+    )
+
+    forced = trailing_range_window_skewed(
+        ev, "ProductID", "change_ts", "Price", 3600,
+        hot_key_rows=300, n_ts_buckets=5,
+    )
+    assert plan_signature(cold) == plan_signature(off)
+    assert "__b" not in formatted_plan(cold)
+    assert "__b" in formatted_plan(auto)
+    # the MAIN bucketing uses the harvested edges; only the twin's
+    # internal as-of composition (a different dataset — the per-second
+    # cumulative table) still detects in-plan, so the auto plan must
+    # carry strictly fewer detection aggregates than the forced twin
+    n_auto = formatted_plan(auto).count("partial_percentile_approx")
+    n_forced = formatted_plan(forced).count("partial_percentile_approx")
+    assert n_auto < n_forced, (n_auto, n_forced)
+    got_off = {
+        (r.ProductID, r.seq): (r.trail_sum, r.trail_cnt)
+        for r in off.collect()
+    }
+    got_auto = {
+        (r.ProductID, r.seq): (r.trail_sum, r.trail_cnt)
+        for r in auto.collect()
+    }
+    assert set(got_off) == set(got_auto)
+    for k, (s, c) in got_off.items():
+        as_, ac = got_auto[k]
+        assert ac == c, k
+        assert abs((as_ or 0.0) - (s or 0.0)) <= 1e-9, k
