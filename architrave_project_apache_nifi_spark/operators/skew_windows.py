@@ -258,7 +258,46 @@ def detect_hot_edges(
     if len(rows) > max_hot_keys:
         return True, None
     spark = df.sparkSession
-    return True, spark.createDataFrame(rows, agg.schema)
+    # broadcast hint, NOT left to AQE: this local relation has unknown
+    # stats (assumed huge), so without the hint the static planner can
+    # pick the OTHER side of a twin's edges join as the build side when
+    # its scan estimate sits under autoBroadcastJoinThreshold — measured
+    # r7: a 20M-row pruned events scan got BroadcastExchange'd (~500 MB
+    # through the driver) against this ≤100k-row table. The hint is
+    # size-safe by construction: max_hot_keys × n_ts_buckets doubles.
+    return True, F.broadcast(spark.createDataFrame(rows, agg.schema))
+
+
+def _bucket_rows(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    edges: DataFrame,
+    how: str,
+) -> DataFrame:
+    """Join the per-hot-key edge columns and derive ``__b``. ``how``
+    picks the population: ``"left"`` buckets every row (cold keys ride
+    bucket 0 off their NULL edges); ``"inner"`` keeps HOT keys' rows
+    only — the twins' cross-bucket summary pipeline runs on that
+    bounded subset (one inner join against ≤ |rows|/hot_key_rows keys)
+    instead of streaming every cold row through aggregates whose
+    contribution is identity. No join hint: AQE sizes the edge side.
+
+    Deliberately NOT expressed as a ``__hot`` filter on the shared
+    left-joined stream: pushing ``isnotnull(__e0)`` through the left
+    join rewrites that branch's join to inner and the subtree no
+    longer matches the main branch's, so AQE stage reuse dies and the
+    whole scan+bucket+exchange lineage re-executes per branch
+    (measured r7: 98 s vs 17 s on the 20M-row hot corpus)."""
+    edge_cols = [c for c in edges.columns if c.startswith("__e")]
+    num = _ts_num(df, ts_col)
+    merged = df.join(edges, list(keys), how)
+    tsn = num(F.col(ts_col))
+    bucket = sum(
+        (F.when(F.col(c) < tsn, 1).otherwise(0) for c in edge_cols),
+        F.lit(0),
+    )
+    return merged.withColumn(BUCKET, bucket).drop(*edge_cols)
 
 
 def hot_ts_buckets(
@@ -297,19 +336,11 @@ def hot_ts_buckets(
     :func:`detect_hot_edges` harvest) — skips the in-plan detection
     aggregate entirely, so an auto-gated call pays detection ONCE."""
     keys = _as_list(key_cols)
-    num = _ts_num(df, ts_col)
-    edge_cols = [f"__e{i}" for i in range(n_ts_buckets - 1)]
     if hot_edges is None:
         hot_edges = _hot_edges_agg(
             df, keys, ts_col, hot_key_rows, n_ts_buckets, sample_salt_cols
         )
-    merged = df.join(hot_edges, keys, "left")  # no hint: AQE sizes it
-    tsn = num(F.col(ts_col))
-    bucket = sum(
-        (F.when(F.col(c) < tsn, 1).otherwise(0) for c in edge_cols),
-        F.lit(0),
-    )
-    return merged.withColumn(BUCKET, bucket).drop(*edge_cols)
+    return _bucket_rows(df, keys, ts_col, hot_edges, "left")
 
 
 def _bucketed_exchange(df: DataFrame, keys: Sequence[str]) -> DataFrame:
@@ -336,60 +367,99 @@ def sessionize_skewed(
     Cross-bucket state: a bucket-first row's previous event time is the
     previous bucket's MAX ts (buckets are time-disjoint); its session
     counter offset is the running sum of new-session flags over all
-    preceding buckets — both from one per-(key, bucket) summary."""
+    preceding buckets. With harvested ``hot_edges`` (the auto gate's
+    path) both are computed on a SEPARATE hot-keys-only pipeline (r7):
+    a column-pruned scan inner-joined to the bounded broadcast edge
+    set, so the summary passes read |hot rows| instead of |all rows|
+    and the main stream pays ONE window pass (measured: twin overhead
+    1.67× → 1.06× on the 20M-row hot corpus). Lazily detected edges
+    keep the summaries on the shared all-keys stream — see the mode
+    comment inside."""
     keys = _as_list(key_cols)
     gap_us = int(gap_s * 1_000_000)
-    bucketed = _bucketed_exchange(hot_ts_buckets(
-        df, keys, ts_col, hot_key_rows, n_ts_buckets, hot_edges=hot_edges
-    ), keys)
+    harvested = hot_edges is not None
+    if not harvested:
+        hot_edges = _hot_edges_agg(
+            df, keys, ts_col, hot_key_rows, n_ts_buckets, ()
+        )
+    bucketed = _bucketed_exchange(
+        _bucket_rows(df, keys, ts_col, hot_edges, "left"), keys
+    )
 
     w = Window.partitionBy(*keys, BUCKET).orderBy(
         F.col(ts_col).asc(), *[F.col(c).asc() for c in order_cols]
     )
-    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    prev_local = F.lag(ts_us).over(w)
-
-    # per-bucket summary BEFORE flags: the previous bucket's max ts
-    # closes the boundary gap question for each bucket's first row
-    summ = bucketed.groupBy(*keys, BUCKET).agg(
-        F.max(ts_us).alias("__max_us")
-    )
     wk = Window.partitionBy(*keys).orderBy(BUCKET)
-    summ = summ.withColumn("__prev_max_us", F.lag("__max_us").over(wk)).select(
-        *keys, BUCKET, "__prev_max_us"
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+
+    def new_session_flag() -> Column:
+        # same expression on both pipelines: hot rows see identical
+        # (prev-in-bucket, prev-bucket-max) inputs either way, so the
+        # hot pipeline's flag totals equal the main stream's exactly
+        prev = F.coalesce(F.lag(ts_us).over(w), F.col("__prev_max_us"))
+        return (prev.isNull() | (ts_us - prev > F.lit(gap_us))).cast("int")
+
+    # Summary source: per-(key, bucket) max ts and new-session-flag
+    # totals. HARVESTED mode (the auto gate — bounded, broadcast-hinted
+    # edges): hot keys' rows only, from a separate column-pruned
+    # inner-join pipeline (see _bucket_rows on why this is an inner
+    # join, not a filter on `bucketed`) — cold keys' summary rows are
+    # identity (NULL prev-max, 0 offset) and the left join-backs below
+    # synthesize exactly those via coalesce, so the summary windows
+    # read |hot rows| instead of |all rows| (measured r7: twin
+    # overhead 1.67× → 1.06× on the 20M-row hot corpus). LAZY mode
+    # (forced skew_protection=True / >max_hot_keys fallback): the edge
+    # set is unbounded, a broadcast can't be assumed and a merge-hinted
+    # inner join re-shuffles the full table on the skewed bare key
+    # (measured 2-4× worse) — summaries run over `bucketed` itself,
+    # whose identical subtree AQE stage-reuses; cold keys' summary rows
+    # then JOIN to the same identity values the coalesces synthesize,
+    # so both modes share every expression below.
+    hot_cols = list(dict.fromkeys([*keys, ts_col, *order_cols]))
+    hot_rows = _bucketed_exchange(
+        _bucket_rows(df.select(*hot_cols), keys, ts_col, hot_edges, "inner"),
+        keys,
+    ) if harvested else bucketed
+    summ = (
+        hot_rows.groupBy(*keys, BUCKET)
+        .agg(F.max(ts_us).alias("__max_us"))
+        .withColumn("__prev_max_us", F.lag("__max_us").over(wk))
+        .select(*keys, BUCKET, "__prev_max_us")
     )
+    # integer prefix over buckets: each bucket's session offset is the
+    # flag total of all preceding buckets of its key
+    offsets = (
+        hot_rows.join(summ, [*keys, BUCKET], "left")
+        .withColumn("__new", new_session_flag())
+        .groupBy(*keys, BUCKET)
+        .agg(F.sum("__new").alias("__flags"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__flags").over(
+                    wk.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select(*keys, BUCKET, "__off")
+    )
+
+    # MAIN stream: one window pass; cold rows draw NULL __prev_max_us
+    # (no previous bucket) and 0 offset from the hot-only join-backs
     flagged = bucketed.join(summ, [*keys, BUCKET], "left").withColumn(
-        "__new",
-        (
-            F.coalesce(prev_local, F.col("__prev_max_us")).isNull()
-            | (
-                ts_us - F.coalesce(prev_local, F.col("__prev_max_us"))
-                > F.lit(gap_us)
-            )
-        ).cast("int"),
+        "__new", new_session_flag()
     )
     local_sess = F.sum("__new").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # integer prefix over buckets: each bucket's session offset is the
-    # flag total of all preceding buckets of its key
-    flag_tot = flagged.groupBy(*keys, BUCKET).agg(
-        F.sum("__new").alias("__flags")
-    )
-    offsets = flag_tot.withColumn(
-        "__off",
-        F.coalesce(
-            F.sum("__flags").over(
-                wk.rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ),
-    ).select(*keys, BUCKET, "__off")
     return (
         flagged.withColumn("__local_sess", local_sess)
         .join(offsets, [*keys, BUCKET], "left")
         .withColumn(
-            "session_id", (F.col("__local_sess") + F.col("__off")).cast("long")
+            "session_id",
+            (F.col("__local_sess") + F.coalesce(F.col("__off"), F.lit(0)))
+            .cast("long"),
         )
         .drop(BUCKET, "__prev_max_us", "__new", "__local_sess", "__off")
     )
@@ -416,16 +486,34 @@ def running_window_skewed(
     and ``tile`` (exact: ntile arithmetic over the two-phase global row
     number and the per-key total)."""
     keys = _as_list(key_cols)
-    bucketed = _bucketed_exchange(hot_ts_buckets(
-        df, keys, ts_col, hot_key_rows, n_ts_buckets, hot_edges=hot_edges
-    ), keys)
+    harvested = hot_edges is not None
+    if not harvested:
+        hot_edges = _hot_edges_agg(
+            df, keys, ts_col, hot_key_rows, n_ts_buckets, ()
+        )
+    bucketed = _bucketed_exchange(
+        _bucket_rows(df, keys, ts_col, hot_edges, "left"), keys
+    )
     order = [F.col(ts_col).asc(), *[F.col(c).asc() for c in order_cols]]
     w = Window.partitionBy(*keys, BUCKET).orderBy(*order)
     wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     # ONE summary row per (key, bucket): row count, value total, and
-    # the bucket's last value in (ts, order) order (max_by — algebraic)
-    summ = bucketed.groupBy(*keys, BUCKET).agg(
+    # the bucket's last value in (ts, order) order (max_by — algebraic).
+    # HARVESTED mode: HOT keys only, from a separate column-pruned
+    # inner-join pipeline — pure hash-agg (map-side partial, no
+    # exchange needed); cold rows draw identity offsets (0/NULL) from
+    # the left join + coalesces below, except __n for ntile, where the
+    # cold fallback is the plain per-(key,bucket) ntile — exact, since
+    # a cold key IS one bucket. LAZY mode: summaries over `bucketed`
+    # itself (unbounded edge set — see the sessionize_skewed comment);
+    # its cold summary rows join to the same identity values, so every
+    # expression below is mode-independent.
+    hot_cols = list(dict.fromkeys([*keys, ts_col, value_col, *order_cols]))
+    summ_src = _bucket_rows(
+        df.select(*hot_cols), keys, ts_col, hot_edges, "inner"
+    ) if harvested else bucketed
+    summ = summ_src.groupBy(*keys, BUCKET).agg(
         F.count(F.lit(1)).alias("__cnt"),
         F.sum(value_col).alias("__vsum"),
         F.count(value_col).alias("__nn"),  # non-NULL values (sum skips)
@@ -478,17 +566,21 @@ def running_window_skewed(
         )
     )
     joined = bucketed.join(prefix, [*keys, BUCKET], "left")
-    rn = (F.row_number().over(w) + F.col("__row_off")).cast("long")
+    rn = (
+        F.row_number().over(w) + F.coalesce(F.col("__row_off"), F.lit(0))
+    ).cast("long")
     # NULL semantics must mirror the plain window exactly (code-review
     # r5): sum() skips NULL values, so the running sum is NULL only
     # while the ENTIRE prefix (local + prior buckets) has zero non-NULL
     # values; and a NULL lag(value) means 'previous value is NULL' when
     # a previous row exists — only a true bucket-first row may take the
     # previous bucket's last value.
-    nn_total = F.count(value_col).over(wcum) + F.col("__nn_off")
+    nn_total = F.count(value_col).over(wcum) + F.coalesce(
+        F.col("__nn_off"), F.lit(0)
+    )
     running = F.when(nn_total == 0, F.lit(None).cast("double")).otherwise(
         F.coalesce(F.sum(value_col).over(wcum), F.lit(0.0))
-        + F.col("__val_off")
+        + F.coalesce(F.col("__val_off"), F.lit(0.0))
     )
     prev_exists = F.lag(F.lit(1)).over(w)
     prev_val = F.when(
@@ -500,21 +592,25 @@ def running_window_skewed(
     rem = n - base * n_tiles
     big = (base + 1) * rem  # rows covered by the oversized tiles
     tile = (
-        F.when(rn <= big, ((rn - 1) / (base + 1)).cast("long") + 1)
+        # cold key (absent from the hot-only prefix): one bucket ==
+        # the whole key, so the plain per-(key,bucket) ntile is exact
+        F.when(n.isNull(), F.ntile(n_tiles).over(w))
+        .when(rn <= big, (((rn - 1) / (base + 1)).cast("long") + 1).cast("int"))
         .otherwise(
-            rem
-            + ((rn - big - 1) / F.greatest(base, F.lit(1))).cast("long")
-            + 1
+            (
+                rem
+                + ((rn - big - 1) / F.greatest(base, F.lit(1))).cast("long")
+                + 1
+            ).cast("int")
         )
-        .cast("int")
     )
     return (
         joined.withColumn("running_sum", running)
         .withColumn("delta_vs_prev", F.col(value_col) - prev_val)
         .withColumn("tile", tile)
         .drop(
-            BUCKET, "__row_off", "__val_off", "__nn_off", "__prev_last",
-            "__n",
+            BUCKET, "__row_off", "__val_off", "__nn_off",
+            "__prev_last", "__n",
         )
     )
 
