@@ -946,6 +946,14 @@ def trailing_range_window_skewed(
         F.max("__cumc").alias("__pc"),
         F.max("__cumn").alias("__pn"),
     )
+    # hot_edges flow through to the internal as-of (r7): bucketing is
+    # correct under ANY per-key monotone split of the ts domain — the
+    # edges only steer balance — and the as-of's union ts lives in the
+    # same epoch-second domain (shifted by window_s on the probe side),
+    # so the outer harvest balances it too. Without this the as-of
+    # re-detects in-plan over the union of `cum` and `per_sec`, i.e.
+    # re-executes the 20M-row cumulative-window lineage once more just
+    # to find the same hot keys (measured: ~30% of the twin's wall).
     probed = asof_join_skewed(
         cum.withColumn("__lookup", F.col("__sec") - F.lit(window_s + 1)),
         per_sec,
@@ -956,6 +964,7 @@ def trailing_range_window_skewed(
         prefix="__at_",
         hot_key_rows=hot_key_rows,
         n_ts_buckets=n_ts_buckets,
+        hot_edges=hot_edges,
     )
     nn24 = F.col("__cumn") - F.coalesce(F.col("__at___pn"), F.lit(0))
     return (
