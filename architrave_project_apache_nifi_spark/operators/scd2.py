@@ -159,7 +159,11 @@ def scd2_build_skewed(
     Degenerate limit: a hot key whose events all share ONE timestamp
     cannot be split (equal ts must stay together for tie ordering) —
     that is a data bug upstream, not a partitioning problem."""
-    from .skew_windows import _bucketed_exchange, hot_ts_buckets
+    from .skew_windows import (
+        _bucket_rows,
+        _bucketed_exchange,
+        _hot_edges_agg,
+    )
 
     keys = _as_list(key_cols)
     # Hot-key detection + time-range bucketing + the load-bearing
@@ -169,13 +173,15 @@ def scd2_build_skewed(
     # documented there). Cold keys ride bucket 0, so (key, 0) ≡ (key)
     # and one code path serves both; only THREE lineage passes over
     # `changes` total (sampled agg, the window input, the boundary
-    # summary).
+    # summary — and with harvested edges the summary pass reads hot
+    # keys' rows only, see below).
+    harvested = hot_edges is not None
+    if not harvested:
+        hot_edges = _hot_edges_agg(
+            changes, keys, ts_col, hot_key_rows, n_ts_buckets, ()
+        )
     merged = _bucketed_exchange(
-        hot_ts_buckets(
-            changes, keys, ts_col, hot_key_rows, n_ts_buckets,
-            hot_edges=hot_edges,
-        ),
-        keys,
+        _bucket_rows(changes, keys, ts_col, hot_edges, "left"), keys
     )
     w = Window.partitionBy(*keys, "__b").orderBy(
         *[F.col(c).asc() for c in [ts_col, *order_cols]]
@@ -191,7 +197,18 @@ def scd2_build_skewed(
         .withColumn("__local_until", local_next)
         .withColumn("__has_next", has_local_next)
     )
-    summary = merged.groupBy(*keys, "__b").agg(
+    # Boundary summary. HARVESTED mode (the auto gate): hot keys' rows
+    # only, from a column-pruned scan inner-joined to the bounded
+    # broadcast edge set (operators/skew_windows r7 pattern) — a cold
+    # key's join-miss NULL below is exactly the no-next-bucket NULL the
+    # all-keys summary produced, so the expressions are mode-shared.
+    # LAZY mode keeps the all-keys shape (unbounded edge set; the
+    # identical subtree AQE stage-reuses — see sessionize_skewed).
+    summ_src = _bucket_rows(
+        changes.select(*dict.fromkeys([*keys, ts_col])),
+        keys, ts_col, hot_edges, "inner",
+    ) if harvested else merged
+    summary = summ_src.groupBy(*keys, "__b").agg(
         F.min(ts_col).alias("__first_ts")
     )
     wb = Window.partitionBy(*keys).orderBy("__b")
