@@ -924,3 +924,161 @@ def test_auto_skew_protection_trailing_range(spark):
         as_, ac = got_auto[k]
         assert ac == c, k
         assert abs((as_ or 0.0) - (s or 0.0)) <= 1e-9, k
+
+
+def _typed_hot_events(spark, n_hot=900, n_cold=1400, n_keys=30):
+    """_hot_events plus a categorical value column with NULL holes —
+    the sequences family's input shape (lag targets may be NULL)."""
+    rows = [
+        (0, i, None if i % 11 == 3 else f"t{i % 5}",
+         dt.datetime(2026, 1, 1) + dt.timedelta(seconds=i * 7))
+        for i in range(n_hot)
+    ] + [
+        (1 + (i % n_keys), 100_000 + i, f"t{i % 4}",
+         dt.datetime(2026, 1, 1) + dt.timedelta(seconds=i * 3))
+        for i in range(n_cold)
+    ]
+    return spark.createDataFrame(
+        rows, "ProductID INT, seq LONG, etype STRING, change_ts TIMESTAMP"
+    )
+
+
+def test_sequences_skewed_match_plain(spark):
+    """event_ngrams_skewed / transition_matrix_skewed (r7): identical
+    output to the plain per-key lag windows on a hot corpus, including
+    NULL values carried across bucket boundaries (a NULL lag target
+    must stay NULL — gram rows drop, transition rows drop — not be
+    skipped over)."""
+    from architrave_project_apache_nifi_spark.operators.sequences import (
+        event_ngrams,
+        event_ngrams_skewed,
+        transition_matrix,
+        transition_matrix_skewed,
+    )
+
+    ev = _typed_hot_events(spark)
+    plain = event_ngrams(
+        ev, "ProductID", ["change_ts", "seq"], "etype", 3,
+        skew_protection=False,
+    )
+    twin = event_ngrams_skewed(
+        ev, "ProductID", ["change_ts", "seq"], "etype", 3,
+        hot_key_rows=300, n_ts_buckets=6,
+    )
+    assert "__b" in formatted_plan(twin)
+    cols = ["ProductID", "seq", "gram"]
+    assert _norm(twin.select(*cols)) == _norm(plain.select(*cols))
+
+    tm_plain = transition_matrix(
+        ev, "ProductID", ["change_ts", "seq"], "etype",
+        skew_protection=False,
+    )
+    tm_twin = transition_matrix_skewed(
+        ev, "ProductID", ["change_ts", "seq"], "etype",
+        hot_key_rows=300, n_ts_buckets=6,
+    )
+    got_p = {(r.from_state, r.to_state): (r.n, r.p) for r in tm_plain.collect()}
+    got_t = {(r.from_state, r.to_state): (r.n, r.p) for r in tm_twin.collect()}
+    assert set(got_p) == set(got_t)
+    for k, (n_, p_) in got_p.items():
+        tn, tp = got_t[k]
+        assert tn == n_, k
+        assert abs(tp - p_) < 1e-12, k
+
+
+def test_sequences_carry_walks_back_across_sparse_buckets(spark):
+    """The tail carry's index-from-end arithmetic must stay exact when
+    the immediately previous buckets hold FEWER than n-1 rows each:
+    handcrafted edges isolate the first rows into single-row buckets,
+    so a 4-gram's lags walk back through three buckets."""
+    from architrave_project_apache_nifi_spark.operators.sequences import (
+        event_ngrams,
+        event_ngrams_skewed,
+    )
+
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        (0, i, f"v{i}", base + dt.timedelta(seconds=i)) for i in range(12)
+    ]
+    ev = spark.createDataFrame(
+        rows, "ProductID INT, seq LONG, etype STRING, change_ts TIMESTAMP"
+    )
+    # numeric edges (unix_micros doubles) slicing rows 0|1|2|3..11 —
+    # buckets 0-2 hold ONE row each; schema mirrors _hot_edges_agg
+    us = [
+        float((base + dt.timedelta(seconds=i)).replace(
+            tzinfo=dt.timezone.utc
+        ).timestamp() * 1_000_000)
+        for i in range(12)
+    ]
+    edges = spark.createDataFrame(
+        [(0, us[0], us[1], us[2])],
+        "ProductID INT, __e0 DOUBLE, __e1 DOUBLE, __e2 DOUBLE",
+    )
+    plain = event_ngrams(
+        ev, "ProductID", ["change_ts", "seq"], "etype", 4,
+        skew_protection=False,
+    )
+    twin = event_ngrams_skewed(
+        ev, "ProductID", ["change_ts", "seq"], "etype", 4,
+        n_ts_buckets=4, hot_edges=F.broadcast(edges),
+    )
+    cols = ["ProductID", "seq", "gram"]
+    assert _norm(twin.select(*cols)) == _norm(plain.select(*cols))
+    # sanity: the edges really did split (4 distinct buckets)
+    from architrave_project_apache_nifi_spark.operators.skew_windows import (
+        _bucket_rows,
+    )
+    n_buckets = (
+        _bucket_rows(ev, ["ProductID"], "change_ts", edges, "left")
+        .select("__b").distinct().count()
+    )
+    assert n_buckets == 4
+
+
+def test_auto_skew_protection_sequences(spark):
+    """The sequences entry points carry the standard auto contract:
+    hot corpus engages the bucketed twin, cold corpus keeps a plan
+    signature identical to skew_protection=False, and a
+    non-bucketable order column falls back to plain under auto but
+    raises under forced True."""
+    import pytest
+
+    from architrave_project_apache_nifi_spark.operators.sequences import (
+        ngram_counts,
+        transition_matrix,
+    )
+    from architrave_project_apache_nifi_spark.plans.inspect import plan_signature
+
+    ev = _typed_hot_events(spark)
+    off = ngram_counts(
+        ev, "ProductID", ["change_ts", "seq"], "etype", 3,
+        skew_protection=False,
+    )
+    cold = ngram_counts(ev, "ProductID", ["change_ts", "seq"], "etype", 3)
+    auto = ngram_counts(
+        ev, "ProductID", ["change_ts", "seq"], "etype", 3,
+        hot_key_rows=300, n_ts_buckets=6,
+    )
+    assert plan_signature(cold) == plan_signature(off)
+    assert "__b" not in formatted_plan(cold)
+    assert "__b" in formatted_plan(auto)
+    assert _norm(auto) == _norm(off)
+
+    tm_auto = transition_matrix(
+        ev, "ProductID", ["change_ts", "seq"], "etype",
+        hot_key_rows=300, n_ts_buckets=6,
+    )
+    assert "__b" in formatted_plan(tm_auto)
+
+    # string order col: auto silently keeps the plain window; forced
+    # True names the problem
+    ev_s = ev.withColumn("okey", F.format_string("k%09d", "seq"))
+    plain_s = ngram_counts(
+        ev_s, "ProductID", ["okey"], "etype", 3, hot_key_rows=300
+    )
+    assert "__b" not in formatted_plan(plain_s)
+    with pytest.raises(ValueError, match="order_cols"):
+        ngram_counts(
+            ev_s, "ProductID", ["okey"], "etype", 3, skew_protection=True
+        )
