@@ -34,19 +34,24 @@ def user_item_matrix(
     """(user, item, n_interactions) — deduped interaction matrix. With
     ``max_items_per_user``, keep each user's top items by interaction
     count (ties by item id) — the deterministic heavy-user cap."""
+    from .skew_windows import topk_per_key
+
     ui = events.groupBy(
         F.col(user_col).alias("user"), F.col(item_col).alias("item")
     ).agg(F.count(F.lit(1)).alias("n_interactions"))
     if max_items_per_user is None:
         return ui
-    w = Window.partitionBy("user").orderBy(
-        F.col("n_interactions").desc(), F.col("item")
-    )
-    return (
-        ui.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= max_items_per_user)
-        .drop("__r")
-    )
+    # the heavy-user cap must itself survive a heavy user: skew-safe
+    # top-k (auto-salted two-phase rank — a bot touching millions of
+    # distinct items would otherwise serialize one row_number task)
+    return topk_per_key(
+        ui,
+        "user",
+        [F.col("n_interactions").desc(), F.col("item")],
+        max_items_per_user,
+        rank_col="__r",
+        salt_cols=["item"],
+    ).drop("__r")
 
 
 def item_cosine_similarity(ui: DataFrame) -> DataFrame:
@@ -97,9 +102,16 @@ def recommend_items(
         .groupBy("user", F.col("other").alias("item"))
         .agg(F.sum("cosine").alias("score"))
     )
+    from .skew_windows import topk_per_key
+
     unseen = scored.join(ui.select("user", "item"), ["user", "item"], "left_anti")
-    w = Window.partitionBy("user").orderBy(F.col("score").desc(), F.col("item"))
-    return (
-        unseen.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    # same skew-safe top-k as the user_item_matrix cap: candidate
+    # count per user = items similar to anything the user touched,
+    # unbounded for heavy users
+    return topk_per_key(
+        unseen,
+        "user",
+        [F.col("score").desc(), F.col("item")],
+        k,
+        salt_cols=["item"],
     )

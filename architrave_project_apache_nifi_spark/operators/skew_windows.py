@@ -615,6 +615,71 @@ def running_window_skewed(
     )
 
 
+def topk_per_key(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    rank_col: str = "rank",
+    salt_cols: Sequence[str] | None = None,
+    skew_protection: bool | str = "auto",
+    hot_key_rows: int = 5_000_000,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Top-``k`` rows per key under ``order_by`` (a total order — pass
+    a tiebreak column, exactly as a plain ``row_number`` would need),
+    with ``rank_col`` attached (1-based).
+
+    The plain form is one ``row_number`` window — and therefore the
+    sessionize straggler when one key holds an outsized share of rows
+    (AQE never splits a skewed window partition). The protected form is
+    the classic two-phase rank: a deterministic row-hash salt splits
+    each key into ≤ ``n_salts`` shards, phase 1 keeps each shard's
+    local top-k (the global top-k is a subset of the union by a
+    pigeonhole argument: a row outside its own shard's top-k has k
+    better rows in its shard alone), phase 2 ranks the ≤ n_salts × k
+    survivors per key — bounded state regardless of key skew. A
+    surviving row with true global rank r ≤ k has all r-1 better rows
+    surviving too, so phase 2's row_number equals the plain rank
+    exactly.
+
+    ``salt_cols`` drive the deterministic shard hash (default: every
+    non-key column). ``skew_protection`` follows the engine contract:
+    ``"auto"`` (default) pays one bounded sampled count probe and
+    salts only when a key exceeds ``hot_key_rows``; ``False`` is the
+    plain single-window plan; ``True`` forces salting."""
+    keys = _as_list(key_cols)
+    if salt_cols is None:
+        salt_cols = [c for c in df.columns if c not in keys]
+    if not salt_cols:
+        raise ValueError(
+            "topk_per_key: salt_cols must name at least one non-key column"
+        )
+    engaged = engage_skew_protection(
+        df, keys, salt_cols[0], skew_protection, hot_key_rows, n_salts,
+        sample_salt_cols=salt_cols[1:],
+    )
+    if not engaged:
+        w = Window.partitionBy(*keys).orderBy(*order_by)
+        return df.withColumn(rank_col, F.row_number().over(w)).filter(
+            F.col(rank_col) <= k
+        )
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(n_salts)
+    )
+    w1 = Window.partitionBy(*keys, "__salt").orderBy(*order_by)
+    pruned = (
+        df.withColumn("__salt", salt)
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .drop("__salt", "__r1")
+    )
+    w2 = Window.partitionBy(*keys).orderBy(*order_by)
+    return pruned.withColumn(rank_col, F.row_number().over(w2)).filter(
+        F.col(rank_col) <= k
+    )
+
+
 def running_window(
     df: DataFrame,
     key_cols: str | Sequence[str],

@@ -5601,6 +5601,38 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "topk_per_key_skew_salted",
+    """
+SELECT user_id, event_id, value, rank FROM (
+  SELECT user_id, event_id, value,
+         CAST(row_number() OVER (
+           PARTITION BY user_id ORDER BY value DESC, event_id
+         ) AS INTEGER) AS rank
+  FROM events) t
+WHERE rank <= 5
+""",
+)
+def q_topk_per_key_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """topk_per_key (operators/skew_windows.py, r7): skew-resilient
+    top-k per key — two-phase salted rank (per-shard local top-k, then
+    an exact rank over the ≤ n_salts × k survivors), bounded state
+    regardless of key skew. Forced on so the salted path runs on every
+    key; equals the plain row_number top-k exactly."""
+    from .operators.skew_windows import topk_per_key
+
+    events = load(spark, "events", sf_dir)
+    return topk_per_key(
+        events.select("user_id", "event_id", "value"),
+        "user_id",
+        [F.col("value").desc(), F.col("event_id")],
+        5,
+        salt_cols=["event_id"],
+        skew_protection=True,
+        n_salts=8,
+    )
+
+
+@register(
     "event_trigrams_skew_salted",
     REGISTRY["event_trigram_counts"].oracle,
 )
@@ -5754,6 +5786,10 @@ _OVERFLOW = [
     # is already overflow-oracled; the tail-carry bucketing is the new
     # surface (same remedy family as sessionize_skew_salted)
     "event_trigrams_skew_salted",
+    # round 7: skew-safe top-k — mechanics twin window_latest_event
+    # (rank window) is in-window; the two-phase salted rank is the new
+    # surface (backs the cooccurrence heavy-user cap)
+    "topk_per_key_skew_salted",
 ]
 
 

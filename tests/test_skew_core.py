@@ -1082,3 +1082,79 @@ def test_auto_skew_protection_sequences(spark):
         ngram_counts(
             ev_s, "ProductID", ["okey"], "etype", 3, skew_protection=True
         )
+
+
+def test_topk_per_key_salted_matches_plain(spark):
+    """topk_per_key (r7): the two-phase salted rank equals the plain
+    row_number top-k exactly (superset-prune argument), the auto gate
+    keeps cold corpora on the plain single-window plan, and forcing
+    protection puts the salt in the plan."""
+    from architrave_project_apache_nifi_spark.operators.skew_windows import (
+        topk_per_key,
+    )
+    from architrave_project_apache_nifi_spark.plans.inspect import plan_signature
+
+    ev = _hot_events(spark, n_hot=1200, n_cold=2000)
+    order = [F.col("Price").desc(), F.col("seq")]
+    off = topk_per_key(
+        ev, "ProductID", order, 7, salt_cols=["seq"], skew_protection=False
+    )
+    forced = topk_per_key(
+        ev, "ProductID", order, 7, salt_cols=["seq"], skew_protection=True,
+        n_salts=8,
+    )
+    auto_cold = topk_per_key(ev, "ProductID", order, 7, salt_cols=["seq"])
+    auto_hot = topk_per_key(
+        ev, "ProductID", order, 7, salt_cols=["seq"], hot_key_rows=500,
+        n_salts=8,
+    )
+    assert plan_signature(auto_cold) == plan_signature(off)
+    assert "__salt" not in formatted_plan(auto_cold)
+    assert "__salt" in formatted_plan(forced)
+    assert "__salt" in formatted_plan(auto_hot)
+    cols = ["ProductID", "seq", "rank"]
+    want = _norm(off.select(*cols))
+    assert _norm(forced.select(*cols)) == want
+    assert _norm(auto_hot.select(*cols)) == want
+    # k larger than some shards' row counts: still exact
+    small = topk_per_key(
+        ev, "ProductID", order, 300, salt_cols=["seq"],
+        skew_protection=True, n_salts=8,
+    )
+    plain300 = topk_per_key(
+        ev, "ProductID", order, 300, salt_cols=["seq"], skew_protection=False
+    )
+    assert _norm(small.select(*cols)) == _norm(plain300.select(*cols))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="salt_cols"):
+        topk_per_key(ev.select("ProductID"), "ProductID", order, 5)
+
+
+def test_cooccurrence_heavy_user_cap_is_skew_safe(spark):
+    """user_item_matrix's heavy-user cap and recommend_items' ranking
+    route through topk_per_key — identical output to the plain window
+    (pinned against a hand-rolled row_number), salted plan only when a
+    user is hot."""
+    from architrave_project_apache_nifi_spark.operators.cooccurrence import (
+        user_item_matrix,
+    )
+
+    ev = _hot_events(spark, n_hot=1200, n_cold=2000).select(
+        F.col("ProductID").alias("user_id"),
+        (F.col("seq") % 37).alias("item_id"),
+    )
+    got = user_item_matrix(ev, max_items_per_user=5)
+    ui = ev.groupBy(
+        F.col("user_id").alias("user"), F.col("item_id").alias("item")
+    ).agg(F.count(F.lit(1)).alias("n_interactions"))
+    w = Window.partitionBy("user").orderBy(
+        F.col("n_interactions").desc(), F.col("item")
+    )
+    want = (
+        ui.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= 5)
+        .drop("__r")
+    )
+    assert _norm(got) == _norm(want)
