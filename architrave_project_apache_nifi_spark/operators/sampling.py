@@ -126,6 +126,9 @@ def token_budget_filter(
     id_col: str,
     n_tokens_col,
     budget: int,
+    skew_protection: bool | str = "auto",
+    hot_key_rows: int = 5_000_000,
+    n_ts_buckets: int = 32,
 ) -> DataFrame:
     """Per-stratum token-budget cut: keep documents in deterministic
     ``id_col`` order until the stratum's cumulative token count reaches
@@ -138,16 +141,33 @@ def token_budget_filter(
     callers can either filter ``in_budget = 1`` or inspect the
     boundary. A document is never truncated — it fits or it doesn't.
 
-    Scale: one window partitioned by the stratum — parallel across
-    strata, which is the real-world shape (a mixture has tens of
-    sources, each internally ordered by id). For a single pathological
-    stratum larger than one task, swap the window for the sharded
-    prefix-sum in operators/packing.py (same arithmetic, documented
-    there); the oracle below is identical either way.
+    Scale: a mixture has tens of strata but each stratum is a whole
+    SOURCE — at 100 TB every stratum exceeds one task, so the plain
+    per-stratum window is the pathological case, not the corner case.
+    ``skew_protection="auto"`` (r7, the engine's standard contract)
+    detects strata above ``hot_key_rows`` with one bounded sampled job
+    and routes them through the bucketed cumulative sum: rows split by
+    per-stratum ``percentile_approx`` edges over ``id_col``, the local
+    window runs over (stratum, bucket), and each bucket adds the
+    preceding buckets' token total from a per-(stratum, bucket) summary
+    (integer arithmetic — the bucketed sum is bit-exact, not merely
+    ulp-close). Cold corpora keep the plain single-window plan.
     """
     c = F.col(n_tokens_col) if isinstance(n_tokens_col, str) else n_tokens_col
     from pyspark.sql import Window
 
+    from .skew_windows import order_bucketable, resolve_skew_protection
+
+    if skew_protection and order_bucketable(df, id_col):
+        engaged, edges = resolve_skew_protection(
+            df, stratum_cols, id_col, skew_protection, hot_key_rows,
+            n_ts_buckets,
+        )
+        if engaged:
+            return _token_budget_filter_skewed(
+                df, stratum_cols, id_col, c, budget,
+                hot_key_rows, n_ts_buckets, edges,
+            )
     w = (
         Window.partitionBy(*stratum_cols)
         .orderBy(F.col(id_col))
@@ -161,6 +181,76 @@ def token_budget_filter(
         (F.sum("__n_tok").over(w) <= F.lit(int(budget)))
         .cast("int")
         .alias("in_budget"),
+    )
+
+
+def _token_budget_filter_skewed(
+    df: DataFrame,
+    stratum_cols: list[str],
+    id_col: str,
+    c,
+    budget: int,
+    hot_key_rows: int,
+    n_ts_buckets: int,
+    hot_edges: DataFrame | None,
+) -> DataFrame:
+    """The bucketed cumulative sum behind
+    :func:`token_budget_filter`'s auto gate — running_window_skewed's
+    offset pattern specialised to one integer sum (bit-exact). Same
+    harvested/lazy summary split as the other twins."""
+    from pyspark.sql import Window
+
+    from .skew_windows import (
+        BUCKET,
+        _bucket_rows,
+        _bucketed_exchange,
+        _hot_edges_agg,
+    )
+
+    keys = list(stratum_cols)
+    base = df.withColumn("__n_tok", c.cast("bigint"))
+    harvested = hot_edges is not None
+    if not harvested:
+        hot_edges = _hot_edges_agg(
+            base, keys, id_col, hot_key_rows, n_ts_buckets, ()
+        )
+    bucketed = _bucketed_exchange(
+        _bucket_rows(base, keys, id_col, hot_edges, "left"), keys
+    )
+    w = (
+        Window.partitionBy(*keys, BUCKET)
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    summ_src = _bucket_rows(
+        base.select(*dict.fromkeys([*keys, id_col, "__n_tok"])),
+        keys, id_col, hot_edges, "inner",
+    ) if harvested else bucketed
+    wk = Window.partitionBy(*keys).orderBy(BUCKET)
+    offsets = (
+        summ_src.groupBy(*keys, BUCKET)
+        .agg(F.sum("__n_tok").alias("__bsum"))
+        .select(
+            *keys,
+            BUCKET,
+            F.coalesce(
+                F.sum("__bsum").over(
+                    wk.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("__toff"),
+        )
+    )
+    cum = F.sum("__n_tok").over(w) + F.coalesce(F.col("__toff"), F.lit(0))
+    return (
+        bucketed.join(offsets, [*keys, BUCKET], "left")
+        .select(
+            *keys,
+            id_col,
+            F.col("__n_tok").alias("n_tokens"),
+            cum.alias("cum_tokens"),
+            (cum <= F.lit(int(budget))).cast("int").alias("in_budget"),
+        )
     )
 
 

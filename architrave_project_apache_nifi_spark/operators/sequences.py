@@ -34,19 +34,10 @@ from pyspark.sql import functions as F
 
 
 def _order_bucketable(df: DataFrame, col: str) -> bool:
-    """The skew buckets need a numeric image of ``order_cols[0]``
-    (percentile edges). Strings/binaries would cast to NULL → every
-    row in bucket 0 → the twin degenerates to the plain window plus
-    dead machinery, so auto never engages on them."""
-    dtype = dict(df.dtypes)[col]
-    return (
-        dtype.startswith("timestamp")
-        or dtype.startswith("decimal")
-        or dtype in {
-            "date", "tinyint", "smallint", "int", "bigint",
-            "float", "double",
-        }
-    )
+    """See :func:`~.skew_windows.order_bucketable` (shared guard)."""
+    from .skew_windows import order_bucketable
+
+    return order_bucketable(df, col)
 
 
 def _global_lag_parts(

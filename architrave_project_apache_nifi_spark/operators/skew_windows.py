@@ -60,6 +60,24 @@ def _ts_num(df: DataFrame, ts_col: str):
     return num
 
 
+def order_bucketable(df: DataFrame, col: str) -> bool:
+    """Whether ``col`` can drive the time-range buckets: the edges are
+    ``percentile_approx`` values over a numeric image (:func:`_ts_num`),
+    so strings/binaries — which cast to NULL — would put every row in
+    bucket 0 and the twin would degenerate to the plain window plus
+    dead machinery. Auto gates on generic order columns (sequences,
+    token budgets) check this and silently keep the plain plan."""
+    dtype = dict(df.dtypes)[col]
+    return (
+        dtype.startswith("timestamp")
+        or dtype.startswith("decimal")
+        or dtype in {
+            "date", "tinyint", "smallint", "int", "bigint",
+            "float", "double",
+        }
+    )
+
+
 def _detection_sample(
     df: DataFrame,
     keys: Sequence[str],

@@ -3895,12 +3895,29 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic id order until its cumulative token count reaches the
     budget — mixtures are specified in tokens, not rows
     (operators/sampling.py::token_budget_filter). Window is partitioned
-    by source (parallel across sources); a single over-large stratum
-    swaps in the sharded prefix-sum of operators/packing.py with the
-    same arithmetic."""
+    by source (parallel across sources); since r7 the standard
+    skew_protection="auto" gate routes an over-large stratum through
+    the bucketed integer prefix sum automatically (bit-exact)."""
     docs = load(spark, "documents", sf_dir)
     return sp.token_budget_filter(
         docs, ["source"], "doc_id", ta.token_count(F.col("text")), _TOKEN_BUDGET
+    )
+
+
+@register(
+    "token_budget_skew_salted",
+    REGISTRY["token_budget_per_source"].oracle,
+)
+def q_token_budget_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token_budget_filter's bucketed twin (r7): per-stratum integer
+    prefix sum over (stratum, id-range-bucket) with per-bucket token
+    offsets — bit-exact vs the plain window (integer arithmetic, no
+    reassociation error). Threshold forced low so the bucketed path
+    runs on every stratum."""
+    docs = load(spark, "documents", sf_dir)
+    return sp.token_budget_filter(
+        docs, ["source"], "doc_id", ta.token_count(F.col("text")),
+        _TOKEN_BUDGET, hot_key_rows=5, n_ts_buckets=8,
     )
 
 
@@ -5790,6 +5807,9 @@ _OVERFLOW = [
     # (rank window) is in-window; the two-phase salted rank is the new
     # surface (backs the cooccurrence heavy-user cap)
     "topk_per_key_skew_salted",
+    # round 7: token-budget twin — mechanics twin token_budget_per_source
+    # is in-window; the bucketed integer prefix sum is the new surface
+    "token_budget_skew_salted",
 ]
 
 

@@ -1158,3 +1158,30 @@ def test_cooccurrence_heavy_user_cap_is_skew_safe(spark):
         .drop("__r")
     )
     assert _norm(got) == _norm(want)
+
+
+def test_token_budget_auto_skew_protection(spark):
+    """token_budget_filter (r7): at 100 TB every stratum exceeds one
+    task, so the per-stratum prefix sum carries the standard auto
+    contract — the bucketed integer sum is BIT-exact vs the plain
+    window, and cold corpora keep the plain plan signature."""
+    from architrave_project_apache_nifi_spark.operators import sampling as sp
+    from architrave_project_apache_nifi_spark.plans.inspect import plan_signature
+
+    ev = _hot_events(spark, n_hot=1200, n_cold=2000).select(
+        F.col("ProductID").alias("source"),
+        F.col("seq").alias("doc_id"),
+        (F.col("seq") % 97 + 1).alias("n"),
+    )
+    off = sp.token_budget_filter(
+        ev, ["source"], "doc_id", F.col("n"), 5000, skew_protection=False
+    )
+    cold = sp.token_budget_filter(ev, ["source"], "doc_id", F.col("n"), 5000)
+    auto = sp.token_budget_filter(
+        ev, ["source"], "doc_id", F.col("n"), 5000,
+        hot_key_rows=300, n_ts_buckets=6,
+    )
+    assert plan_signature(cold) == plan_signature(off)
+    assert "__b" not in formatted_plan(cold)
+    assert "__b" in formatted_plan(auto)
+    assert _norm(auto) == _norm(off)  # integers: bit-exact, not approx
