@@ -551,27 +551,30 @@ def dedup_incremental(
     both the store join and the within-batch argmin run on the 8-byte
     hash. The store side is a parquet scan of (fp, first_id) only;
     with both sides bucketed by ``pmod(fp, N)`` the anti-join is
-    Exchange-free. One window on fp (batch-sized), one join.
+    Exchange-free. The within-batch argmin is an ALGEBRAIC min joined
+    back, not a row_number window (r7): partial aggregation collapses
+    even a corpus-sized mono-duplicate group map-side, where the window
+    form would strand the whole group in one sort task — the same
+    skew-immune-by-construction argument as the argmax
+    latest-per-user rewrite (BASELINE.md §Skewed-key stress #4). With
+    unique ids the outputs are identical; duplicate-id rows tie and
+    are all marked kept (the window form picked one arbitrarily).
     """
     fps = new_docs.select(
         F.col(id_col).cast("long").alias(id_col),
         F.xxhash64(F.col(text_col)).alias("fp"),
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("fp").orderBy(id_col)
-    ranked = fps.withColumn(
-        "__rk", F.row_number().over(w)
-    )
+    mins = fps.groupBy("fp").agg(F.min(id_col).alias("__min_id"))
     st = store.select(F.col("fp"), F.lit(1).alias("__seen"))
     return (
-        ranked.join(st, "fp", "left")
+        fps.join(mins, "fp")
+        .join(st, "fp", "left")
         .select(
             id_col,
             "fp",
             F.coalesce(F.col("__seen"), F.lit(0)).cast("int").alias("dup_of_store"),
             (
-                (F.col("__rk") == 1) & F.col("__seen").isNull()
+                (F.col(id_col) == F.col("__min_id")) & F.col("__seen").isNull()
             ).cast("int").alias("is_kept"),
         )
     )
