@@ -5617,6 +5617,34 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_count(docs, "text", merges).select("doc_id", "n_bpe_tokens")
 
 
+@register("incremental_distinct_rollup", None)
+def q_incremental_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental COUNT DISTINCT maintenance (operators/
+    incremental_agg.py, r7): per-event-type distinct-user rollup kept
+    as a mergeable DataSketches HLL state and folded batch-by-batch —
+    O(delta + groups) per refresh, never a history rescan. The stream
+    is split into 3 deterministic batches and folded; sketch union is
+    split-invariant, so the estimates equal the direct single-pass
+    sketch exactly (invariant pinned in test_incremental_agg.py).
+    Rows-only: DuckDB has no DataSketches HLL; accuracy (≤3% vs exact,
+    exact below the coupon threshold) is CI-tested instead."""
+    from .operators.incremental_agg import finalize, incremental_refresh
+
+    events = load(spark, "events", sf_dir)
+    state = None
+    for i in range(3):
+        batch = events.filter(F.pmod(F.col("event_id"), 3) == i)
+        state = incremental_refresh(
+            state, batch, ["event_type"], ["value"], ["user_id"]
+        )
+    return finalize(state, ["value"], ["user_id"]).select(
+        "event_type",
+        "n_rows",
+        F.round("value_avg", 6).alias("value_avg_r"),
+        F.col("user_id_approx_distinct").cast("long").alias("approx_users"),
+    )
+
+
 @register(
     "topk_per_key_skew_salted",
     """

@@ -95,3 +95,68 @@ def test_merge_shuffles_state_rows_not_facts(spark, events):
     # partial agg before every exchange: HashAggregate appears both
     # below (partial) and above (final) the exchanges
     assert plan.count("HashAggregate") >= 4
+
+
+def test_distinct_sketch_split_merge_equals_direct(spark, events):
+    """The HLL distinct state (r7) obeys the same split+merge == direct
+    invariant: estimates from a 3-way split folded with hll_union_agg
+    equal the direct single-pass sketch's estimates exactly (sketch
+    union is order- and split-invariant)."""
+    keys, dc = ["event_type"], ["user_id"]
+    parts = [
+        events.filter(F.pmod(F.col("event_id"), 3) == i) for i in range(3)
+    ]
+    folded = None
+    for p in parts:
+        folded = incremental_refresh(folded, p, keys, [], dc)
+    direct = agg_state(events, keys, [], dc)
+    got = _canon(
+        finalize(folded, [], dc).select("event_type", "user_id_approx_distinct")
+    )
+    want = _canon(
+        finalize(direct, [], dc).select("event_type", "user_id_approx_distinct")
+    )
+    assert got == want
+
+
+def test_distinct_sketch_estimate_accuracy_and_exact_small(spark, events):
+    """Estimate quality: per-group approx distinct within 3% of the
+    exact count at sf0.001 scale; a group whose true cardinality sits
+    below the sketch's coupon threshold is EXACT."""
+    state = agg_state(events, ["event_type"], [], ["user_id"])
+    est = {
+        r.event_type: r.user_id_approx_distinct
+        for r in finalize(state, [], ["user_id"]).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert abs(est[k] - n) <= max(1, 0.03 * n), (k, est[k], n)
+
+    # tiny cardinality: exact
+    small = spark.createDataFrame(
+        [("a", i % 7) for i in range(500)], "g STRING, v INT"
+    )
+    out = finalize(agg_state(small, ["g"], [], ["v"]), [], ["v"]).collect()
+    assert out[0].v_approx_distinct == 7
+
+
+def test_distinct_sketch_nulls_ignored_and_binary_state(spark):
+    """NULL values are not counted (SQL count-distinct semantics) and
+    the persisted state column is a bounded BINARY sketch."""
+    df = spark.createDataFrame(
+        [("a", None), ("a", 1), ("a", 1), ("a", 2), ("b", None)],
+        "g STRING, v INT",
+    )
+    state = agg_state(df, ["g"], [], ["v"])
+    assert dict(state.dtypes)["v_hll"] == "binary"
+    got = {
+        r.g: r.v_approx_distinct
+        for r in finalize(state, [], ["v"]).collect()
+    }
+    assert got == {"a": 2, "b": 0}
