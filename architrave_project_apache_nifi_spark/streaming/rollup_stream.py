@@ -62,13 +62,16 @@ def rollup_batch(
     keys: list[str],
     measures: list[str],
     batch_id: int,
+    distinct_cols: list[str] = [],
 ) -> None:
     """Fold one micro-batch into the rollup: read the predecessor
     snapshot, refresh, overwrite this batch's own snapshot dir
-    (idempotent under replay)."""
+    (idempotent under replay). ``distinct_cols`` (r7) carries the
+    mergeable HLL distinct state through the stream — the sketch's
+    BINARY column parquet-round-trips like any other state column."""
     spark = batch.sparkSession
     prev = read_state(spark, root, before_batch=batch_id)
-    new_state = incremental_refresh(prev, batch, keys, measures)
+    new_state = incremental_refresh(prev, batch, keys, measures, distinct_cols)
     new_state.write.mode("overwrite").parquet(
         os.path.join(root, "state", f"batch={batch_id}")
     )
@@ -77,16 +80,18 @@ def rollup_batch(
 def read_rollup(
     spark: SparkSession, root: str, measures: list[str],
     as_of_batch: int | None = None,
+    distinct_cols: list[str] = [],
 ) -> DataFrame:
-    """The presentation rollup (avg etc. derived) from the latest —
-    or, for time travel, a historical — snapshot."""
+    """The presentation rollup (avg etc. derived; approx distincts
+    estimated from the HLL state) from the latest — or, for time
+    travel, a historical — snapshot."""
     state = read_state(
         spark, root,
         before_batch=None if as_of_batch is None else as_of_batch + 1,
     )
     if state is None:
         raise FileNotFoundError(f"no committed rollup state under {root}")
-    return finalize(state, measures)
+    return finalize(state, measures, distinct_cols)
 
 
 def prune_snapshots(root: str, keep: int = 2) -> int:
@@ -109,13 +114,16 @@ def run_rollup_stream(
     keys: list[str],
     measures: list[str],
     trigger_once: bool = True,
+    distinct_cols: list[str] = [],
 ) -> StreamingQuery:
     """readStream of events → per-micro-batch state fold. Checkpoint
     carries source offsets; idempotent snapshot writes make the
     pipeline effectively exactly-once."""
     writer = events.writeStream.option(
         "checkpointLocation", checkpoint
-    ).foreachBatch(lambda b, bid: rollup_batch(b, root, keys, measures, bid))
+    ).foreachBatch(
+        lambda b, bid: rollup_batch(b, root, keys, measures, bid, distinct_cols)
+    )
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
