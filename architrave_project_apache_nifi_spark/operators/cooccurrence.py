@@ -43,7 +43,10 @@ def user_item_matrix(
         return ui
     # the heavy-user cap must itself survive a heavy user: skew-safe
     # top-k (auto-salted two-phase rank — a bot touching millions of
-    # distinct items would otherwise serialize one row_number task)
+    # distinct items would otherwise serialize one row_number task).
+    # The gate probes the RAW events (per-user event rows upper-bound
+    # distinct items), so it costs one scan, not a re-run of the
+    # dedup aggregate (code-review r7)
     return topk_per_key(
         ui,
         "user",
@@ -51,6 +54,9 @@ def user_item_matrix(
         max_items_per_user,
         rank_col="__r",
         salt_cols=["item"],
+        probe=events.select(
+            F.col(user_col).alias("user"), F.col(item_col).alias("item")
+        ),
     ).drop("__r")
 
 
@@ -105,13 +111,19 @@ def recommend_items(
     from .skew_windows import topk_per_key
 
     unseen = scored.join(ui.select("user", "item"), ["user", "item"], "left_anti")
-    # same skew-safe top-k as the user_item_matrix cap: candidate
-    # count per user = items similar to anything the user touched,
-    # unbounded for heavy users
+    # same skew-safe top-k as the user_item_matrix cap — FORCED, not
+    # auto (code-review r7): the input lineage here is the pairwise
+    # scoring join, so an auto probe would execute the module's
+    # heaviest stage twice; forced salting costs one extra window over
+    # the <= n_salts x k survivors per user instead, and per-user
+    # candidate counts (items similar to anything touched) are
+    # unbounded anyway, so the salted plan is the one you'd want at
+    # scale regardless
     return topk_per_key(
         unseen,
         "user",
         [F.col("score").desc(), F.col("item")],
         k,
         salt_cols=["item"],
+        skew_protection=True,
     )

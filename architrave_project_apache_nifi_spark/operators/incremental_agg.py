@@ -122,11 +122,16 @@ def incremental_refresh(
     keys: list[str],
     measures: list[str],
     distinct_cols: list[str] = [],
+    hll_lgk: int = 12,
 ) -> DataFrame:
     """One maintenance step: aggregate the delta batch and fold it
     into the stored state (or bootstrap from the delta when no state
-    exists yet). Cost: O(delta) + one state-row shuffle."""
-    delta_state = agg_state(delta, keys, measures, distinct_cols)
+    exists yet). Cost: O(delta) + one state-row shuffle. ``hll_lgk``
+    must match the value the stored state was built with —
+    ``hll_union_agg`` rejects mixed-lgK sketches by design (code-review
+    r7: the delta used to hard-code the default, crashing any
+    non-default-lgK state on its first refresh)."""
+    delta_state = agg_state(delta, keys, measures, distinct_cols, hll_lgk)
     if state is None:
         return delta_state
     return merge_states(state, delta_state, keys, measures, distinct_cols)

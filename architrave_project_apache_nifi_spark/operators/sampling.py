@@ -168,6 +168,14 @@ def token_budget_filter(
                 df, stratum_cols, id_col, c, budget,
                 hot_key_rows, n_ts_buckets, edges,
             )
+    elif skew_protection is True:
+        # same contract as event_ngrams: forced protection on an
+        # un-bucketable id must fail loudly, not silently serialize
+        # the stratum in one task
+        raise ValueError(
+            "token_budget_filter: skew_protection=True needs a numeric "
+            f"or timestamp id_col, got {dict(df.dtypes)[id_col]}"
+        )
     w = (
         Window.partitionBy(*stratum_cols)
         .orderBy(F.col(id_col))
@@ -229,7 +237,10 @@ def _token_budget_filter_skewed(
     wk = Window.partitionBy(*keys).orderBy(BUCKET)
     offsets = (
         summ_src.groupBy(*keys, BUCKET)
-        .agg(F.sum("__n_tok").alias("__bsum"))
+        .agg(
+            F.sum("__n_tok").alias("__bsum"),
+            F.count("__n_tok").alias("__bnn"),  # non-NULL counts
+        )
         .select(
             *keys,
             BUCKET,
@@ -239,9 +250,26 @@ def _token_budget_filter_skewed(
                 ),
                 F.lit(0),
             ).alias("__toff"),
+            F.coalesce(
+                F.sum("__bnn").over(
+                    wk.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("__nnoff"),
         )
     )
-    cum = F.sum("__n_tok").over(w) + F.coalesce(F.col("__toff"), F.lit(0))
+    # NULL semantics must mirror the plain window exactly (code-review
+    # r7): sum() skips NULLs, so cum_tokens is NULL only while the
+    # ENTIRE per-stratum prefix (local + prior buckets) has zero
+    # non-NULL token counts — an all-NULL bucket prefix must still
+    # carry the prior buckets' total forward, not poison it to NULL.
+    nn_total = F.count("__n_tok").over(w) + F.coalesce(
+        F.col("__nnoff"), F.lit(0)
+    )
+    cum = F.when(nn_total == 0, F.lit(None).cast("bigint")).otherwise(
+        F.coalesce(F.sum("__n_tok").over(w), F.lit(0))
+        + F.coalesce(F.col("__toff"), F.lit(0))
+    )
     return (
         bucketed.join(offsets, [*keys, BUCKET], "left")
         .select(

@@ -33,13 +33,6 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _order_bucketable(df: DataFrame, col: str) -> bool:
-    """See :func:`~.skew_windows.order_bucketable` (shared guard)."""
-    from .skew_windows import order_bucketable
-
-    return order_bucketable(df, col)
-
-
 def _global_lag_parts(
     df: DataFrame,
     key_col: str,
@@ -84,8 +77,14 @@ def _global_lag_parts(
     # a NULL value must survive as a lag result) and sort_array orders
     # them by the order_cols prefix.
     src_cols = list(dict.fromkeys([key_col, *order_cols, value_col]))
-    src = _bucket_rows(
-        df.select(*src_cols), keys, oc0, hot_edges, "inner"
+    # the explicit (key, bucket) exchange is load-bearing for the tail
+    # window too (code-review r7): a df arriving hash-partitioned by
+    # key alone SATISFIES the window's clustering by the subset rule
+    # and would sort the hot key's whole history in one task — the
+    # exact straggler this pipeline exists to remove
+    src = _bucketed_exchange(
+        _bucket_rows(df.select(*src_cols), keys, oc0, hot_edges, "inner"),
+        keys,
     ) if harvested else bucketed
     wt = Window.partitionBy(key_col, BUCKET).orderBy(
         *[F.col(c).desc() for c in order_cols]
@@ -162,9 +161,9 @@ def event_ngrams(
     edges' domain) — other types silently keep the plain window."""
     if n < 2:
         raise ValueError("event_ngrams: n must be >= 2")
-    if skew_protection and _order_bucketable(df, order_cols[0]):
-        from .skew_windows import resolve_skew_protection
+    from .skew_windows import order_bucketable, resolve_skew_protection
 
+    if skew_protection and order_bucketable(df, order_cols[0]):
         engaged, edges = resolve_skew_protection(
             df, key_col, order_cols[0], skew_protection, hot_key_rows,
             n_ts_buckets, sample_salt_cols=order_cols[1:],
@@ -270,9 +269,9 @@ def transition_matrix(
     probability P(to | from). One window + one agg + a broadcast-sized
     per-state total joined back. Same ``skew_protection`` contract as
     :func:`event_ngrams` (the lag(1) window is the straggler)."""
-    if skew_protection and _order_bucketable(df, order_cols[0]):
-        from .skew_windows import resolve_skew_protection
+    from .skew_windows import order_bucketable, resolve_skew_protection
 
+    if skew_protection and order_bucketable(df, order_cols[0]):
         engaged, edges = resolve_skew_protection(
             df, key_col, order_cols[0], skew_protection, hot_key_rows,
             n_ts_buckets, sample_salt_cols=order_cols[1:],

@@ -643,6 +643,7 @@ def topk_per_key(
     skew_protection: bool | str = "auto",
     hot_key_rows: int = 5_000_000,
     n_salts: int = 32,
+    probe: DataFrame | None = None,
 ) -> DataFrame:
     """Top-``k`` rows per key under ``order_by`` (a total order — pass
     a tiebreak column, exactly as a plain ``row_number`` would need),
@@ -665,7 +666,18 @@ def topk_per_key(
     non-key column). ``skew_protection`` follows the engine contract:
     ``"auto"`` (default) pays one bounded sampled count probe and
     salts only when a key exceeds ``hot_key_rows``; ``False`` is the
-    plain single-window plan; ``True`` forces salting."""
+    plain single-window plan; ``True`` forces salting.
+
+    ``probe``: optional CHEAPER stand-in for the auto gate's count
+    probe — the probe action executes ``df``'s (possibly expensive,
+    un-cached) lineage once, so a caller holding an upstream frame
+    whose per-key row counts UPPER-BOUND ``df``'s (e.g. the
+    pre-aggregation fact rows) can gate on that instead. The probe
+    only picks the plan; over-detection engages salting harmlessly and
+    correctness never depends on it. Callers whose input lineage is
+    itself a heavy join should pass ``skew_protection=True`` outright —
+    forced salting costs one extra bounded window, cheaper than any
+    probe re-execution (code-review r7)."""
     keys = _as_list(key_cols)
     if salt_cols is None:
         salt_cols = [c for c in df.columns if c not in keys]
@@ -673,9 +685,13 @@ def topk_per_key(
         raise ValueError(
             "topk_per_key: salt_cols must name at least one non-key column"
         )
+    gate_df = probe if probe is not None else df
+    gate_salts = [c for c in salt_cols if c in gate_df.columns]
+    if not gate_salts:
+        gate_salts = [c for c in gate_df.columns if c not in keys]
     engaged = engage_skew_protection(
-        df, keys, salt_cols[0], skew_protection, hot_key_rows, n_salts,
-        sample_salt_cols=salt_cols[1:],
+        gate_df, keys, gate_salts[0], skew_protection, hot_key_rows, n_salts,
+        sample_salt_cols=gate_salts[1:],
     )
     if not engaged:
         w = Window.partitionBy(*keys).orderBy(*order_by)

@@ -160,3 +160,22 @@ def test_distinct_sketch_nulls_ignored_and_binary_state(spark):
         for r in finalize(state, [], ["v"]).collect()
     }
     assert got == {"a": 2, "b": 0}
+
+
+def test_distinct_sketch_nondefault_lgk_refresh(spark, events):
+    """code-review r7: hll_lgk threads through incremental_refresh so
+    a non-default-lgK state folds instead of crashing on the first
+    delta (hll_union_agg rejects mixed lgConfigK)."""
+    keys, dc = ["event_type"], ["user_id"]
+    b0 = events.filter(F.pmod(F.col("event_id"), 2) == 0)
+    b1 = events.filter(F.pmod(F.col("event_id"), 2) == 1)
+    state = incremental_refresh(None, b0, keys, [], dc, hll_lgk=14)
+    state = incremental_refresh(state, b1, keys, [], dc, hll_lgk=14)
+    got = _canon(
+        finalize(state, [], dc).select("event_type", "user_id_approx_distinct")
+    )
+    want = _canon(
+        finalize(agg_state(events, keys, [], dc, hll_lgk=14), [], dc)
+        .select("event_type", "user_id_approx_distinct")
+    )
+    assert got == want

@@ -1185,3 +1185,42 @@ def test_token_budget_auto_skew_protection(spark):
     assert "__b" not in formatted_plan(cold)
     assert "__b" in formatted_plan(auto)
     assert _norm(auto) == _norm(off)  # integers: bit-exact, not approx
+
+
+def test_token_budget_skewed_null_token_counts(spark):
+    """code-review r7: a bucket whose LEADING rows have NULL token
+    counts must carry the prior buckets' total forward (plain sum()
+    skips NULLs), not poison cum_tokens to NULL — and an all-NULL
+    prefix must still be NULL, exactly like the plain window."""
+    from architrave_project_apache_nifi_spark.operators import sampling as sp
+
+    rows = [
+        # hot stratum 0: NULL tokens in runs of 2 every 5 rows, so
+        # percentile bucket boundaries land on NULL-leading rows
+        (0, i, None if i % 5 < 2 else (i % 97 + 1)) for i in range(1200)
+    ] + [
+        # stratum 1: ALL NULL (cum must stay NULL throughout)
+        (1, i, None) for i in range(40)
+    ] + [
+        (2 + (i % 20), 10_000 + i, i % 50 + 1) for i in range(800)
+    ]
+    ev = spark.createDataFrame(rows, "source INT, doc_id LONG, n INT")
+    off = sp.token_budget_filter(
+        ev, ["source"], "doc_id", F.col("n"), 5000, skew_protection=False
+    )
+    auto = sp.token_budget_filter(
+        ev, ["source"], "doc_id", F.col("n"), 5000,
+        hot_key_rows=300, n_ts_buckets=6,
+    )
+    assert "__b" in formatted_plan(auto)
+    assert _norm(auto) == _norm(off)
+
+    # forced protection on a non-bucketable id must raise, not
+    # silently keep the plain window
+    import pytest
+
+    ev_s = ev.withColumn("sid", F.format_string("d%09d", "doc_id"))
+    with pytest.raises(ValueError, match="id_col"):
+        sp.token_budget_filter(
+            ev_s, ["source"], "sid", F.col("n"), 5000, skew_protection=True
+        )
