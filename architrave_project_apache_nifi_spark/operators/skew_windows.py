@@ -433,6 +433,11 @@ def sessionize_skewed(
     # whose identical subtree AQE stage-reuses; cold keys' summary rows
     # then JOIN to the same identity values the coalesces synthesize,
     # so both modes share every expression below.
+    # (shape note, r7: the sequences twin's semi-join-above-the-shared-
+    # exchange was measured HERE too and lost — 1.46x vs this pruned
+    # pipeline's 1.12x — because sessionize consumes hot_rows twice,
+    # summ agg + flag window, and the semi hands both branches
+    # full-width rows where this pipeline hands them three columns)
     hot_cols = list(dict.fromkeys([*keys, ts_col, *order_cols]))
     hot_rows = _bucketed_exchange(
         _bucket_rows(df.select(*hot_cols), keys, ts_col, hot_edges, "inner"),
