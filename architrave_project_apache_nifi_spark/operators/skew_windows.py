@@ -928,13 +928,26 @@ def _asof_join_skewed_directional(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # bucket carry: the last RIGHT row's value in scan order — left
-    # rows contribute a NULL ordering key, which max_by/min_by skip
+    # rows contribute a NULL ordering key, which max_by/min_by skip.
+    # Harvested edges (r7): the carry is identity for cold keys (one
+    # bucket — the in-window `last` covers it and their carry join-miss
+    # NULL equals the lag-NULL the all-keys summary produced), so a
+    # broadcast SEMI against the bounded edge keys ABOVE the shared
+    # exchange cuts the summary agg to hot rows. Single consumer and a
+    # pure agg, so neither measured counter-case applies (sessionize's
+    # double consumption, the filter-pushdown subtree trap); crucially
+    # it also never re-executes the union lineage — this path runs
+    # inside trailing_range_window over the derived cumulative table.
     right_ord = F.when(
         F.col("__is_left") == 0,
         F.struct(F.col("__ts"), *[F.col(c) for c in right_order_cols]),
     )
     pick_last = F.min_by if forward else F.max_by
-    summ = bucketed.groupBy(*keys, BUCKET).agg(
+    summ_src = (
+        bucketed.join(hot_edges.select(*keys), keys, "semi")
+        if hot_edges is not None else bucketed
+    )
+    summ = summ_src.groupBy(*keys, BUCKET).agg(
         pick_last(F.col("__rv"), right_ord).alias("__bucket_last")
     )
     wk = Window.partitionBy(*keys).orderBy(scan_dir(F.col(BUCKET)))
