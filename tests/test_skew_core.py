@@ -804,6 +804,14 @@ def test_hot_detection_sampled_branch_and_salt(spark):
         "sample (update the pinned timestamps if the hash changed)"
     )
 
+    # parity with EXACT counting (VERDICT r7 #4): hot_key_rows=200 <
+    # 100*n_ts_buckets(4) -> denom=1, no sampling — the salted sampled
+    # decision above must agree with the exact one
+    exact = has_hot_keys(
+        coarse, "ProductID", "change_ts", hot_key_rows=200, n_ts_buckets=4
+    )
+    assert exact == salted, "sampled+salted detection diverged from exact"
+
 
 def test_auto_skew_protection_asof_both_directions(spark):
     """asof_join / asof_join_forward share the auto gate (r7): the
@@ -1224,3 +1232,86 @@ def test_token_budget_skewed_null_token_counts(spark):
         sp.token_budget_filter(
             ev_s, ["source"], "sid", F.col("n"), 5000, skew_protection=True
         )
+
+
+# provably-small short-circuit (VERDICT r7 #1): zero probe jobs when a
+# parquet footer bound proves no key can reach hot_key_rows
+
+
+def test_row_count_upper_bound_parquet_chain(spark):
+    """The bound is exact on the shapes the plain entry points feed the
+    auto gate — scan, scan+project+filter, sort/limit/repartition — and
+    refuses (None) any shape that could multiply rows or hide the
+    count: joins, unions, aggregates, createDataFrame (LogicalRDD)."""
+    from architrave_project_apache_nifi_spark.operators.skew_windows import (
+        row_count_upper_bound,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    n = ev.count()
+    assert row_count_upper_bound(ev, 10**9) == n
+    chain = (
+        ev.select("user_id", "ts", "value")
+        .filter(F.col("user_id").isNotNull())
+        .sort("ts")
+        .repartition(4)
+    )
+    assert row_count_upper_bound(chain, 10**9) == n
+    # early exit: once the running footer total reaches stop_at the
+    # driver stops reading — the return is still >= stop_at, which is
+    # all the caller compares against
+    assert row_count_upper_bound(ev, 5) >= 5
+
+    # union (the as-of gate's probe shape): inputFiles dedupes the
+    # shared file, so the bound is footer-total x n_leaves — an upper
+    # bound (here exact because both branches scan the whole file)
+    assert row_count_upper_bound(ev.union(ev), 10**9) == 2 * n
+
+    # unsafe shapes -> None (probe must run)
+    assert (
+        row_count_upper_bound(
+            ev.alias("a").join(ev.alias("b"), "user_id"), 10**9
+        )
+        is None
+    )
+    assert row_count_upper_bound(ev.groupBy("user_id").count(), 10**9) is None
+    local = spark.createDataFrame([(1,)], "x INT")
+    assert row_count_upper_bound(local, 10**9) is None
+    # explode multiplies rows -> must refuse
+    arr = ev.select(F.array(F.lit(1), F.lit(2)).alias("a"))
+    assert row_count_upper_bound(arr.select(F.explode("a")), 10**9) is None
+
+
+def test_auto_gate_short_circuits_on_small_parquet(spark, monkeypatch):
+    """has_hot_keys / _detect_hot_keys on a footer-bounded input return
+    False WITHOUT running the sampled probe (the fix for
+    window_running_spend's 2.02x: probe cost ~= query cost at sf0.1).
+    Patching the sample constructor to raise proves zero probe work;
+    the same call with a sub-bound threshold still runs and detects."""
+    import architrave_project_apache_nifi_spark.operators.skew_windows as sw
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    n = ev.count()
+
+    def _boom(*a, **k):
+        raise AssertionError("probe ran despite a provably-small input")
+
+    monkeypatch.setattr(sw, "_detection_sample", _boom)
+    assert sw.has_hot_keys(ev, "user_id", "ts", hot_key_rows=n) is False
+    engaged, hot = sw._detect_hot_keys(
+        ev, ["user_id"], ["ts"], hot_key_rows=n, n_salts=8
+    )
+    assert engaged is False and hot is None
+    monkeypatch.undo()
+
+    # threshold below the bound: the probe DOES run (exact, denom=1)
+    # and the hot key in this corpus is only as hot as its true count
+    per_key_max = (
+        ev.groupBy("user_id").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert sw.has_hot_keys(
+        ev, "user_id", "ts", hot_key_rows=per_key_max - 1, n_ts_buckets=2
+    )
+    assert not sw.has_hot_keys(
+        ev, "user_id", "ts", hot_key_rows=per_key_max, n_ts_buckets=2
+    )
