@@ -5824,31 +5824,40 @@ _OVERFLOW = [
     # round 5: substring-span rewrite — scoring twin span_duplication
     # is in-window-adjacent; the rewrite is the new surface
     "dedup_spans_rewrite",
-    # round 7: real BMP/WAV codec — plumbing twin multimodal_decode_stub
-    # is in-window; the pure-numpy parsers are the new surface
-    "multimodal_decode_real",
-    # round 7: sequences skew twin — mechanics twin event_trigram_counts
-    # is already overflow-oracled; the tail-carry bucketing is the new
-    # surface (same remedy family as sessionize_skew_salted)
-    "event_trigrams_skew_salted",
-    # round 7: skew-safe top-k — mechanics twin window_latest_event
-    # (rank window) is in-window; the two-phase salted rank is the new
-    # surface (backs the cooccurrence heavy-user cap)
-    "topk_per_key_skew_salted",
-    # round 7: token-budget twin — mechanics twin token_budget_per_source
-    # is in-window; the bucketed integer prefix sum is the new surface
-    "token_budget_skew_salted",
+    # round 8 rotation (VERDICT r7 #2): the four r7 surfaces
+    # multimodal_decode_real / event_trigrams_skew_salted /
+    # topk_per_key_skew_salted / token_budget_skew_salted ENTER the
+    # graded window; the five below leave, each with an in-window (or
+    # strictly-stronger entering) mechanical twin:
+    "multimodal_decode_stub",  # strictly weaker than entering multimodal_decode_real (same plumbing, fake codec)
+    "scd2_build_with_deletes",  # tombstone variant of in-window scd2_build; 6 scd2 shapes remain in-window
+    "exists_routes_urgent_orders",  # semi/anti routing ≈ q21/q22 decorrelated EXISTS in-window
+    "salted_agg_user_stats",  # agg salting ≈ entering topk_per_key_skew_salted (two-phase salt)
+    "array_agg_user_events",  # collect_list/array agg ≈ seq_pack + pivot_user_event_matrix in-window
 ]
+
+# Rows-only entries promoted INTO the driver's 50-entry gate window
+# (the driver records the first 50 registered queries; an entry with
+# no oracle gets the weaker rows-only check — better a rows-only row
+# in CORRECTNESS than none for a flagship family). r8: the HLL
+# incremental rollup (VERDICT r7 #2; estimates are not
+# SQL-expressible — split-vs-direct equality is CI-pinned in
+# test_incremental_agg.py).
+_WINDOW_ROWS_ONLY = ["incremental_distinct_rollup"]
 
 
 def _ordered_names() -> list[str]:
     ov = set(_OVERFLOW)
+    promoted = [n for n in _WINDOW_ROWS_ONLY if n in REGISTRY]
     windowed = [
         n for n, s in REGISTRY.items() if s.oracle is not None and n not in ov
     ]
     overflow = [n for n in _OVERFLOW if n in REGISTRY]
-    rows_only = [n for n, s in REGISTRY.items() if s.oracle is None]
-    return windowed + overflow + rows_only
+    rows_only = [
+        n for n, s in REGISTRY.items()
+        if s.oracle is None and n not in promoted
+    ]
+    return windowed + promoted + overflow + rows_only
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -11,10 +11,10 @@ the driver's exact compare (scripts/check_oracles.compare_one — row
 count, sorted columns, sorted normalized values vs DuckDB) for every
 overflow entry at sf0.001 on every pytest run.
 
-Also pins the window arithmetic itself: exactly 50 oracled entries
-ahead of the overflow boundary, so adding a query without placing it
-deliberately fails HERE instead of silently pushing entry #50 out of
-the graded gate.
+Also pins the window arithmetic itself: exactly 50 entries ahead of
+the overflow boundary (oracled window + promoted rows-only, r8), so
+adding a query without placing it deliberately fails HERE instead of
+silently pushing entry #50 out of the graded gate.
 """
 
 from __future__ import annotations
@@ -28,7 +28,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
 
 from check_oracles import compare_one, duckdb_con  # noqa: E402
 
-from architrave_project_apache_nifi_spark.queries import _OVERFLOW, REGISTRY  # noqa: E402
+from architrave_project_apache_nifi_spark.queries import (  # noqa: E402
+    _OVERFLOW,
+    _WINDOW_ROWS_ONLY,
+    REGISTRY,
+    _ordered_names,
+)
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -38,12 +43,22 @@ def test_window_is_exactly_fifty():
     windowed = [
         n for n, s in REGISTRY.items() if s.oracle is not None and n not in ov
     ]
-    assert len(windowed) == 50, (
-        f"{len(windowed)} oracled entries ahead of the overflow boundary; "
-        "the driver checks exactly 50 — rebalance queries._OVERFLOW"
+    in_window = len(windowed) + len(_WINDOW_ROWS_ONLY)
+    assert in_window == 50, (
+        f"{in_window} entries ahead of the overflow boundary "
+        f"({len(windowed)} oracled + {len(_WINDOW_ROWS_ONLY)} promoted "
+        "rows-only); the driver checks exactly 50 — rebalance "
+        "queries._OVERFLOW"
     )
+    # the ordering must actually place them first (the driver takes
+    # the first 50 registered queries in order)
+    first_50 = _ordered_names()[:50]
+    assert set(first_50) == set(windowed) | set(_WINDOW_ROWS_ONLY)
     unknown = [n for n in _OVERFLOW if n not in REGISTRY]
     assert not unknown, f"_OVERFLOW names not in REGISTRY: {unknown}"
+    assert not set(_WINDOW_ROWS_ONLY) & ov, (
+        "a name cannot be both promoted and overflow"
+    )
 
 
 @pytest.fixture(scope="module")
