@@ -87,6 +87,162 @@ def _shingle_sets(
     ).repartition(n_parts, F.xxhash64(F.col("__id")))
 
 
+# --- Arrow/numpy minhash band path (r8, VERDICT r7 #6 adjudication) ---
+# Bit-exact numpy replication of Spark's xxhash64 so the Arrow stage is
+# a drop-in plan swap: same shingle hashes in, same band keys out. Spark
+# hashes multi-arg xxhash64 by folding each argument through the 8-byte
+# (long) or 4-byte (int) XXH64 short path with the running hash as seed;
+# constants and rotations below mirror that (verified element-wise
+# against F.xxhash64 in tests/test_dedup.py::test_arrow_band_path).
+
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+
+
+def _np_xxh64(v, seed, *, nbytes: int):
+    """XXH64 of one 8-byte (long) or 4-byte (int) value; ``v`` and
+    ``seed`` are uint64 scalars/arrays (numpy, overflow wraps)."""
+    import numpy as np
+
+    u = np.uint64
+    p1, p2, p3, p4, p5 = (u(_XXH_P1), u(_XXH_P2), u(_XXH_P3), u(_XXH_P4),
+                          u(_XXH_P5))
+
+    def rotl(x, r):
+        return (x << u(r)) | (x >> u(64 - r))
+
+    if nbytes == 8:
+        h = seed + p5 + u(8)
+        k1 = rotl(v * p2, 31) * p1
+        h = rotl(h ^ k1, 27) * p1 + p4
+    else:
+        h = seed + p5 + u(4)
+        h = rotl(h ^ ((v & u(0xFFFFFFFF)) * p1), 23) * p2 + p3
+    h ^= h >> u(33)
+    h *= p2
+    h ^= h >> u(29)
+    h *= p3
+    h ^= h >> u(32)
+    return h
+
+
+def _np_band_keys(cells, num_hashes: int, bands: int):
+    """Band keys for a batch of pre-hashed shingle arrays — the numpy
+    twin of the ``minhash_lsh_candidates`` band expression:
+    ``band[b] = fold(xxhash64, 0L, [min_i xxhash64(sh, i)])``. Returns
+    an int64 (ndocs, bands) matrix plus the int64 (ndocs, num_hashes)
+    signature matrix (callers wanting signatures reuse the same pass).
+
+    Null/empty cells replicate the expression semantics: every minimum
+    is NULL, and Spark's xxhash64 SKIPS null arguments, so the band
+    fold degenerates to ``acc = xxh64_long(acc, seed=42)`` per row of
+    the band (pinned in the parity test with a null-text doc)."""
+    import numpy as np
+
+    u64 = np.uint64
+    rows_per_band = num_hashes // bands
+    lengths = np.fromiter(
+        (0 if c is None else len(c) for c in cells), dtype=np.int64,
+        count=len(cells),
+    )
+    good = lengths > 0
+    flat = (
+        np.concatenate([np.asarray(c, dtype=np.int64) for c in cells if
+                        c is not None and len(c)])
+        if good.any() else np.empty(0, dtype=np.int64)
+    )
+    starts = np.zeros(int(good.sum()), dtype=np.int64)
+    if len(starts) > 1:
+        np.cumsum(lengths[good][:-1], out=starts[1:])
+    h42 = _np_xxh64(flat.view(u64), u64(42), nbytes=8)
+
+    sig_good = np.empty((int(good.sum()), num_hashes), dtype=np.int64)
+    for i in range(num_hashes):
+        full = _np_xxh64(u64(i), h42, nbytes=4).view(np.int64)
+        if len(starts):
+            sig_good[:, i] = np.minimum.reduceat(full, starts)
+    band_good = np.zeros((sig_good.shape[0], bands), dtype=np.uint64)
+    for b in range(bands):
+        acc = np.zeros(sig_good.shape[0], dtype=np.uint64)
+        for r in range(rows_per_band):
+            m = sig_good[:, b * rows_per_band + r].view(np.uint64)
+            acc = _np_xxh64(m, _np_xxh64(acc, u64(42), nbytes=8), nbytes=8)
+        band_good[:, b] = acc
+
+    # null/empty docs: acc folds over NULL mins — each step only
+    # rehashes the accumulator
+    acc = u64(0)
+    for _ in range(rows_per_band):
+        acc = _np_xxh64(acc, u64(42), nbytes=8)
+    band = np.full(
+        (len(cells), bands), np.int64(acc), dtype=np.int64
+    )
+    band[good] = band_good.view(np.int64)
+    return good, sig_good, band
+
+
+# Measured crossover (scripts/adjudicate_minhash_arrow.py, isolated
+# fresh-JVM min-of-passes): sf0.1 (5k docs) expr 1.67 s vs arrow 2.91 s
+# (fixed Arrow transfer dominates); sf1 (50k docs) expr 5.72 s vs arrow
+# 4.28 s (1.34×, over the ship bar). Linear fixed+per-doc fit puts the
+# break-even at ~26k docs of this corpus shape.
+_ARROW_BANDS_MIN_DOCS = 25_000
+
+
+def _auto_band_impl(df: DataFrame, threshold: int = _ARROW_BANDS_MIN_DOCS) -> str:
+    """Zero-job scale switch for ``band_impl="auto"`` — the same
+    parquet-footer bound the skew gate uses (VERDICT r7 #6 adjudicated
+    at sf1: arrow ≥1.3× there, 1.7× SLOWER at sf0.1, so neither is a
+    safe static default). Over ``threshold`` docs (or a
+    many-files dataset too big to footer-stat) → arrow; provably small
+    or unknowable (local relations, exotic plans) → expr, today's
+    behavior. The decision is perf-only — both paths are bit-exact."""
+    from .skew_windows import row_count_upper_bound
+
+    bound = row_count_upper_bound(df, threshold + 1)
+    if bound is not None:
+        return "arrow" if bound > threshold else "expr"
+    try:
+        # bound unknowable but the dataset is a wide multi-file scan →
+        # it dwarfs the crossover; any miss here is a bounded perf
+        # trade on an already-multi-second stage
+        if len(df.inputFiles()) > 64:
+            return "arrow"
+    except Exception:
+        pass
+    return "expr"
+
+
+def _arrow_bands(
+    shs: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """``(id, __bands)`` via one Arrow-batched ``mapInPandas`` pass over
+    the materialized shingle sets — the vectorized twin of the band
+    expression in :func:`minhash_lsh_candidates`. The expression path's
+    nested array ``transform``/``aggregate`` lambdas run INTERPRETED
+    per element (the r5 measured HOF trap); this pass does the same
+    ``num_hashes × |shingles|`` hash work as ~10 uint64 vector ops per
+    hash function over the whole Arrow batch."""
+    id_type = dict(shs.dtypes)["__id"]
+    out_schema = f"`{id_col}` {id_type}, __bands array<bigint>"
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            good, _sig, band = _np_band_keys(
+                list(pdf["__shs"]), num_hashes, bands
+            )
+            yield pd.DataFrame(
+                {id_col: pdf["__id"], "__bands": list(band)}
+            )
+
+    return shs.mapInPandas(gen, out_schema)
+
+
 def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup: keep the smallest id per identical text. One hash
     aggregate; at scale pre-hash the text (``xxhash64``) so the shuffle
@@ -176,10 +332,23 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_n: int = 3,
     max_band_bucket: int | None = None,
+    band_impl: str = "auto",
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH: docs agreeing on any
     full band of ``num_hashes/bands`` minhashes collide. Returns
     distinct (id_a < id_b) pairs.
+
+    ``band_impl``: ``"expr"`` computes band keys as the Column
+    expression below; ``"arrow"`` routes them through the bit-exact
+    numpy twin :func:`_arrow_bands` (same keys, same pairs —
+    parity-pinned in tests). The expression's nested array lambdas run
+    INTERPRETED per element, so the Arrow path wins once per-doc
+    shingle counts × num_hashes dominate the stage — measured 1.34× at
+    sf1, 1.7× SLOWER at sf0.1 where the fixed Arrow transfer dominates
+    (BASELINE.md r8 adjudication). ``"auto"`` (default) picks by a
+    zero-job parquet-footer doc-count bound (:func:`_auto_band_impl`),
+    so the gate/bench scale keeps the expression plan and a production
+    corpus gets the vectorized one.
 
     Band hashes are computed straight from the materialized (pre-hashed)
     shingle array in ONE projection — each of the ``num_hashes`` minima
@@ -218,6 +387,12 @@ def minhash_lsh_candidates(
     adversarial corpus inflates it (no hint, no eager count; see
     ``_salt_hot_bands``)."""
     assert num_hashes % bands == 0
+    if band_impl == "auto":
+        band_impl = _auto_band_impl(df)
+    if band_impl not in ("expr", "arrow"):
+        raise ValueError(
+            f"band_impl must be 'expr', 'arrow' or 'auto', got {band_impl!r}"
+        )
     rows_per_band = num_hashes // bands
     shs = _shingle_sets(df, id_col, text_col, shingle_n)
     band_arr = F.transform(
@@ -233,8 +408,13 @@ def minhash_lsh_candidates(
             lambda acc, m: F.xxhash64(acc, m),
         ),
     )
+    with_bands = (
+        _arrow_bands(shs, id_col, num_hashes, bands)
+        if band_impl == "arrow"
+        else shs.select(F.col("__id").alias(id_col), band_arr.alias("__bands"))
+    )
     banded = (
-        shs.select(F.col("__id").alias(id_col), band_arr.alias("__bands"))
+        with_bands
         .repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
         .select(
             F.col(id_col),

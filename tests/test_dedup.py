@@ -332,3 +332,92 @@ def test_dedup_spans_rewrite_property_vs_reference(spark):
         assert got == expect, {
             k: (got[k], expect[k]) for k in expect if got[k] != expect[k]
         }
+
+
+def test_arrow_band_path(spark):
+    """The Arrow/numpy band stage (r8, VERDICT r7 #6) is a BIT-EXACT
+    drop-in for the band expression: same xxhash64 fold semantics
+    (long/int short paths, null arguments skipped), same band keys,
+    same candidate pairs — including the degenerate docs (empty text,
+    null text, sub-shingle text) whose mins are NULL."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [(900001, ""), (900002, None), (900003, "one"),
+         (900004, "a b c d e f g")],
+        "doc_id LONG, text STRING",
+    )
+    docs = docs.union(extra)
+
+    # band-key level: every (doc, band) key identical
+    shs = dd._shingle_sets(docs, "doc_id", "text", 3)
+    rows_per_band = 4
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda b: F.aggregate(
+            F.transform(
+                F.sequence(b * rows_per_band, (b + 1) * rows_per_band - 1),
+                lambda i: F.array_min(
+                    F.transform(F.col("__shs"), lambda h: F.xxhash64(h, i))
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, m: F.xxhash64(acc, m),
+        ),
+    )
+    expr = {
+        r[0]: list(r[1])
+        for r in shs.select(F.col("__id"), band_arr.alias("b")).collect()
+    }
+    arrow = {
+        r[0]: list(r[1])
+        for r in dd._arrow_bands(shs, "doc_id", 64, 16).collect()
+    }
+    assert expr == arrow
+
+    # pair level: identical candidate sets through the full pipeline
+    pa = sorted(map(tuple, dd.minhash_lsh_candidates(
+        docs, "doc_id", "text", 64, 16, 3, band_impl="expr"
+    ).collect()))
+    pb = sorted(map(tuple, dd.minhash_lsh_candidates(
+        docs, "doc_id", "text", 64, 16, 3, band_impl="arrow"
+    ).collect()))
+    assert pa == pb and len(pa) > 0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="band_impl"):
+        dd.minhash_lsh_candidates(
+            docs, "doc_id", "text", 64, 16, 3, band_impl="numpy"
+        )
+
+
+def test_auto_band_impl_scale_switch(spark):
+    """band_impl='auto' (r8): provably-small parquet corpora keep the
+    expression plan (no mapInPandas stage — the sf0.1-measured 1.7x
+    fixed-cost loss); over the measured ~26k-doc crossover the
+    vectorized Arrow stage is picked; unknowable inputs (local
+    relations) stay expr."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    assert dd._auto_band_impl(docs) == "expr"
+    assert dd._auto_band_impl(docs, threshold=10) == "arrow"
+    local = spark.createDataFrame([(1, "a b c d")], "doc_id LONG, text STRING")
+    assert dd._auto_band_impl(local) == "expr"
+
+    # the auto default reaches the plan: small corpus -> no Arrow eval
+    # node; forced arrow -> one
+    from architrave_project_apache_nifi_spark.plans.inspect import formatted_plan
+
+    plan_auto = formatted_plan(
+        dd.minhash_lsh_candidates(docs, "doc_id", "text", 64, 16, 3)
+    )
+    plan_arrow = formatted_plan(
+        dd.minhash_lsh_candidates(
+            docs, "doc_id", "text", 64, 16, 3, band_impl="arrow"
+        )
+    )
+    assert "ArrowEvalPython" not in plan_auto and "MapInPandas" not in plan_auto
+    assert "MapInPandas" in plan_arrow
