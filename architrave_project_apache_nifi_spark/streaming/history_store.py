@@ -52,6 +52,11 @@ from pyspark.sql import functions as F
 MANIFEST = "_MANIFEST.json"
 BUCKET = "__bucket"
 
+# Concurrency of the two per-batch commit writes (closed delta +
+# current buckets) — see Scd2Store.commit. 1 = sequential (the pre-r8
+# protocol, kept as a measurement/debug knob).
+_COMMIT_POOL_WORKERS = 2
+
 
 class Scd2Store:
     """Manifest-gated SCD2 history store (see module docstring).
@@ -305,6 +310,8 @@ class Scd2Store:
         prev_refs: dict[str, int] = dict(m["current_buckets"]) if m else {}
 
         closed_dir = self._closed_dir(batch_id)
+        version_dir = os.path.join(self.path, "current", f"v={batch_id}")
+
         # repartition to n_buckets before writing: the merge plan ends
         # at shuffle.partitions (32+) tasks, so the unshuffled write
         # emits ~tasks×buckets near-empty parquet files per batch plus
@@ -313,15 +320,34 @@ class Scd2Store:
         # buys one file per bucket (the small-files story this store
         # exists to control; compact_closed then has ~32× fewer files
         # to fold)
-        closed_delta.repartition(
-            self.n_buckets, F.col(self.key_col)
-        ).write.mode("overwrite").parquet(closed_dir)
+        def _write_closed() -> None:
+            closed_delta.repartition(
+                self.n_buckets, F.col(self.key_col)
+            ).write.mode("overwrite").parquet(closed_dir)
 
-        version_dir = os.path.join(self.path, "current", f"v={batch_id}")
-        bucketed = new_current.withColumn(BUCKET, self.bucket_expr())
-        bucketed.repartition(F.col(BUCKET)).write.mode("overwrite").partitionBy(
-            BUCKET
-        ).parquet(version_dir)
+        def _write_current() -> None:
+            bucketed = new_current.withColumn(BUCKET, self.bucket_expr())
+            bucketed.repartition(F.col(BUCKET)).write.mode(
+                "overwrite"
+            ).partitionBy(BUCKET).parquet(version_dir)
+
+        # The two writes run CONCURRENTLY (r8, VERDICT r7 #7): each is
+        # fixed-overhead dominated on a micro-batch (commit-protocol
+        # renames + writer init, not data volume — the 32 threads are
+        # mostly idle during either), and the crash protocol never
+        # ordered them: both target version-addressed directories that
+        # are orphans until the manifest flip below, which still
+        # happens strictly after BOTH complete. They share the
+        # caller-persisted `merged` lineage; cache block locks dedupe
+        # the materialization. Interleaved A/B in BASELINE.md r8:
+        # 1.21× rows/s on the bench replay. `_COMMIT_POOL_WORKERS = 1`
+        # restores the sequential protocol (measurement/debug knob).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=_COMMIT_POOL_WORKERS) as pool:
+            futs = [pool.submit(_write_closed), pool.submit(_write_current)]
+            for f in futs:
+                f.result()
         written = {
             int(d.split("=", 1)[1])
             for d in os.listdir(version_dir)
