@@ -269,6 +269,23 @@ def scd2_expire(history: DataFrame, until_ts=None) -> DataFrame:
     )
 
 
+def _fits_broadcast(
+    changes: DataFrame, summary: DataFrame, max_keys: int
+) -> bool:
+    """Broadcast-gate for a per-key summary of ``changes`` — with ZERO
+    jobs when parquet footers prove the changes row count (an upper
+    bound on the summary's key count: one row per key) is under
+    ``max_keys`` (r8, same machinery as the skew-gate short-circuit);
+    otherwise the pre-r8 behavior, one measured count of the small
+    map-side-combined summary."""
+    from .skew_windows import row_count_upper_bound
+
+    bound = row_count_upper_bound(changes, max_keys + 1)
+    if bound is not None and bound <= max_keys:
+        return True
+    return summary.count() <= max_keys
+
+
 def scd2_apply(
     history: DataFrame,
     changes: DataFrame,
@@ -312,9 +329,12 @@ def scd2_apply(
 
     first_change = changes.groupBy(*keys).agg(F.min(ts_col).alias("__first_change_ts"))
     if broadcast_changes is None:
-        # measured, not guessed: the count re-runs only the small summary
+        # measured, not guessed (and footer-proved when provable —
+        # zero jobs): the fallback count re-runs only the small summary
         # aggregation (partial-agg'd map-side), never the history scan
-        broadcast_changes = first_change.count() <= max_broadcast_keys
+        broadcast_changes = _fits_broadcast(
+            changes, first_change, max_broadcast_keys
+        )
     if broadcast_changes:
         first_change = F.broadcast(first_change)
 
@@ -371,10 +391,10 @@ def scd2_split_late(
     """
     keys = _as_list(key_cols)
     touched = changes.select(*keys).distinct()
-    # One measured count gates BOTH broadcasts: `latest` is one row per
+    # One gate decides BOTH broadcasts: `latest` is one row per
     # touched key (same cardinality), so a >max_broadcast_keys batch must
     # shuffle-join on both sides or the second broadcast OOMs the driver.
-    small_batch = touched.count() <= max_broadcast_keys
+    small_batch = _fits_broadcast(changes, touched, max_broadcast_keys)
     if small_batch:
         touched = F.broadcast(touched)
     latest = (
@@ -447,7 +467,7 @@ def scd2_apply_late(
     """
     keys = _as_list(key_cols)
     touched = changes.select(*keys).distinct()
-    if touched.count() <= max_broadcast_keys:
+    if _fits_broadcast(changes, touched, max_broadcast_keys):
         touched = F.broadcast(touched)
     affected = history.join(touched, on=keys, how="left_semi")
     untouched = history.join(touched, on=keys, how="left_anti")

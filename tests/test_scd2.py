@@ -342,3 +342,30 @@ def test_scd2_apply_evolved_rejects_missing_protocol_columns(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     with pytest.raises(ValueError, match="protocol columns"):
         scd2_apply_evolved(hist, batch_no_key, "user_id", "ts")
+
+
+def test_fits_broadcast_footer_shortcircuit(spark):
+    """_fits_broadcast (r8): a parquet-backed changes frame whose
+    footer row bound is under max_keys gates the broadcast with ZERO
+    jobs (the summary's count() is never called); unknowable inputs
+    (local relations) fall back to the measured summary count."""
+    from architrave_project_apache_nifi_spark.operators.scd2 import (
+        _fits_broadcast,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    n = ev.count()
+
+    class _Boom:
+        def count(self):
+            raise AssertionError("summary count ran despite footer proof")
+
+    assert _fits_broadcast(ev, _Boom(), n) is True
+    # bound over the threshold -> falls back to the summary count
+    summary = ev.select("user_id").distinct()
+    n_keys = summary.count()
+    assert _fits_broadcast(ev, summary, n - 1) is (n_keys <= n - 1)
+    # local relation: unknowable -> measured
+    local = spark.createDataFrame([(1,)], "user_id INT")
+    assert _fits_broadcast(local, local.distinct(), 0) is False
+    assert _fits_broadcast(local, local.distinct(), 5) is True
