@@ -3600,6 +3600,59 @@ def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_real(media)
 
 
+@register(
+    "multimodal_feature_extract",
+    """
+SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN (3 + doc_id % 4) * (4 + doc_id % 5) * 3
+            ELSE 800 + doc_id % 400 END AS BIGINT) AS n_values,
+  CASE WHEN doc_id % 2 = 0 THEN CAST(list_sum(list_transform(
+        range(0, (3 + doc_id % 4) * (4 + doc_id % 5) * 3, 3),
+        i -> (doc_id + i) % 256)) AS BIGINT) END AS sum_r,
+  CASE WHEN doc_id % 2 = 0 THEN CAST(list_sum(list_transform(
+        range(1, (3 + doc_id % 4) * (4 + doc_id % 5) * 3, 3),
+        i -> (doc_id + i) % 256)) AS BIGINT) END AS sum_g,
+  CASE WHEN doc_id % 2 = 0 THEN CAST(list_sum(list_transform(
+        range(2, (3 + doc_id % 4) * (4 + doc_id % 5) * 3, 3),
+        i -> (doc_id + i) % 256)) AS BIGINT) END AS sum_b,
+  CASE WHEN doc_id % 2 = 0 THEN CAST(list_sum(list_transform(
+        range(0, (3 + doc_id % 4) * (4 + doc_id % 5) * 3 - 3),
+        i -> CASE WHEN i % ((4 + doc_id % 5) * 3) < ((4 + doc_id % 5) - 1) * 3
+                  THEN abs(((doc_id + i + 3) % 256) - ((doc_id + i) % 256))
+                  ELSE 0 END)) AS BIGINT) END AS edge_energy,
+  CASE WHEN doc_id % 2 = 1 THEN CAST(list_sum(list_transform(
+        range(0, 800 + doc_id % 400),
+        i -> abs(((doc_id * 31 + i * 17) % 65536) - 32768))) AS BIGINT)
+  END AS sum_abs,
+  CASE WHEN doc_id % 2 = 1 THEN CAST(list_max(list_transform(
+        range(0, 800 + doc_id % 400),
+        i -> abs(((doc_id * 31 + i * 17) % 65536) - 32768))) AS INT)
+  END AS peak,
+  CASE WHEN doc_id % 2 = 1 THEN CAST(list_sum(list_transform(
+        range(0, 800 + doc_id % 400 - 1),
+        i -> CASE WHEN ((((doc_id * 31 + i * 17) % 65536) - 32768) < 0)
+                    <> ((((doc_id * 31 + (i + 1) * 17) % 65536) - 32768) < 0)
+                  THEN 1 ELSE 0 END)) AS BIGINT) END AS zero_crossings
+FROM documents
+""",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL feature extraction (r8 — the feature-extract stage of the
+    multimodal quartet, multimodal.py media_features): per-channel
+    sums + horizontal edge energy from the decoded BMP pixel
+    geometry, Σ|s| / peak / zero-crossing count from the decoded PCM
+    stream. All integer-exact, recomputed in closed form by the
+    oracle over the synthetic fixtures — a decoder that mishandles
+    padding, row order or BGR cannot match edge_energy or the channel
+    split. The float spectral centroid (real rFFT) is excluded from
+    the oracle projection and verified against direct numpy in
+    tests/test_multimodal.py."""
+    docs = load(spark, "documents", sf_dir).select("doc_id")
+    feats = mm.media_features(mm.synthetic_media(docs))
+    return feats.drop("spectral_centroid")
+
+
 # --- Training-data pipeline: PII redaction + sequence packing ---
 
 
@@ -5834,6 +5887,10 @@ _OVERFLOW = [
     "exists_routes_urgent_orders",  # semi/anti routing ≈ q21/q22 decorrelated EXISTS in-window
     "salted_agg_user_stats",  # agg salting ≈ entering topk_per_key_skew_salted (two-phase salt)
     "array_agg_user_events",  # collect_list/array agg ≈ seq_pack + pivot_user_event_matrix in-window
+    # r8 addition: real feature extraction over the real codecs —
+    # plumbing + decode geometry twin multimodal_decode_real is
+    # in-window; the feature arithmetic is the new surface
+    "multimodal_feature_extract",
 ]
 
 # Rows-only entries promoted INTO the driver's 50-entry gate window

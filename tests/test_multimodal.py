@@ -139,3 +139,68 @@ def test_frame_sample_fanout_and_bounds(spark):
         for f in frames:
             assert f.frame_ms == f.frame_idx * 2
             assert f.frame_hash >= 0
+
+
+def test_media_features_matches_direct_numpy(spark):
+    """media_features (r8): the Spark pipeline's features over REAL
+    decoded payloads equal a direct numpy computation on the same
+    synthetic arrays — including the float spectral centroid, which
+    the SQL oracle cannot express (rFFT) and which this test owns."""
+    import numpy as np
+
+    ids = spark.range(0, 24).select(F.col("id").alias("doc_id"))
+    got = {
+        r.doc_id: r.asDict()
+        for r in mm.media_features(mm.synthetic_media(ids)).collect()
+    }
+    assert len(got) == 24
+    for d in range(24):
+        r = got[d]
+        if d % 2 == 0:
+            w, h = 4 + d % 5, 3 + d % 4
+            i = np.arange(h * w * 3, dtype=np.int64)
+            px = (d + i) % 256
+            img = px.reshape(h, w, 3)
+            assert r["kind"] == "image"
+            assert r["n_values"] == px.size
+            assert (r["sum_r"], r["sum_g"], r["sum_b"]) == (
+                int(px[0::3].sum()), int(px[1::3].sum()), int(px[2::3].sum())
+            )
+            assert r["edge_energy"] == int(np.abs(np.diff(img, axis=1)).sum())
+            assert r["sum_abs"] is None and r["spectral_centroid"] is None
+        else:
+            n = 800 + d % 400
+            i = np.arange(n, dtype=np.int64)
+            s = ((d * 31 + i * 17) % 65536) - 32768
+            assert r["kind"] == "audio"
+            assert r["n_values"] == n
+            assert r["sum_abs"] == int(np.abs(s).sum())
+            assert r["peak"] == int(np.abs(s).max())
+            assert r["zero_crossings"] == int(((s[:-1] < 0) != (s[1:] < 0)).sum())
+            mags = np.abs(np.fft.rfft(s.astype(np.float64)))
+            exp = float(
+                (np.fft.rfftfreq(n, d=1.0 / 8000) * mags).sum() / mags.sum()
+            )
+            assert abs(r["spectral_centroid"] - exp) < 1e-9 * max(1.0, exp)
+            assert r["sum_r"] is None and r["edge_energy"] is None
+
+
+def test_media_features_geometry_sensitivity():
+    """A bottom-up-row or BGR-confused decode CANNOT reproduce the
+    features: flipping rows changes edge rows' neighbors only across
+    rows (edge_energy is horizontal → invariant) but channel swap
+    breaks sum_r/sum_b, and padding leakage breaks n_values. Build a
+    BMP whose R and B channel sums differ and whose rows differ, then
+    assert the decoded features see the canonical orientation."""
+    import numpy as np
+
+    px = np.zeros((2, 3, 3), dtype=np.uint8)
+    px[0, :, 0] = 200  # top row strongly red
+    px[1, :, 2] = 10   # bottom row weakly blue
+    buf = mm.bmp_bytes(px)
+    w, h, flat = mm._bmp_pixels(buf)
+    assert (w, h) == (3, 2)
+    img = flat.reshape(2, 3, 3)
+    assert img[0, :, 0].sum() == 600 and img[1, :, 2].sum() == 30
+    # BGR-confused parse would swap these
+    assert flat[0::3].sum() == 600 and flat[2::3].sum() == 30
