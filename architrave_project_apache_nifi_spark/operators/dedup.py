@@ -655,7 +655,15 @@ def embedding_neardup_pairs(
     import pandas as pd
 
     if block_col is None:
-        n = df.limit(max_unblocked_rows + 1).count()
+        # footer-boundable input under the cap → guard satisfied with
+        # zero jobs (r8); otherwise the pre-r8 bounded limit+count
+        from .skew_windows import row_count_upper_bound
+
+        bound = row_count_upper_bound(df, max_unblocked_rows + 1)
+        if bound is not None and bound <= max_unblocked_rows:
+            n = bound
+        else:
+            n = df.limit(max_unblocked_rows + 1).count()
         if n > max_unblocked_rows:
             raise ValueError(
                 f"embedding_neardup_pairs(block_col=None) over >"
