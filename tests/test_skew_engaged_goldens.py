@@ -216,3 +216,23 @@ def test_engaged_plan_matches_golden(spark, hot, name):
         f" want: {GOLDENS[name]}\n"
         "If intentional, update GOLDENS in this file and review the diff."
     )
+
+
+@pytest.mark.parametrize("name", ["scd2_build", "sessionize", "running_window"])
+def test_engaged_plan_reuses_exchanges_at_runtime(spark, hot, name):
+    """The 98 s trap was RUNTIME: AQE stage reuse dying when branch
+    subtrees stop matching (a pushed isnotnull(__e0) filter rewrote one
+    branch's join). The static golden guards the shape; this guards the
+    behavior — after execution, the AQE-final plan of each engaged
+    summary pipeline must contain ReusedExchange nodes (measured
+    deterministic on this corpus: sessionize shows 6)."""
+    df = _build(name, hot)
+    df.collect()
+    plan = formatted_plan(df)
+    assert "AdaptiveSparkPlan" in plan
+    n = plan.count("ReusedExchange")
+    assert n >= 1, (
+        f"{name}: no ReusedExchange in the executed engaged plan — "
+        "branch subtrees no longer match and every branch re-executes "
+        "its scan+bucket lineage (the measured 98s-vs-17s trap)"
+    )
