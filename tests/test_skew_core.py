@@ -1315,3 +1315,55 @@ def test_auto_gate_short_circuits_on_small_parquet(spark, monkeypatch):
     assert not sw.has_hot_keys(
         ev, "user_id", "ts", hot_key_rows=per_key_max, n_ts_buckets=2
     )
+
+
+from hypothesis import HealthCheck as _HC  # noqa: E402
+from hypothesis import given as _given, settings as _settings  # noqa: E402
+from hypothesis import strategies as _st  # noqa: E402
+
+
+@_settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[_HC.too_slow, _HC.function_scoped_fixture],
+)
+@_given(
+    ops=_st.lists(
+        _st.sampled_from(
+            ["filter", "project", "sort", "limit", "repartition",
+             "distinct", "union_self", "withcol"]
+        ),
+        min_size=0, max_size=5,
+    ),
+    lim=_st.integers(min_value=0, max_value=2000),
+)
+def test_row_count_upper_bound_is_sound(spark, ops, lim):
+    """PROPERTY: whatever chain of whitelisted ops is stacked on a
+    parquet scan, row_count_upper_bound is either None (refused) or a
+    TRUE upper bound on the actual count — the one invariant every
+    footer-gated decision (skew probe skip, broadcast proof, band
+    impl, gram guard) rests on."""
+    from architrave_project_apache_nifi_spark.operators.skew_windows import (
+        row_count_upper_bound,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    for op in ops:
+        if op == "filter":
+            df = df.filter(F.col("event_id") % 3 != 0)
+        elif op == "project":
+            df = df.select("event_id", "user_id", "ts")
+        elif op == "sort":
+            df = df.sort("event_id")
+        elif op == "limit":
+            df = df.limit(lim)
+        elif op == "repartition":
+            df = df.repartition(3)
+        elif op == "distinct":
+            df = df.distinct()
+        elif op == "union_self":
+            df = df.union(df)
+        elif op == "withcol":
+            df = df.withColumn("__x", F.col("event_id") * 2)
+    bound = row_count_upper_bound(df, 10**9)
+    if bound is not None:
+        assert bound >= df.count()
