@@ -214,7 +214,12 @@ def main() -> None:
     # Streaming throughput (separate from the frozen 3-pass batch
     # protocol — additive key, fixed replay, single run; the stream's
     # 20 micro-batches average out trigger-level noise internally).
-    streaming = _stream_throughput(spark)
+    # r8: the run is load-gated like every batch pass — it used to
+    # start right after pass 3 while host load was still decaying,
+    # under-measuring the stream by ~25% vs quiet-host runs (1,260 in
+    # bench vs 1,740-1,800 isolated).
+    gate = _wait_for_quiet(load_max, 600.0)
+    streaming = {**_stream_throughput(spark), "gate": gate}
 
     telemetry["end"] = _load_telemetry()
     total = round(sum(timings.values()), 3)
