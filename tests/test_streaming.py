@@ -655,3 +655,61 @@ def test_stream_bulk_replay_throughput_harness(spark, tmp_path):
     a = sorted(p.read_bytes() for p in src.iterdir())
     b = sorted(p.read_bytes() for p in src2.iterdir())
     assert a == b
+
+
+def test_store_commit_partial_concurrent_write_failure_is_replayable(
+    spark, tmp_path
+):
+    """r8's concurrent commit writes introduce one NEW interleaving:
+    one write lands while its sibling raises. The protocol must hold —
+    the manifest never flips (both directories stay unreferenced
+    orphans), the store keeps serving the previous version, and a
+    clean retry of the SAME batch id commits exactly once."""
+    from pyspark.sql import functions as F
+
+    from architrave_project_apache_nifi_spark.streaming.history_store import (
+        Scd2Store,
+    )
+
+    hist = str(tmp_path / "hist")
+    store = Scd2Store(hist, key_col="ProductID", n_buckets=4)
+    cur0 = spark.createDataFrame(
+        [(1, "a", "Y"), (2, "b", "Y")], "ProductID INT, v STRING, is_current STRING"
+    )
+    store.commit(
+        new_current=cur0,
+        closed_delta=cur0.limit(0),
+        batch_id=0,
+    )
+    v0 = store.manifest()["version"]
+    rows0 = sorted(map(tuple, store.read_current(spark).collect()))
+
+    # batch 1: the closed-delta side is poisoned (evaluates to a raise
+    # inside its write job); the current side is valid and may or may
+    # not land first — either order must leave the store unflipped
+    @F.udf("string")
+    def boom(v):
+        raise RuntimeError("injected write failure")
+
+    cur1 = spark.createDataFrame(
+        [(1, "a2", "Y")], "ProductID INT, v STRING, is_current STRING"
+    )
+    poisoned = cur1.withColumn("v", boom("v")).filter("v IS NOT NULL")
+    import pytest
+
+    with pytest.raises(Exception, match="injected write failure"):
+        store.commit(new_current=cur1, closed_delta=poisoned, batch_id=1)
+
+    # protocol held: no flip, previous version still serves
+    assert store.manifest()["version"] == v0
+    assert 1 not in store.manifest()["closed_batches"]
+    assert sorted(map(tuple, store.read_current(spark).collect())) == rows0
+
+    # clean retry of the same batch id commits exactly once
+    closed1 = spark.createDataFrame(
+        [(1, "a", "N")], "ProductID INT, v STRING, is_current STRING"
+    )
+    store.commit(new_current=cur1, closed_delta=closed1, batch_id=1)
+    assert store.manifest()["version"] == 1
+    got = sorted(map(tuple, store.read_current(spark).collect()))
+    assert got == [(1, "a2", "Y")] or (1, "a2", "Y") in got
