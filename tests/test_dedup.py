@@ -421,3 +421,67 @@ def test_auto_band_impl_scale_switch(spark):
     )
     assert "ArrowEvalPython" not in plan_auto and "MapInPandas" not in plan_auto
     assert "MapInPandas" in plan_arrow
+
+
+from hypothesis import HealthCheck as _HC  # noqa: E402
+from hypothesis import given as _given, settings as _settings  # noqa: E402
+from hypothesis import strategies as _st  # noqa: E402
+
+_I64 = _st.integers(min_value=-(2**63), max_value=2**63 - 1)
+
+
+@_settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[_HC.too_slow, _HC.function_scoped_fixture],
+)
+@_given(
+    cells=_st.lists(
+        _st.one_of(
+            _st.none(),
+            _st.lists(
+                _st.one_of(
+                    _I64,
+                    _st.sampled_from(
+                        [0, 1, -1, 2**63 - 1, -(2**63), 42, -42]
+                    ),
+                ),
+                min_size=0, max_size=12,
+            ),
+        ),
+        min_size=1, max_size=8,
+    ),
+)
+def test_arrow_band_keys_fuzz_bit_exact(spark, cells):
+    """PROPERTY: the numpy XXH64 replication equals Spark's band
+    expression for ARBITRARY int64 shingle arrays — boundary values
+    (INT64_MIN/MAX, the 42 seed itself), duplicates, empty arrays and
+    NULL cells. The text never reaches the arrow stage (_shingle_sets
+    hashes it first), so this fuzz over raw arrays covers the whole
+    input space the stage can see."""
+    rows = [(i, c) for i, c in enumerate(cells)]
+    shs = spark.createDataFrame(
+        rows, "__id LONG, __shs ARRAY<BIGINT>"
+    )
+    rows_per_band = 4
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(3)),
+        lambda b: F.aggregate(
+            F.transform(
+                F.sequence(b * rows_per_band, (b + 1) * rows_per_band - 1),
+                lambda i: F.array_min(
+                    F.transform(F.col("__shs"), lambda h: F.xxhash64(h, i))
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, m: F.xxhash64(acc, m),
+        ),
+    )
+    expr = {
+        r[0]: list(r[1])
+        for r in shs.select("__id", band_arr.alias("b")).collect()
+    }
+    arrow = {
+        r[0]: list(r[1])
+        for r in dd._arrow_bands(shs, "__id", 16, 4).collect()
+    }
+    assert expr == arrow
