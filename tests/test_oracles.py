@@ -73,3 +73,32 @@ def test_overflow_entry_matches_oracle(spark, duck, name):
     spec = REGISTRY[name]
     err = compare_one(spark, duck, SF_DIR, name, spec.fn, spec.oracle)
     assert err is None, err
+
+
+def test_no_oracle_emits_decimal_arrow_types(duck):
+    """Registry-wide oracle OUTPUT-TYPE lint (VERDICT r8 #3): the
+    driver's value hash is representation-sensitive at the Arrow
+    layer, and DuckDB silently widens some integer aggregates to
+    HUGEINT / decimal128 (e.g. windowed ``sum(BIGINT)``) while Spark
+    emits bigint — values bit-identical, hash red
+    (token_budget_skew_salted, CORRECTNESS_r08). Our Spark queries
+    never produce decimal columns (the test tables carry no decimals),
+    so ANY decimal in an oracle's arrow schema is a latent hash
+    mismatch the moment the entry rotates into the graded window.
+    LIMIT 0 derives the schema without executing the query."""
+    import pyarrow as pa
+
+    bad: list[str] = []
+    for name, spec in REGISTRY.items():
+        if spec.oracle is None:
+            continue
+        schema = duck.execute(
+            f"SELECT * FROM ({spec.oracle}) __lint LIMIT 0"
+        ).fetch_arrow_table().schema
+        for field in schema:
+            if pa.types.is_decimal(field.type):
+                bad.append(f"{name}.{field.name}: {field.type}")
+    assert not bad, (
+        "oracle columns with decimal arrow types (cast them in the "
+        f"oracle SQL — see queries.py token_budget fix): {bad}"
+    )
