@@ -173,13 +173,15 @@ def _np_band_keys(cells, num_hashes: int, bands: int):
         band_good[:, b] = acc
 
     # null/empty docs: acc folds over NULL mins — each step only
-    # rehashes the accumulator
+    # rehashes the accumulator. The fold stays in uint64 end-to-end:
+    # numpy>=2 raises OverflowError converting an out-of-int64-range
+    # uint64 scalar (np.int64(acc)), and scalar uint64 arithmetic
+    # warns on wrap — wrapping IS the intended XXH64 semantics.
     acc = u64(0)
-    for _ in range(rows_per_band):
-        acc = _np_xxh64(acc, u64(42), nbytes=8)
-    band = np.full(
-        (len(cells), bands), np.int64(acc), dtype=np.int64
-    )
+    with np.errstate(over="ignore"):
+        for _ in range(rows_per_band):
+            acc = _np_xxh64(acc, u64(42), nbytes=8)
+    band = np.full((len(cells), bands), acc, dtype=np.uint64).view(np.int64)
     band[good] = band_good.view(np.int64)
     return good, sig_good, band
 
@@ -190,27 +192,47 @@ def _np_band_keys(cells, num_hashes: int, bands: int):
 # 4.28 s (1.34×, over the ship bar). Linear fixed+per-doc fit puts the
 # break-even at ~26k docs of this corpus shape.
 _ARROW_BANDS_MIN_DOCS = 25_000
+# Driver-side footer budget for the unknowable-plan fallback (mirrors
+# skew_windows._MAX_FOOTER_FILES): past this many files the input is a
+# real multi-file dataset that dwarfs the ~26k-doc crossover.
+_BAND_FOOTER_FILE_CAP = 256
 
 
 def _auto_band_impl(df: DataFrame, threshold: int = _ARROW_BANDS_MIN_DOCS) -> str:
     """Zero-job scale switch for ``band_impl="auto"`` — the same
     parquet-footer bound the skew gate uses (VERDICT r7 #6 adjudicated
     at sf1: arrow ≥1.3× there, 1.7× SLOWER at sf0.1, so neither is a
-    safe static default). Over ``threshold`` docs (or a
-    many-files dataset too big to footer-stat) → arrow; provably small
-    or unknowable (local relations, exotic plans) → expr, today's
-    behavior. The decision is perf-only — both paths are bit-exact."""
+    safe static default). Over ``threshold`` docs → arrow; provably
+    small → expr. Unknowable plan shapes fall back to the leaf scans'
+    total footer rows (r9, then expr when even that is unavailable —
+    local relations, non-parquet leaves). The decision is perf-only —
+    both paths are bit-exact."""
     from .skew_windows import row_count_upper_bound
 
     bound = row_count_upper_bound(df, threshold + 1)
     if bound is not None:
         return "arrow" if bound > threshold else "expr"
+    # Bound unknowable (the plan shape isn't whitelisted — joins,
+    # aggregates, exotic nodes). Fall back to the total footer rows of
+    # the leaf scans: for row-REDUCING shapes that over-estimates doc
+    # count (may pick arrow on few docs — the bounded perf trade), for
+    # row-increasing ones it under-estimates (keeps expr, today's
+    # default) — either miss is bounded, and unlike the pre-r9
+    # ">64 files" heuristic the signal is actual data volume.
     try:
-        # bound unknowable but the dataset is a wide multi-file scan →
-        # it dwarfs the crossover; any miss here is a bounded perf
-        # trade on an already-multi-second stage
-        if len(df.inputFiles()) > 64:
-            return "arrow"
+        files = df.inputFiles()
+        if len(files) > _BAND_FOOTER_FILE_CAP:
+            return "arrow"  # genuinely huge multi-file dataset
+        if files and all(f.endswith(".parquet") for f in files):
+            import pyarrow.parquet as pq
+
+            total = 0
+            for f in files:
+                path = f[7:] if f.startswith("file://") else f
+                total += pq.ParquetFile(path).metadata.num_rows
+                if total > threshold:
+                    return "arrow"
+            return "expr"
     except Exception:
         pass
     return "expr"

@@ -125,7 +125,15 @@ def row_count_upper_bound(df: DataFrame, stop_at: int) -> int | None:
     moment the running bound reaches it — the caller only needs
     "provably below stop_at", so a 100 TB dataset costs one or two
     footer reads (or none: > :data:`_MAX_FOOTER_FILES` files bails
-    outright) before falling back to the sampled probe."""
+    outright) before falling back to the sampled probe.
+
+    CONTRACT (r9, code-review): a return value < ``stop_at`` is a true
+    upper bound on the row count; a return value == ``stop_at`` is the
+    early-exit SENTINEL meaning only "not provably below stop_at" —
+    it is NOT a row estimate (the summation stopped at a partial
+    total). ``None`` means no safe bound exists (unwhitelisted plan
+    shape, non-parquet/many-file input). Callers must only ever
+    compare the result against ``stop_at``."""
     n_leaves = 0
     try:
         # analyzed, NOT optimized: the walk only needs node names, and
@@ -165,7 +173,10 @@ def row_count_upper_bound(df: DataFrame, stop_at: int) -> int | None:
         except Exception:
             return None
         if total * n_leaves >= stop_at:
-            return total * n_leaves
+            # sentinel, not an estimate: the partial sum already proves
+            # "not below stop_at", and a partial total is NOT an upper
+            # bound on the true count
+            return stop_at
     return total * n_leaves
 
 

@@ -342,12 +342,35 @@ class Scd2Store:
         # the materialization. Interleaved A/B in BASELINE.md r8:
         # 1.21× rows/s on the bench replay. `_COMMIT_POOL_WORKERS = 1`
         # restores the sequential protocol (measurement/debug knob).
-        from concurrent.futures import ThreadPoolExecutor
+        # InheritableThread, not ThreadPoolExecutor (code-review r8):
+        # under pinned-thread mode (PySpark default) plain child
+        # threads do NOT inherit SparkContext local properties, so
+        # job-group cancellation (stopping the streaming query) and
+        # scheduler-pool assignment would miss the two write jobs.
+        if _COMMIT_POOL_WORKERS <= 1:
+            _write_closed()
+            _write_current()
+        else:
+            from pyspark import InheritableThread
 
-        with ThreadPoolExecutor(max_workers=_COMMIT_POOL_WORKERS) as pool:
-            futs = [pool.submit(_write_closed), pool.submit(_write_current)]
-            for f in futs:
-                f.result()
+            errs: list[BaseException] = []
+
+            def _run(fn) -> None:
+                try:
+                    fn()
+                except BaseException as exc:  # noqa: BLE001 — re-raised below
+                    errs.append(exc)
+
+            threads = [
+                InheritableThread(target=_run, args=(fn,))
+                for fn in (_write_closed, _write_current)
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            if errs:
+                raise errs[0]
         written = {
             int(d.split("=", 1)[1])
             for d in os.listdir(version_dir)

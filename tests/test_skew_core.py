@@ -1258,9 +1258,10 @@ def test_row_count_upper_bound_parquet_chain(spark):
     )
     assert row_count_upper_bound(chain, 10**9) == n
     # early exit: once the running footer total reaches stop_at the
-    # driver stops reading — the return is still >= stop_at, which is
-    # all the caller compares against
-    assert row_count_upper_bound(ev, 5) >= 5
+    # driver stops reading and returns the stop_at SENTINEL ("not
+    # provably below"), never a partial total a caller could mistake
+    # for a row estimate (r9 contract)
+    assert row_count_upper_bound(ev, 5) == 5
 
     # union (the as-of gate's probe shape): inputFiles dedupes the
     # shared file, so the bound is footer-total x n_leaves — an upper
@@ -1341,7 +1342,10 @@ def test_row_count_upper_bound_is_sound(spark, ops, lim):
     parquet scan, row_count_upper_bound is either None (refused) or a
     TRUE upper bound on the actual count — the one invariant every
     footer-gated decision (skew probe skip, broadcast proof, band
-    impl, gram guard) rests on."""
+    impl, gram guard) rests on. (stop_at here is far above any test
+    count, so the early-exit sentinel — which is deliberately NOT a
+    bound — never fires; its behavior is pinned in
+    test_row_count_upper_bound_parquet_chain.)"""
     from architrave_project_apache_nifi_spark.operators.skew_windows import (
         row_count_upper_bound,
     )
