@@ -3653,6 +3653,39 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.drop("spectral_centroid")
 
 
+@register(
+    "multimodal_decode_png",
+    """
+SELECT doc_id,
+       'image' AS kind,
+       CAST(4 + doc_id % 6 AS INT) AS width,
+       CAST(3 + doc_id % 5 AS INT) AS height,
+       CAST(3 AS INT) AS n_channels,
+       CAST(NULL AS INT) AS sample_rate,
+       CAST((4 + doc_id % 6) * (3 + doc_id % 5) AS BIGINT) AS n_samples,
+       CAST(NULL AS BIGINT) AS duration_ms,
+       CAST(list_sum(list_transform(
+         range(0, (4 + doc_id % 6) * (3 + doc_id % 5) * 3),
+         i -> (i + 1) * ((doc_id * 7 + i * 3) % 256))) AS BIGINT)
+         AS content_sum
+FROM documents
+""",
+)
+def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED codec decode (r9, VERDICT r8 #6 — what a real
+    multimodal corpus actually contains): pure numpy + stdlib zlib PNG
+    parser (chunk walk, inflate, per-scanline unfilter) over the same
+    Arrow/mapInPandas plumbing as decode_real's BMP/WAV. Fixtures are
+    genuine PNG bytes (mm.synthetic_png_media) whose scanline filters
+    cycle through all five None/Sub/Up/Average/Paeth types by (doc_id
+    + row) — the filters cancel exactly iff the unfilter
+    reconstruction is right, so the closed-form position-weighted
+    content_sum the oracle recomputes is sensitive to BOTH geometry
+    and filter handling."""
+    docs = load(spark, "documents", sf_dir).select("doc_id")
+    return mm.decode_real(mm.synthetic_png_media(docs))
+
+
 # --- Training-data pipeline: PII redaction + sequence packing ---
 
 
@@ -5937,6 +5970,10 @@ _OVERFLOW = [
     # feature arithmetic); the rows-only HLL estimate sibling returns
     # to the ungated tail, superseded in-window by its exact twin.
     "multimodal_frame_sample",  # geometry plumbing ≡ in-window decode_real/resize; CI-oracled here
+    # r9 addition: compressed-codec decode — plumbing + geometry twin
+    # multimodal_decode_real is in-window; the zlib/unfilter codec is
+    # the new surface
+    "multimodal_decode_png",
 ]
 
 # Rows-only entries promoted INTO the driver's 50-entry gate window.

@@ -204,3 +204,133 @@ def test_media_features_geometry_sensitivity():
     assert img[0, :, 0].sum() == 600 and img[1, :, 2].sum() == 30
     # BGR-confused parse would swap these
     assert flat[0::3].sum() == 600 and flat[2::3].sum() == 30
+
+
+def test_png_roundtrip_every_filter_type():
+    """png_bytes ∘ _png_pixels is the identity for each of the five
+    scanline filter types applied uniformly — a decoder whose
+    Sub/Up/Average/Paeth reconstruction is wrong cannot return the
+    original image (filters only cancel when unfiltering matches the
+    spec)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    px = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    for ft in range(5):
+        buf = mm.png_bytes(px, [ft] * 9)
+        assert buf[:8] == mm.PNG_SIG
+        w, h, flat = mm._png_pixels(buf)
+        assert (w, h) == (7, 9)
+        assert np.array_equal(flat.reshape(9, 7, 3), px.astype(np.int64)), ft
+
+
+def test_png_roundtrip_fuzz_shapes_and_mixed_filters():
+    """Random small images × random per-row filter sequences — w=1
+    (Sub/Paeth left neighbor is always the zero pixel) and h=1 (Up /
+    Paeth up neighbor is the zero scanline) are the degenerate
+    geometries."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    shapes = [(1, 1), (1, 5), (5, 1), (2, 2)] + [
+        (int(rng.integers(1, 11)), int(rng.integers(1, 11)))
+        for _ in range(40)
+    ]
+    for h, w in shapes:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        filts = rng.integers(0, 5, size=h).tolist()
+        w2, h2, flat = mm._png_pixels(mm.png_bytes(px, filts))
+        assert (w2, h2) == (w, h)
+        assert np.array_equal(flat.reshape(h, w, 3), px.astype(np.int64)), (
+            h, w, filts,
+        )
+
+
+def test_png_rejects_unsupported_shapes():
+    """The decoder's error contract: bad signature, missing chunks,
+    and non-8-bit-truecolor IHDRs raise ValueError naming the
+    constraint — never a silent misparse."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = mm.png_bytes(px)
+
+    with pytest.raises(ValueError, match="not a PNG signature"):
+        mm._png_pixels(b"\x89PNX" + good[4:])
+    with pytest.raises(ValueError, match="missing IHDR/IDAT"):
+        mm._png_pixels(mm.PNG_SIG)  # signature only
+    # grayscale (color type 0) IHDR
+    def chunk(typ, body):
+        return (
+            struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body))
+        )
+    gray = (
+        mm.PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00" * 2))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="only 8-bit truecolor"):
+        mm._png_pixels(gray)
+    # truncated scanline data
+    short = (
+        mm.PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 5))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="scanline data"):
+        mm._png_pixels(short)
+
+
+def test_decode_png_matches_closed_form(spark):
+    """decode_real over synthetic_png_media equals the closed-form
+    features computed independently in Python — the same arithmetic
+    the DuckDB oracle of multimodal_decode_png runs. Ids 0..29 cover
+    every (w, h, leading-filter) combination of the fixture scheme."""
+    import numpy as np
+
+    ids = spark.range(0, 30).select(F.col("id").alias("doc_id"))
+    out = {
+        r.doc_id: r
+        for r in mm.decode_real(mm.synthetic_png_media(ids)).collect()
+    }
+    assert set(out) == set(range(30))
+    for d in range(30):
+        r = out[d]
+        w, h = 4 + d % 6, 3 + d % 5
+        i = np.arange(h * w * 3, dtype=np.int64)
+        expect = int(((i + 1) * ((d * 7 + i * 3) % 256)).sum())
+        assert (r.kind, r.width, r.height, r.n_channels) == (
+            "image", w, h, 3,
+        )
+        assert r.n_samples == w * h and r.content_sum == expect
+        assert r.sample_rate is None and r.duration_ms is None
+
+
+def test_media_features_over_png(spark):
+    """media_features accepts PNG payloads through the same dispatch
+    as BMP — features computed on the unfiltered canonical top-down
+    RGB image, identical to direct numpy on the fixture closed form."""
+    import numpy as np
+
+    ids = spark.range(0, 10).select(F.col("id").alias("doc_id"))
+    got = {
+        r.doc_id: r.asDict()
+        for r in mm.media_features(mm.synthetic_png_media(ids)).collect()
+    }
+    for d in range(10):
+        r = got[d]
+        w, h = 4 + d % 6, 3 + d % 5
+        i = np.arange(h * w * 3, dtype=np.int64)
+        px = (d * 7 + i * 3) % 256
+        img = px.reshape(h, w, 3)
+        assert r["kind"] == "image" and r["n_values"] == px.size
+        assert (r["sum_r"], r["sum_g"], r["sum_b"]) == (
+            int(px[0::3].sum()), int(px[1::3].sum()), int(px[2::3].sum())
+        )
+        assert r["edge_energy"] == int(np.abs(np.diff(img, axis=1)).sum())
