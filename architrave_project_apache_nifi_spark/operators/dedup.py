@@ -104,7 +104,10 @@ _XXH_P5 = 0x27D4EB2F165667C5
 
 def _np_xxh64(v, seed, *, nbytes: int):
     """XXH64 of one 8-byte (long) or 4-byte (int) value; ``v`` and
-    ``seed`` are uint64 scalars/arrays (numpy, overflow wraps)."""
+    ``seed`` are uint64 scalars/arrays. Mod-2⁶⁴ wraparound IS the
+    algorithm — numpy only flags it on SCALAR operands (arrays wrap
+    silently), so the errstate suppresses the per-scalar
+    RuntimeWarnings the band fold's accumulator steps would emit."""
     import numpy as np
 
     u = np.uint64
@@ -114,18 +117,19 @@ def _np_xxh64(v, seed, *, nbytes: int):
     def rotl(x, r):
         return (x << u(r)) | (x >> u(64 - r))
 
-    if nbytes == 8:
-        h = seed + p5 + u(8)
-        k1 = rotl(v * p2, 31) * p1
-        h = rotl(h ^ k1, 27) * p1 + p4
-    else:
-        h = seed + p5 + u(4)
-        h = rotl(h ^ ((v & u(0xFFFFFFFF)) * p1), 23) * p2 + p3
-    h ^= h >> u(33)
-    h *= p2
-    h ^= h >> u(29)
-    h *= p3
-    h ^= h >> u(32)
+    with np.errstate(over="ignore"):
+        if nbytes == 8:
+            h = seed + p5 + u(8)
+            k1 = rotl(v * p2, 31) * p1
+            h = rotl(h ^ k1, 27) * p1 + p4
+        else:
+            h = seed + p5 + u(4)
+            h = rotl(h ^ ((v & u(0xFFFFFFFF)) * p1), 23) * p2 + p3
+        h ^= h >> u(33)
+        h *= p2
+        h ^= h >> u(29)
+        h *= p3
+        h ^= h >> u(32)
     return h
 
 
@@ -173,14 +177,12 @@ def _np_band_keys(cells, num_hashes: int, bands: int):
         band_good[:, b] = acc
 
     # null/empty docs: acc folds over NULL mins — each step only
-    # rehashes the accumulator. The fold stays in uint64 end-to-end:
-    # numpy>=2 raises OverflowError converting an out-of-int64-range
-    # uint64 scalar (np.int64(acc)), and scalar uint64 arithmetic
-    # warns on wrap — wrapping IS the intended XXH64 semantics.
+    # rehashes the accumulator. The fill stays in uint64 end-to-end
+    # (np.full + .view): numpy>=2 raises OverflowError converting an
+    # out-of-int64-range uint64 scalar via np.int64(acc).
     acc = u64(0)
-    with np.errstate(over="ignore"):
-        for _ in range(rows_per_band):
-            acc = _np_xxh64(acc, u64(42), nbytes=8)
+    for _ in range(rows_per_band):
+        acc = _np_xxh64(acc, u64(42), nbytes=8)
     band = np.full((len(cells), bands), acc, dtype=np.uint64).view(np.int64)
     band[good] = band_good.view(np.int64)
     return good, sig_good, band

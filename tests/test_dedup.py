@@ -485,3 +485,41 @@ def test_arrow_band_keys_fuzz_bit_exact(spark, cells):
         for r in dd._arrow_bands(shs, "__id", 16, 4).collect()
     }
     assert expr == arrow
+
+
+def test_arrow_band_null_fill_overflowing_config(spark):
+    """Regression (code-review r8): with rows_per_band=8 (128 hashes /
+    16 bands) the null-doc band accumulator exceeds int64 max, which
+    numpy>=2 refuses to convert via np.int64(acc) — the fill must stay
+    uint64 end-to-end and reinterpret (.view), bit-exact vs the Spark
+    band expression, and raise no numpy warnings."""
+    import warnings
+
+    shs = spark.createDataFrame(
+        [(1, None), (2, []), (3, [7, -7])], "__id LONG, __shs ARRAY<BIGINT>"
+    )
+    rows_per_band = 8
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda b: F.aggregate(
+            F.transform(
+                F.sequence(b * rows_per_band, (b + 1) * rows_per_band - 1),
+                lambda i: F.array_min(
+                    F.transform(F.col("__shs"), lambda h: F.xxhash64(h, i))
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, m: F.xxhash64(acc, m),
+        ),
+    )
+    expr = {
+        r[0]: list(r[1])
+        for r in shs.select("__id", band_arr.alias("b")).collect()
+    }
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        _good, _sig, band = dd._np_band_keys(
+            [None, [], [7, -7]], 128, 16
+        )
+    arrow = {i + 1: list(band[i]) for i in range(3)}
+    assert expr == arrow
