@@ -367,6 +367,42 @@ def shuffle_rank(
     )
 
 
+def domain_cap(
+    df: DataFrame,
+    domain_cols: list[str],
+    id_col: str,
+    cap: int,
+    rank_col: str = "cap_rank",
+    **topk_kwargs,
+) -> DataFrame:
+    """Cap each domain at ``cap`` documents (r9) — the crawl-corpus
+    balancing step: without it a handful of mega-domains dominate the
+    training mixture. Kept rows are chosen by the deterministic LCG
+    priority of the id (ties by id), so the selection is replayable
+    across runs/engines and NESTED — raising the cap keeps a strict
+    superset (the priority order is fixed), exactly the property
+    mixture re-weighs need on an already-materialized corpus.
+
+    Rides :func:`~..operators.skew_windows.topk_per_key` (two-phase
+    salted rank, ``skew_protection="auto"``), because the one domain
+    that NEEDS capping is by definition the hot key a plain
+    ``row_number`` window stragglers on — at 100 TB the cap operator
+    and the skew problem are the same rows. Returns the surviving rows
+    with a 1-based ``rank_col`` attached."""
+    from .skew_windows import topk_per_key
+
+    with_pri = df.withColumn("__pri", sample_hash(id_col))
+    out = topk_per_key(
+        with_pri,
+        domain_cols,
+        [F.col("__pri").asc(), F.col(id_col).asc()],
+        cap,
+        rank_col=rank_col,
+        **topk_kwargs,
+    )
+    return out.drop("__pri")
+
+
 def weighted_priority_key(id_col, weight_col) -> F.Column:
     """Sequential-Poisson sampling key (Ohlsson 1998, public method):
     ``u / w`` with ``u = (lcg(id) + 1) / 2^31`` uniform in (0, 1].

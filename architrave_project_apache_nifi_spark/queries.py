@@ -4670,6 +4670,35 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "domain_cap_documents",
+    """
+SELECT doc_id, source, cap_rank FROM (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY ((doc_id % 2147483647) * 1103515245 + 12345)
+                      % 2147483648,
+                    doc_id
+         ) AS INT) AS cap_rank
+  FROM documents) t
+WHERE cap_rank <= 30
+""",
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (r9, operators/sampling.py::domain_cap):
+    crawl-corpus balancing — keep at most 30 docs per source, chosen
+    by the deterministic LCG priority (replayable; raising the cap
+    keeps a superset). Rides topk_per_key's skew-protected two-phase
+    rank, because the domain that needs capping IS the hot key a plain
+    window stragglers on; the oracle is the plain row_number form the
+    salted path must equal exactly."""
+    from .operators.sampling import domain_cap
+
+    docs = load(spark, "documents", sf_dir).select("doc_id", "source")
+    return domain_cap(docs, ["source"], "doc_id", 30)
+
+
+@register(
     "snapshot_diff_cdc",
     """
 WITH latest_all AS (
@@ -5974,6 +6003,9 @@ _OVERFLOW = [
     # multimodal_decode_real is in-window; the zlib/unfilter codec is
     # the new surface
     "multimodal_decode_png",
+    # r9 addition: per-domain cap ≈ in-window topk_per_key_skew_salted
+    # (same two-phase salted rank) + stratified_sample (LCG priority)
+    "domain_cap_documents",
 ]
 
 # Rows-only entries promoted INTO the driver's 50-entry gate window.

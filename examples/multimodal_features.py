@@ -48,9 +48,10 @@ def main() -> None:
 
     flat = mm.bmp_bytes(np.full((8, 8, 3), 37, dtype=np.uint8))
     silent = mm.wav_bytes(np.zeros(1600, dtype=np.int16))
+    flat_png = mm.png_bytes(np.full((8, 8, 3), 37, dtype=np.uint8))
     junk = spark.createDataFrame(
         [(900001, flat, "image/bmp"), (900002, silent, "audio/wav"),
-         (900003, flat, "image/bmp")],
+         (900003, flat, "image/bmp"), (900004, flat_png, "image/png")],
         "doc_id LONG, payload BINARY, mime STRING",
     ).select(
         "doc_id",

@@ -90,3 +90,69 @@ def test_token_budget_matches_running_sum(spark, toks, budget):
     for i, t in enumerate(toks):
         cum += t
         assert got[i] == (cum, 1 if cum <= budget else 0)
+
+
+@_SETTINGS
+@given(
+    n_rows=st.integers(min_value=1, max_value=60),
+    cap=st.integers(min_value=1, max_value=12),
+    n_domains=st.integers(min_value=1, max_value=4),
+)
+def test_domain_cap_reference_and_nested(spark, n_rows, cap, n_domains):
+    """domain_cap (r9): per-domain survivors are exactly the cap
+    lowest-LCG-priority ids (Python reference), the result is
+    identical under a different partitioning (replayable), and
+    raising the cap keeps a strict superset (nested — the property
+    mixture re-weighs rely on)."""
+    rows = [(i, f"d{i % n_domains}") for i in range(n_rows)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    def keyfn(i):
+        return (_lcg(i), i)
+
+    expect = {}
+    for d in range(n_domains):
+        ids = sorted((i for i in range(n_rows) if i % n_domains == d), key=keyfn)
+        for rank, i in enumerate(ids[:cap], start=1):
+            expect[i] = rank
+
+    out = sp.domain_cap(df, ["source"], "doc_id", cap)
+    got = {r["doc_id"]: r["cap_rank"] for r in out.collect()}
+    assert got == expect
+
+    # partitioning-independence
+    got2 = {
+        r["doc_id"]: r["cap_rank"]
+        for r in sp.domain_cap(
+            df.repartition(7, "doc_id"), ["source"], "doc_id", cap
+        ).collect()
+    }
+    assert got2 == expect
+
+    # nested: cap+3 survivors ⊇ cap survivors, ranks unchanged
+    wider = {
+        r["doc_id"]: r["cap_rank"]
+        for r in sp.domain_cap(df, ["source"], "doc_id", cap + 3).collect()
+    }
+    assert set(expect) <= set(wider)
+    assert all(wider[i] == expect[i] for i in expect)
+
+
+def test_domain_cap_salted_equals_plain(spark):
+    """The forced two-phase salted path equals the plain window form
+    exactly (topk_per_key's pigeonhole guarantee through domain_cap's
+    priority ordering)."""
+    rows = [(i, "hot" if i % 5 else f"d{i % 3}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    plain = sorted(
+        map(tuple, sp.domain_cap(
+            df, ["source"], "doc_id", 7, skew_protection=False
+        ).collect())
+    )
+    salted = sorted(
+        map(tuple, sp.domain_cap(
+            df, ["source"], "doc_id", 7,
+            skew_protection=True, salt_cols=["doc_id"], n_salts=8,
+        ).collect())
+    )
+    assert plain == salted and len(plain) > 0
