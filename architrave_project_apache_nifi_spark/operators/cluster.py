@@ -141,3 +141,57 @@ def canonical_docs(
             .alias("is_kept"),
         )
     )
+
+
+def canonical_docs_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """:func:`canonical_docs` with the production keep rule: keep the
+    BEST-scoring member of each near-dup component, not the smallest
+    id — dedup should discard the worse copies (truncated scrapes,
+    boilerplate-padded mirrors), so the representative is
+    ``argmax(score, tie -> min id)``. ``score_col`` is any per-doc
+    quality signal (chars, quality_score, mean_logprob).
+
+    The argmax is ``max(struct(score, -id))`` — a decomposable partial
+    aggregation, so a corpus-sized mono-duplicate component collapses
+    map-side (the skew-audit "rewritten algebraic" class; no per-key
+    window anywhere). The component table stays bounded by the nodes
+    that appear in ``pairs`` — for LSH dedup, the duplicate subset —
+    and the join back to ``docs`` broadcasts when small; singletons
+    are their own component and always kept.
+    """
+    comp = connected_components(pairs, src=a_col, dst=b_col)
+    scored = (
+        docs.select(
+            F.col(id_col).cast("long").alias(id_col), F.col(score_col)
+        )
+        .join(comp.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            score_col,
+            F.coalesce("comp", F.col(id_col)).alias("comp"),
+        )
+    )
+    best = (
+        scored.groupBy("comp")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(score_col).alias("s"),
+                    (-F.col(id_col)).alias("nid"),
+                )
+            ).alias("b")
+        )
+        .select("comp", (-F.col("b.nid")).alias("canonical_id"))
+    )
+    return scored.join(best, "comp").select(
+        id_col,
+        "canonical_id",
+        (F.col("canonical_id") == F.col(id_col)).cast("int").alias("is_kept"),
+    )

@@ -374,3 +374,256 @@ def adaptive_percentile_filter(
             (F.col("metric") >= F.col("threshold")).cast("int").alias("is_kept"),
         )
     )
+
+
+# Gopher repetition-rule thresholds (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", Table A1). A document is kept only if every
+# fraction is at or below its ceiling. The line/paragraph pair shares
+# one implementation: paragraphs are lines with ``line_delim="\n\n"``.
+GOPHER_MAX_DUP_LINE_FRAC = 0.30
+GOPHER_MAX_DUP_LINE_CHAR_FRAC = 0.20
+GOPHER_MAX_TOP_NGRAM_CHAR_FRAC = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_MAX_DUP_NGRAM_CHAR_FRAC = {
+    5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10,
+}
+
+# Sentinel n for line-level units in the shared (id, n, gram) relation:
+# token n-grams start at n=2, so n=1 is free.
+_LINE_N = 1
+
+
+def _gram_structs(toks: Column, n: int) -> Column:
+    """All word n-grams of ``toks`` as ``struct<n:int, gram:string>``.
+
+    Unlike :func:`~..dedup.shingles` there is NO short-doc fallback: a
+    document with fewer than ``n`` tokens has zero n-grams (the Gopher
+    fractions are 0 there, not a truncated-gram artifact)."""
+    empty = F.array().cast("array<struct<n:int,gram:string>>")
+    return F.when(F.size(toks) < n, empty).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.struct(
+                F.lit(n).alias("n"),
+                F.concat_ws(" ", F.slice(toks, i + 1, n)).alias("gram"),
+            ),
+        )
+    )
+
+
+def repetition_features(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+    line_delim: str = "\n",
+) -> DataFrame:
+    """Gopher repetition rules (Rae et al. 2021 §A1.1) — the other half
+    of the Gopher gate next to :func:`gopher_rules`: documents whose
+    content is mostly REPEATED content (boilerplate, templated spam,
+    scraper loops) are scored and gated on
+
+    - ``dup_line_frac`` / ``dup_line_char_frac``: the fraction of line
+      occurrences (and of line characters) belonging to lines that
+      appear more than once in the document; pass ``line_delim="\\n\\n"``
+      for the paragraph variants.
+    - ``top_{n}gram_char_frac`` (n in ``top_ns``): characters covered
+      by the single most frequent word n-gram, counting every
+      occurrence, over the document's whitespace-normalized character
+      count. The most frequent gram is picked deterministically and
+      order-independently as ``max(struct(count, char_len))``.
+    - ``dup_{n}gram_char_frac`` (n in ``dup_ns``): characters covered
+      by ALL n-grams occurring more than once, occurrences summed
+      without overlap-deduplication (the standard streaming-friendly
+      approximation of Gopher's position-coverage count: exact interval
+      union needs per-position state; the occurrence sum is a
+      deterministic upper bound and is what public reimplementations
+      gate on). Can exceed 1.0 on extreme repetition by construction.
+    - ``repetition_keep``: the Table-A1 conjunction at the thresholds
+      above (restricted to the requested n values).
+
+    Distribution: per-unit counting is one explode over the gram
+    positions and two hash aggregations keyed by (doc, n, gram) then
+    (doc, n) — sharded BY CONSTRUCTION (the key includes the doc id, so
+    a hot key cannot exist across docs; the per-task state is bounded
+    by the longest single document, the same bound every per-doc
+    operator in this engine carries). Documents themselves never
+    shuffle: the feature table joins back on the id. No Python runs
+    anywhere — the gram builder is ``transform(sequence(...))`` inside
+    codegen, exactly the :func:`~..dedup.shingles` shape.
+
+    Denominator ``doc_chars`` = length of the single-space-joined token
+    array (whitespace-normalized), so the fractions are invariant to
+    the source document's whitespace style. Every count is integer and
+    every output is a single scalar division — bit-exact against the
+    DuckDB oracle with no rounding (queries.py ``text_gopher_repetition``).
+    """
+    text = F.col(text_col)
+    toks = F.filter(tokens(text), lambda x: x != "")
+    lines = F.filter(
+        F.transform(F.split(text, line_delim), F.trim),
+        lambda x: x != "",
+    )
+    line_structs = F.transform(
+        lines,
+        lambda l: F.struct(F.lit(_LINE_N).alias("n"), l.alias("gram")),
+    )
+    ns = sorted(set(top_ns) | set(dup_ns))
+    units = F.concat(line_structs, *[_gram_structs(toks, n) for n in ns])
+
+    base = df.select(
+        F.col(id_col),
+        F.length(F.array_join(toks, " ")).alias("__doc_chars"),
+        units.alias("__units"),
+    )
+    ex = base.select(id_col, F.explode_outer("__units").alias("s")).select(
+        id_col, F.col("s.n").alias("n"), F.col("s.gram").alias("gram")
+    )
+    cnt = (
+        ex.filter(F.col("n").isNotNull())
+        .groupBy(id_col, "n", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("gl", F.length("gram"))
+    )
+    dup_c = F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0))
+    dup_chars = F.when(F.col("c") >= 2, F.col("c") * F.col("gl")).otherwise(
+        F.lit(0)
+    )
+    per_n = cnt.groupBy(id_col, "n").agg(
+        F.sum("c").alias("occ"),
+        F.sum(F.col("c") * F.col("gl")).alias("occ_chars"),
+        F.sum(dup_c).alias("dup_occ"),
+        F.sum(dup_chars).alias("dup_chars"),
+        F.max(F.struct("c", "gl")).alias("top"),
+    )
+
+    def pick(n: int, col: Column) -> Column:
+        return F.max(F.when(F.col("n") == n, col))
+
+    aggs = [
+        pick(_LINE_N, F.col("dup_occ").cast("double") / F.col("occ")).alias(
+            "dup_line_frac"
+        ),
+        pick(
+            _LINE_N, F.col("dup_chars").cast("double") / F.col("occ_chars")
+        ).alias("dup_line_char_frac"),
+    ]
+    for n in top_ns:
+        aggs.append(
+            pick(n, (F.col("top.c") * F.col("top.gl")).cast("double")).alias(
+                f"__top_chars_{n}"
+            )
+        )
+    for n in dup_ns:
+        aggs.append(
+            pick(n, F.col("dup_chars").cast("double")).alias(f"__dup_chars_{n}")
+        )
+    feats = per_n.groupBy(id_col).agg(*aggs)
+
+    safe_chars = F.when(F.col("__doc_chars") == 0, F.lit(1.0)).otherwise(
+        F.col("__doc_chars").cast("double")
+    )
+    out_cols = [
+        F.col(id_col),
+        F.coalesce("dup_line_frac", F.lit(0.0)).alias("dup_line_frac"),
+        F.coalesce("dup_line_char_frac", F.lit(0.0)).alias(
+            "dup_line_char_frac"
+        ),
+    ]
+    keeps = [
+        F.coalesce("dup_line_frac", F.lit(0.0)) <= GOPHER_MAX_DUP_LINE_FRAC,
+        F.coalesce("dup_line_char_frac", F.lit(0.0))
+        <= GOPHER_MAX_DUP_LINE_CHAR_FRAC,
+    ]
+    for n in top_ns:
+        frac = F.coalesce(F.col(f"__top_chars_{n}") / safe_chars, F.lit(0.0))
+        out_cols.append(frac.alias(f"top_{n}gram_char_frac"))
+        if n in GOPHER_MAX_TOP_NGRAM_CHAR_FRAC:
+            keeps.append(frac <= GOPHER_MAX_TOP_NGRAM_CHAR_FRAC[n])
+    for n in dup_ns:
+        frac = F.coalesce(F.col(f"__dup_chars_{n}") / safe_chars, F.lit(0.0))
+        out_cols.append(frac.alias(f"dup_{n}gram_char_frac"))
+        if n in GOPHER_MAX_DUP_NGRAM_CHAR_FRAC:
+            keeps.append(frac <= GOPHER_MAX_DUP_NGRAM_CHAR_FRAC[n])
+    keep = keeps[0]
+    for k in keeps[1:]:
+        keep = keep & k
+    out_cols.append(keep.alias("repetition_keep"))
+
+    joined = base.select(id_col, "__doc_chars").join(feats, id_col, "left")
+    return joined.select(*out_cols)
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    lam: float = 0.75,
+) -> DataFrame:
+    """Interpolated bigram language-model score per document — the
+    next rung above the unigram mean-logprob stand-in (queries.py
+    ``text_unigram_logprob``) on the ladder toward a real perplexity
+    filter: score every token by its corpus-trained conditional
+    probability ``P(b|a) = lam * c(a,b)/c(a) + (1-lam) * c(b)/T``
+    (Jelinek–Mercer interpolation with the unigram distribution; the
+    unigram back-off term keeps P strictly positive for any pair seen
+    in training, and every scored pair IS in training because train
+    and apply share the corpus).
+
+    Returns (id, ``n_bigrams``, ``mean_logprob``) for every document
+    with at least two tokens; ``mean_logprob`` is rounded to 6 decimals
+    so the value hash is stable across summation orders (the same
+    discipline as the unigram entry).
+
+    Distribution — the train/apply split every corpus-derived filter
+    follows: the bigram and unigram count tables aggregate once at
+    vocabulary size; documents explode to (doc, a, b) positions and
+    join the counts by key. The count-table joins are vocab-sized (AQE
+    broadcasts them when small; at 100 TB: cap to the top-K vocabulary
+    plus a default count, still a broadcast — exactly the documented
+    unigram plan). Documents themselves never shuffle; the one
+    doc-keyed aggregation is the final mean.
+    """
+    text = F.col(text_col)
+    toks = F.filter(tokens(text), lambda x: x != "")
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+
+    uni = (
+        base.select(F.explode("__toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = uni.agg(F.sum("c").cast("double").alias("t"))
+
+    empty = F.array().cast("array<struct<a:string,b:string>>")
+    pair_arr = F.when(F.size("__toks") < 2, empty).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size("__toks") - 2),
+            lambda i: F.struct(
+                F.get("__toks", i).alias("a"),
+                F.get("__toks", i + 1).alias("b"),
+            ),
+        )
+    )
+    pairs = base.select(id_col, F.explode(pair_arr).alias("p")).select(
+        id_col, F.col("p.a").alias("a"), F.col("p.b").alias("b")
+    )
+    bi = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c2"))
+
+    ua = uni.select(F.col("tok").alias("a"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("tok").alias("b"), F.col("c").alias("cb"))
+    p = F.lit(lam) * (F.col("c2").cast("double") / F.col("ca")) + F.lit(
+        1.0 - lam
+    ) * (F.col("cb").cast("double") / F.col("t"))
+    return (
+        pairs.join(bi, ["a", "b"])
+        .join(ua, "a")
+        .join(ub, "b")
+        .join(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log(p)), 6).alias("mean_logprob"),
+        )
+    )

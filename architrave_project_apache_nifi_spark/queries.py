@@ -1112,6 +1112,170 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.gopher_rules(docs, "text", "doc_id")
 
 
+def _repetition_oracle(line_delim_sql: str = r"\s+") -> str:
+    """Oracle for ta.repetition_features — replays tokenization, the
+    per-(doc, n, gram) counting, the deterministic top pick
+    (row_number ORDER BY c DESC, gl DESC == Spark max(struct(c, gl))),
+    and the Table-A1 threshold conjunction. All counts integer; each
+    output is one scalar division — bit-exact, no rounding."""
+    tops = {2: "0.2", 3: "0.18", 4: "0.16"}
+    dups = {5: "0.15", 6: "0.14", 7: "0.13", 8: "0.12", 9: "0.11", 10: "0.1"}
+    tc_cols = ",\n    ".join(
+        f"coalesce(max(CASE WHEN f.n = {n} THEN "
+        f"CAST(f.top_c * f.top_gl AS DOUBLE) END), 0.0) AS tc{n}"
+        for n in tops
+    )
+    dc_cols = ",\n    ".join(
+        f"coalesce(max(CASE WHEN f.n = {n} THEN "
+        f"CAST(f.dup_chars AS DOUBLE) END), 0.0) AS dch{n}"
+        for n in dups
+    )
+    out_tops = ",\n       ".join(
+        f"tc{n} / gd AS top_{n}gram_char_frac" for n in tops
+    )
+    out_dups = ",\n       ".join(
+        f"dch{n} / gd AS dup_{n}gram_char_frac" for n in dups
+    )
+    keep = " AND ".join(
+        ["dup_line_frac <= 0.3", "dup_line_char_frac <= 0.2"]
+        + [f"tc{n} / gd <= {t}" for n, t in tops.items()]
+        + [f"dch{n} / gd <= {t}" for n, t in dups.items()]
+    )
+    ns_values = ", ".join(f"({n})" for n in sorted({*tops, *dups}))
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS toks,
+         list_filter(list_transform(string_split_regex(text, '{line_delim_sql}'),
+                                    x -> trim(x)), x -> x <> '') AS lns
+  FROM documents WHERE length(trim(text)) > 0
+), dc AS (
+  SELECT doc_id, length(array_to_string(toks, ' ')) AS doc_chars FROM base
+), units AS (
+  SELECT doc_id, 1 AS n, unnest(lns) AS gram FROM base
+  UNION ALL
+  SELECT doc_id, ns.n,
+         unnest(list_transform(range(0, greatest(len(toks) - ns.n + 1, 0)),
+                i -> array_to_string(
+                       toks[CAST(i + 1 AS INT):CAST(i + ns.n AS INT)], ' ')))
+           AS gram
+  FROM base, (VALUES {ns_values}) AS ns(n)
+), cnt AS (
+  SELECT doc_id, n, gram, count(*) AS c, length(gram) AS gl
+  FROM units GROUP BY doc_id, n, gram
+), agg AS (
+  SELECT doc_id, n,
+         CAST(sum(c) AS BIGINT) AS occ,
+         CAST(sum(c * gl) AS BIGINT) AS occ_chars,
+         CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_occ,
+         CAST(sum(CASE WHEN c >= 2 THEN c * gl ELSE 0 END) AS BIGINT)
+           AS dup_chars
+  FROM cnt GROUP BY doc_id, n
+), top AS (
+  SELECT doc_id, n, c AS top_c, gl AS top_gl
+  FROM (SELECT doc_id, n, c, gl,
+               row_number() OVER (PARTITION BY doc_id, n
+                                  ORDER BY c DESC, gl DESC) AS rn
+        FROM cnt) WHERE rn = 1
+), f AS (
+  SELECT a.doc_id, a.n, a.occ, a.occ_chars, a.dup_occ, a.dup_chars,
+         t.top_c, t.top_gl
+  FROM agg a JOIN top t ON a.doc_id = t.doc_id AND a.n = t.n
+), piv AS (
+  SELECT dc.doc_id,
+    CASE WHEN dc.doc_chars = 0 THEN 1.0
+         ELSE CAST(dc.doc_chars AS DOUBLE) END AS gd,
+    coalesce(max(CASE WHEN f.n = 1
+                 THEN CAST(f.dup_occ AS DOUBLE) / f.occ END), 0.0)
+      AS dup_line_frac,
+    coalesce(max(CASE WHEN f.n = 1
+                 THEN CAST(f.dup_chars AS DOUBLE) / f.occ_chars END), 0.0)
+      AS dup_line_char_frac,
+    {tc_cols},
+    {dc_cols}
+  FROM dc LEFT JOIN f ON dc.doc_id = f.doc_id
+  GROUP BY dc.doc_id, dc.doc_chars
+)
+SELECT doc_id, dup_line_frac, dup_line_char_frac,
+       {out_tops},
+       {out_dups},
+       ({keep}) AS repetition_keep
+FROM piv
+"""
+
+
+@register("text_gopher_repetition", _repetition_oracle())
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rules (ta.repetition_features, Rae et al. 2021
+    §A1.1) — the repetition half of the Gopher gate next to in-window
+    text_gopher_rules' well-formedness half: duplicate-line fraction
+    (and char fraction), most-frequent-n-gram char coverage (n=2..4),
+    duplicated-n-gram char coverage (n=5..10), plus the Table-A1 keep
+    conjunction. The synthetic corpus is single-line, so the entry sets
+    line_delim='\\s+' — the "line" rule becomes the duplicate-token
+    rule, keeping every code path exercised at the gate (newline-
+    delimited line/paragraph behavior is pinned by fixture tests in
+    test_textanalysis.py). Counting is explode + two hash aggs keyed by
+    (doc, n, gram) — sharded by construction, docs never shuffle."""
+    docs = spread(load(spark, "documents", sf_dir), "doc_id").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    return ta.repetition_features(docs, "text", "doc_id", line_delim=r"\s+")
+
+
+@register(
+    "text_bigram_logprob",
+    """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), tok AS (
+  SELECT doc_id, unnest(toks) AS tok FROM base
+), uni AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY tok
+), tot AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS t FROM uni
+), pr AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, greatest(len(toks) - 1, 0)),
+                i -> struct_pack(a := toks[CAST(i + 1 AS INT)],
+                                 b := toks[CAST(i + 2 AS INT)]))) AS p
+  FROM base
+), pairs AS (
+  SELECT doc_id, p.a AS a, p.b AS b FROM pr
+), bi AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS c2 FROM pairs GROUP BY a, b
+)
+SELECT pairs.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(ln(0.75 * (CAST(bi.c2 AS DOUBLE) / ua.c)
+                    + 0.25 * (CAST(ub.c AS DOUBLE) / tot.t))), 6)
+         AS mean_logprob
+FROM pairs
+JOIN bi ON pairs.a = bi.a AND pairs.b = bi.b
+JOIN uni ua ON pairs.a = ua.tok
+JOIN uni ub ON pairs.b = ub.tok
+CROSS JOIN tot
+GROUP BY pairs.doc_id
+""",
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM score (ta.bigram_logprob): one rung above
+    in-window text_unigram_logprob toward a real perplexity filter —
+    P(b|a) = 0.75·c(a,b)/c(a) + 0.25·c(b)/T (Jelinek–Mercer), mean log
+    per doc. Same train/apply shape: vocab-sized count tables aggregate
+    once and join back (AQE broadcasts; at 100 TB cap to top-K vocab +
+    default count), documents never shuffle except the final per-doc
+    mean."""
+    docs = spread(load(spark, "documents", sf_dir), "doc_id").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    return ta.bigram_logprob(docs, "text", "doc_id", lam=0.75)
+
+
 @register(
     "doc_fingerprint",
     """
@@ -1259,6 +1423,61 @@ def q_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, cands, "doc_id", "text", _JACCARD_THRESHOLD, _SHINGLE_N
     )
     return canonical_docs(docs, pairs, "doc_id", "id_a", "id_b")
+
+
+@register(
+    "dedup_cluster_keep_best",
+    f"""
+WITH RECURSIVE {_JACCARD_CTES}, pairs AS (
+  SELECT id_a, id_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+        >= {_JACCARD_THRESHOLD}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+), comp AS (
+  SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id
+), best AS (
+  SELECT comp, doc_id AS canonical_id FROM (
+    SELECT c.comp, d.doc_id,
+           row_number() OVER (PARTITION BY c.comp
+                              ORDER BY d.n_chars DESC, d.doc_id) AS rn
+    FROM comp c JOIN documents d ON d.doc_id = c.doc_id)
+  WHERE rn = 1
+)
+SELECT c.doc_id, b.canonical_id,
+       CAST(CASE WHEN b.canonical_id = c.doc_id THEN 1 ELSE 0 END AS INT)
+         AS is_kept
+FROM comp c JOIN best b ON c.comp = b.comp
+""",
+)
+def q_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_cluster_canonical with the production keep rule
+    (operators/cluster.py::canonical_docs_best): the component
+    representative is the BEST-scoring member (here: most characters —
+    keep the most complete copy), tie → min id, not the smallest id.
+    The argmax is max(struct(score, -id)) — a decomposable partial agg,
+    so a corpus-sized mono-duplicate component collapses map-side; the
+    oracle replays the closure then ranks each component by
+    (n_chars DESC, doc_id)."""
+    from .operators.cluster import canonical_docs_best
+
+    docs = load(spark, "documents", sf_dir)
+    cands = dd.minhash_lsh_candidates(
+        docs, "doc_id", "text", 64, 64, _SHINGLE_N, max_band_bucket=10_000
+    )
+    pairs = dd.verify_candidate_pairs(
+        docs, cands, "doc_id", "text", _JACCARD_THRESHOLD, _SHINGLE_N
+    )
+    return canonical_docs_best(docs, pairs, "doc_id", "n_chars")
 
 
 _DECON_N = 5  # word 5-grams; the operator default is 13 (real pipelines)
@@ -6006,6 +6225,17 @@ _OVERFLOW = [
     # r9 addition: per-domain cap ≈ in-window topk_per_key_skew_salted
     # (same two-phase salted rank) + stratified_sample (LCG priority)
     "domain_cap_documents",
+    # r9 additions: the repetition half of the Gopher gate ≈ in-window
+    # text_gopher_rules (same map-side gate role) + text_quality (the
+    # dup-bigram/top-token signals are this family's 2-gram special
+    # case); the bigram LM ≈ in-window text_unigram_logprob (same
+    # train/apply vocab-table shape, one conditional deeper)
+    "text_gopher_repetition",
+    "text_bigram_logprob",
+    # r9 addition: keep-best canonicalization ≈ in-window
+    # dedup_cluster_canonical (identical closure; the keep rule swaps
+    # min-id for a decomposable argmax)
+    "dedup_cluster_keep_best",
 ]
 
 # Rows-only entries promoted INTO the driver's 50-entry gate window.

@@ -72,3 +72,62 @@ def test_canonical_docs_keeps_min_and_singletons(spark):
     assert rows[0]["canonical_id"] == 0 and rows[0]["is_kept"] == 1
     kept = sum(r["is_kept"] for r in rows.values())
     assert kept == 7  # 10 docs - 3 dropped duplicates
+
+
+def test_canonical_docs_best_keeps_top_score(spark):
+    from architrave_project_apache_nifi_spark.operators.cluster import (
+        canonical_docs_best,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, s) for i, s in enumerate([3, 5, 9, 9, 1, 2, 8, 4, 6, 7])],
+        "doc_id long, n_chars long",
+    )
+    # component {1,2,3}: scores 5,9,9 -> argmax ties on 9, min id 2 wins
+    # component {5,8}:   scores 2,6   -> 8 wins (not the min id 5)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 8)], "id_a long, id_b long"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in canonical_docs_best(docs, pairs, "doc_id", "n_chars").collect()
+    }
+    for i in (1, 2, 3):
+        assert rows[i]["canonical_id"] == 2
+    assert rows[2]["is_kept"] == 1 and rows[1]["is_kept"] == 0
+    assert rows[5]["canonical_id"] == 8 and rows[5]["is_kept"] == 0
+    assert rows[8]["is_kept"] == 1
+    # singletons keep themselves
+    assert rows[0]["canonical_id"] == 0 and rows[0]["is_kept"] == 1
+    assert sum(r["is_kept"] for r in rows.values()) == 7
+
+
+def test_canonical_docs_best_constant_score_equals_min_id_rule(spark):
+    from architrave_project_apache_nifi_spark.operators.cluster import (
+        canonical_docs_best,
+    )
+
+    rng = random.Random(3)
+    n = 40
+    docs = spark.createDataFrame(
+        [(i, 1) for i in range(n)], "doc_id long, n_chars long"
+    )
+    pairs = spark.createDataFrame(
+        [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(25)
+        ],
+        "id_a long, id_b long",
+    ).filter("id_a <> id_b")
+    a = sorted(
+        map(tuple, canonical_docs_best(docs, pairs, "doc_id", "n_chars").collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            canonical_docs(
+                docs.select("doc_id"), pairs
+            ).collect(),
+        )
+    )
+    assert a == b

@@ -27,7 +27,7 @@ REPO = os.path.join(os.path.dirname(__file__), "..")
         ("examples/monitoring_pipeline.py", "rollup equals recompute over accepted batches: True"),
         ("examples/late_events.py", "invariant violations after splice: 0"),
         ("examples/hot_key_windows.py", "scd2_build_skewed equals scd2_build: True"),
-        ("examples/multimodal_features.py", "kept after feature gate: 500/503"),
+        ("examples/multimodal_features.py", "kept after feature gate: 500/504"),
     ],
 )
 def test_example_runs(script, expect):

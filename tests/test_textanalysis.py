@@ -88,3 +88,233 @@ def test_subword_token_count_bpe_ish(spark):
     assert rows[2] == (2, 9)
     assert rows[3] == (0, 0)
     assert rows[4] == (1, 3)
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition rules (r9): repetition_features
+# ---------------------------------------------------------------------------
+
+import math
+import random
+import re
+from collections import Counter
+
+from architrave_project_apache_nifi_spark.operators.textanalysis import (
+    GOPHER_MAX_DUP_LINE_CHAR_FRAC,
+    GOPHER_MAX_DUP_LINE_FRAC,
+    GOPHER_MAX_DUP_NGRAM_CHAR_FRAC,
+    GOPHER_MAX_TOP_NGRAM_CHAR_FRAC,
+    bigram_logprob,
+    repetition_features,
+)
+
+
+def _ref_repetition(
+    text: str,
+    line_delim: str = "\n",
+    top_ns=(2, 3, 4),
+    dup_ns=(5, 6, 7, 8, 9, 10),
+) -> dict:
+    """Pure-python reference of the repetition_features spec."""
+    toks = [t for t in re.split(r"\s+", text.strip().lower()) if t]
+    lines = [s for s in (x.strip() for x in re.split(line_delim, text)) if s]
+    doc_chars = len(" ".join(toks))
+    gd = float(doc_chars) if doc_chars else 1.0
+    out = {}
+    lc = Counter(lines)
+    occ = sum(lc.values())
+    occ_chars = sum(c * len(g) for g, c in lc.items())
+    dup_occ = sum(c for g, c in lc.items() if c >= 2)
+    dup_chars = sum(c * len(g) for g, c in lc.items() if c >= 2)
+    out["dup_line_frac"] = dup_occ / occ if occ else 0.0
+    out["dup_line_char_frac"] = dup_chars / occ_chars if occ_chars else 0.0
+    keep = (
+        out["dup_line_frac"] <= GOPHER_MAX_DUP_LINE_FRAC
+        and out["dup_line_char_frac"] <= GOPHER_MAX_DUP_LINE_CHAR_FRAC
+    )
+    for n in top_ns:
+        c = Counter(
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        )
+        if c:
+            cnt, gl = max((v, len(g)) for g, v in c.items())
+            frac = cnt * gl / gd
+        else:
+            frac = 0.0
+        out[f"top_{n}gram_char_frac"] = frac
+        keep = keep and frac <= GOPHER_MAX_TOP_NGRAM_CHAR_FRAC[n]
+    for n in dup_ns:
+        c = Counter(
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        )
+        frac = sum(v * len(g) for g, v in c.items() if v >= 2) / gd
+        out[f"dup_{n}gram_char_frac"] = frac
+        keep = keep and frac <= GOPHER_MAX_DUP_NGRAM_CHAR_FRAC[n]
+    out["repetition_keep"] = keep
+    return out
+
+
+def test_repetition_features_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "abc\nabc\ndef"),  # duplicated line
+            (2, "x y x y x y x y x y"),  # templated 2-gram spam
+            # clean doc, long enough that a unique top 2-gram covers
+            # little of it (Gopher gates short docs on word count first)
+            (3, " ".join(f"word{i:02d}" for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in repetition_features(docs, "text", "doc_id").collect()
+    }
+    # doc 1: lines [abc, abc, def] -> 2/3 of occurrences, 6/9 chars dup
+    assert rows[1]["dup_line_frac"] == 2 / 3
+    assert rows[1]["dup_line_char_frac"] == 6 / 9
+    # tokens "abc abc def": both 2-grams unique, tie -> equal length 7
+    assert rows[1]["top_2gram_char_frac"] == 7 / 11
+    assert rows[1]["dup_5gram_char_frac"] == 0.0
+    assert not rows[1]["repetition_keep"]  # dup_line 0.67 > 0.30
+    # doc 2: "x y" x5 of 9 bigram slots, doc_chars 19
+    assert rows[2]["top_2gram_char_frac"] == 5 * 3 / 19
+    # 5-grams: all 6 occurrences are one of two grams appearing 3x each
+    assert rows[2]["dup_5gram_char_frac"] == 6 * 9 / 19
+    assert not rows[2]["repetition_keep"]
+    # doc 3: no repetition anywhere
+    assert rows[3]["dup_line_frac"] == 0.0
+    # all 2-grams unique (count 1), tie -> gram length 13, doc 209 chars
+    assert rows[3]["top_2gram_char_frac"] == 13 / 209
+    assert rows[3]["dup_10gram_char_frac"] == 0.0
+    assert rows[3]["repetition_keep"]
+
+
+def test_repetition_features_paragraph_variant(spark):
+    docs = spark.createDataFrame(
+        [(1, "para one\n\npara one\n\npara two")],
+        "doc_id long, text string",
+    )
+    row = repetition_features(
+        docs, "text", "doc_id", line_delim=r"\n\n"
+    ).collect()[0]
+    assert row["dup_line_frac"] == 2 / 3
+    ref = _ref_repetition("para one\n\npara one\n\npara two", r"\n\n")
+    assert row["dup_line_char_frac"] == ref["dup_line_char_frac"]
+
+
+def test_repetition_features_matches_python_reference(spark):
+    """40 random docs (seeded), exact equality on every fraction —
+    small vocab + varying lengths force heavy gram collisions, ties,
+    short docs (< n tokens) and single-token docs."""
+    rng = random.Random(7)
+    vocab = ["aa", "b", "ccc", "dd", "e"]
+    docs = []
+    for i in range(40):
+        n = rng.choice([1, 2, 3, 5, 8, 15, 40])
+        words = [rng.choice(vocab) for _ in range(n)]
+        # occasionally inject newlines to exercise the line rule
+        sep = ["\n" if rng.random() < 0.2 else " " for _ in words]
+        text = "".join(w + s for w, s in zip(words, sep)).strip()
+        docs.append((i, text))
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in repetition_features(sdf, "text", "doc_id").collect()
+    }
+    for i, text in docs:
+        ref = _ref_repetition(text)
+        for k, v in ref.items():
+            assert got[i][k] == v, (i, k, got[i][k], v, text)
+
+
+def test_repetition_features_partitioning_independent(spark):
+    docs = [(i, f"w{i % 3} spam spam spam w{i % 5} end") for i in range(30)]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    a = sorted(
+        map(tuple, repetition_features(sdf, "text", "doc_id").collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            repetition_features(
+                sdf.repartition(7, "doc_id"), "text", "doc_id"
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram LM (r9): bigram_logprob
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_logprob_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b a"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in bigram_logprob(docs, "text", "doc_id").collect()
+    }
+    # uni: a=3 b=3 solo=1, T=7; bi: (a,b)=2, (b,a)=2
+    p_ab = 0.75 * (2 / 3) + 0.25 * (3 / 7)
+    p_ba = 0.75 * (2 / 3) + 0.25 * (3 / 7)
+    assert rows[1]["n_bigrams"] == 3
+    exp1 = round((2 * math.log(p_ab) + math.log(p_ba)) / 3, 6)
+    assert rows[1]["mean_logprob"] == exp1
+    assert rows[2]["n_bigrams"] == 1
+    assert rows[2]["mean_logprob"] == round(math.log(p_ba), 6)
+    # single-token doc has no bigrams -> not in the output
+    assert 3 not in rows
+
+
+def test_bigram_logprob_matches_python_reference(spark):
+    rng = random.Random(11)
+    vocab = ["a", "bb", "c", "dd", "eee"]
+    docs = [
+        (
+            i,
+            " ".join(
+                rng.choice(vocab)
+                for _ in range(rng.choice([2, 3, 5, 10, 25]))
+            ),
+        )
+        for i in range(30)
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["mean_logprob"])
+        for r in bigram_logprob(sdf, "text", "doc_id").collect()
+    }
+    uni = Counter(t for _, txt in docs for t in txt.split())
+    total = sum(uni.values())
+    bi = Counter(
+        (ts[i], ts[i + 1])
+        for _, txt in docs
+        for ts in [txt.split()]
+        for i in range(len(ts) - 1)
+    )
+    for i, txt in docs:
+        ts = txt.split()
+        ps = [
+            0.75 * (bi[(a, b)] / uni[a]) + 0.25 * (uni[b] / total)
+            for a, b in zip(ts, ts[1:])
+        ]
+        assert got[i][0] == len(ps)
+        assert abs(got[i][1] - sum(map(math.log, ps)) / len(ps)) < 2e-6, i
+
+
+def test_bigram_logprob_higher_for_predictable_text(spark):
+    """A doc made of the corpus's dominant bigram chain must outscore a
+    doc of rare transitions — the property the filter gates on."""
+    docs = [(i, "the cat sat on the mat") for i in range(10)]
+    docs.append((100, "the cat sat on the mat"))
+    docs.append((101, "mat the on sat cat the"))  # reversed transitions
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {
+        r["doc_id"]: r["mean_logprob"]
+        for r in bigram_logprob(sdf, "text", "doc_id").collect()
+    }
+    assert rows[100] > rows[101]
