@@ -996,3 +996,43 @@ def dedup_spans_rewrite(
         L.alias("n_tokens"),
         (L - F.size(folded)).alias("n_removed"),
     )
+
+
+def lsh_candidate_probability(s: float, bands: int, rows: int) -> float:
+    """P(candidate) for a pair with true Jaccard similarity ``s`` under
+    banded MinHash-LSH with ``bands`` bands of ``rows`` hashes:
+    ``1 - (1 - s^rows)^bands`` (the MMDS S-curve). Pure math — used by
+    :func:`lsh_plan` and by capacity planning around
+    :func:`minhash_lsh_candidates`."""
+    return 1.0 - (1.0 - s**rows) ** bands
+
+
+def lsh_plan(num_hashes: int, threshold: float) -> tuple[int, int, float]:
+    """Pick (bands, rows) for a signature of ``num_hashes`` hashes so
+    the S-curve's steepest point sits at the target Jaccard
+    ``threshold`` — the standard ``(1/b)^(1/r) ≈ t`` rule. Enumerates
+    the divisor grid (num_hashes is 64-256 in practice; this is
+    driver-side arithmetic, never a job) and returns
+    ``(bands, rows, est_threshold)`` with ``bands * rows ==
+    num_hashes`` exactly.
+
+    Raising ``bands`` above the returned value trades false positives
+    for recall (more candidate pairs to verify); lowering it trades
+    recall for verification volume — both directions stay safe because
+    the production pipeline ALWAYS exact-verifies candidates
+    (``verify_candidate_pairs``); the plan only controls how much
+    verification work the band join emits."""
+    if num_hashes < 1:
+        raise ValueError("num_hashes must be >= 1")
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    best: tuple[int, int, float] | None = None
+    for rows in range(1, num_hashes + 1):
+        if num_hashes % rows:
+            continue
+        bands = num_hashes // rows
+        est = (1.0 / bands) ** (1.0 / rows)
+        if best is None or abs(est - threshold) < abs(best[2] - threshold):
+            best = (bands, rows, est)
+    assert best is not None
+    return best

@@ -129,3 +129,19 @@ def write_partitioned_parquet(
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", max_records_per_file)
     w.parquet(path)
+
+
+def read_orc_table(spark, path: str, schema: StructType) -> DataFrame:
+    """ORC landed source with a pinned schema — the third columnar
+    lake format next to parquet (primary) and CSV/JSONL (text drops).
+    ORC scans get the same predicate pushdown / column pruning /
+    vectorized read path as parquet in Spark, so every downstream
+    plan-shape guarantee in this engine holds unchanged; the explicit
+    schema keeps types deterministic (no footer-inference drift when a
+    producer widens a column between drops — schema_compat gates that
+    instead)."""
+    return spark.read.schema(schema).orc(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").orc(path)

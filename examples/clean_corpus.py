@@ -2,10 +2,12 @@
 
 Run: python examples/clean_corpus.py   (reads testdata, prints a report)
 
-Chains: Gopher-rule gate → normalization → exact dedup →
-MinHash-LSH near-dup clustering → benchmark decontamination →
-temperature mixture sampling — the pipeline a 100 TB pretraining
-corpus runs, here on the sf0.001 documents table.
+Chains: Gopher-rule gate (well-formedness + the §A1.1 repetition
+suite) → normalization → bigram-LM quality floor → exact dedup →
+MinHash-LSH near-dup clustering (bands picked by lsh_plan, keep-best
+canonicalization) → benchmark decontamination → temperature mixture
+sampling — the pipeline a 100 TB pretraining corpus runs, here on the
+sf0.001 documents table.
 """
 
 from __future__ import annotations
@@ -22,7 +24,9 @@ from architrave_project_apache_nifi_spark.operators import (
 from architrave_project_apache_nifi_spark.operators import dedup as dd
 from architrave_project_apache_nifi_spark.operators import sampling as sp
 from architrave_project_apache_nifi_spark.operators import textanalysis as ta
-from architrave_project_apache_nifi_spark.operators.cluster import canonical_docs
+from architrave_project_apache_nifi_spark.operators.cluster import (
+    canonical_docs_best,
+)
 from architrave_project_apache_nifi_spark.session import get_spark
 
 
@@ -32,10 +36,38 @@ def main() -> None:
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     n0 = docs.count()
 
-    # 1. heuristic gate + normalization (map-only, composes with the scan)
+    # 1. heuristic gate + normalization (map-only, composes with the
+    # scan), then the repetition half of the Gopher gate and a
+    # bigram-LM floor (drop the least-predictable 10%). The absolute
+    # Table-A1 conjunction (repetition_keep) is calibrated for natural
+    # language; this synthetic word-soup corpus duplicates nearly every
+    # 5-gram, so the example gates corpus-adaptively instead: drop the
+    # most-repetitive decile by duplicated-5-gram character coverage.
     gated = docs.filter(ta.gopher_keep(F.col("text"))).withColumn(
         "text", ta.normalize_text(F.col("text"))
     )
+    rep = ta.repetition_features(gated, "text", "doc_id", line_delim=r"\s+")
+    rep_ceiling = rep.agg(
+        F.expr("percentile(dup_5gram_char_frac, 0.90)").alias("c")
+    )
+    rep_keep = (
+        rep.join(F.broadcast(rep_ceiling))
+        .filter(F.col("dup_5gram_char_frac") <= F.col("c"))
+        .select("doc_id")
+    )
+    gated = gated.join(rep_keep, "doc_id", "left_semi")
+    lm = ta.bigram_logprob(gated, "text", "doc_id")
+    floor = lm.agg(F.expr("percentile(mean_logprob, 0.10)").alias("f"))
+    lm_keep = (
+        lm.join(F.broadcast(floor))
+        .filter(F.col("mean_logprob") >= F.col("f"))
+        .select("doc_id")
+    )
+    gated = gated.join(lm_keep, "doc_id", "left_semi").persist()
+    # barrier: the two quality gates are AGGREGATIONS (gram counts, LM
+    # tables), and every downstream stage (minhash, verify, decontam)
+    # would replay them through lineage — materialize the gate output
+    # once. At 100 TB this is a parquet checkpoint, not a cache.
     n1 = gated.count()
 
     # 2. exact dedup (keep the smallest id per identical text)
@@ -43,10 +75,14 @@ def main() -> None:
     deduped = gated.join(keep_ids.select("doc_id"), "doc_id", "left_semi")
     n2 = deduped.count()
 
-    # 3. near-dup clustering: LSH candidates → exact verify → components
-    cands = dd.minhash_lsh_candidates(deduped, "doc_id", "text", 64, 64, 2)
+    # 3. near-dup clustering: LSH candidates (band count from the
+    # S-curve tuner) → exact verify → components → keep the BEST copy
+    # per component (longest doc), not the smallest id
+    bands, rows, est = dd.lsh_plan(64, 0.2)
+    print(f"lsh plan     {bands} bands x {rows} rows (knee ~{est:.2f})")
+    cands = dd.minhash_lsh_candidates(deduped, "doc_id", "text", 64, bands, 2)
     pairs = dd.verify_candidate_pairs(deduped, cands, "doc_id", "text", 0.2, 2)
-    decisions = canonical_docs(deduped, pairs, "doc_id", "id_a", "id_b")
+    decisions = canonical_docs_best(deduped, pairs, "doc_id", "n_chars")
     survivors = deduped.join(
         decisions.filter(F.col("is_kept") == 1).select("doc_id"),
         "doc_id",

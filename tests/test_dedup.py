@@ -523,3 +523,29 @@ def test_arrow_band_null_fill_overflowing_config(spark):
         )
     arrow = {i + 1: list(band[i]) for i in range(3)}
     assert expr == arrow
+
+
+def test_lsh_plan_and_probability():
+    from architrave_project_apache_nifi_spark.operators.dedup import (
+        lsh_candidate_probability,
+        lsh_plan,
+    )
+
+    # classic MMDS example: 16 bands x 8 rows has its knee near 0.707
+    assert abs((1 / 16) ** (1 / 8) - 0.7071) < 1e-3
+    b, r, est = lsh_plan(128, 0.7)
+    assert b * r == 128
+    assert abs(est - 0.7) == min(
+        abs((128 // rr) ** (-1.0 / rr) - 0.7)
+        for rr in range(1, 129)
+        if 128 % rr == 0
+    )
+    # S-curve is monotone in s and steep around the estimated threshold
+    lo = lsh_candidate_probability(est - 0.2, b, r)
+    hi = lsh_candidate_probability(est + 0.2, b, r)
+    assert lo < 0.5 < hi
+    probs = [lsh_candidate_probability(s / 100, b, r) for s in range(101)]
+    assert all(x <= y + 1e-12 for x, y in zip(probs, probs[1:]))
+    # the repo's gate configuration: 64 hashes targeting ~0.8
+    b64, r64, est64 = lsh_plan(64, 0.8)
+    assert b64 * r64 == 64 and 0.6 < est64 < 0.95

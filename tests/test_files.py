@@ -91,3 +91,32 @@ def test_partitioned_parquet_layout_prunes(spark, tmp_path):
     assert back.count() == 5
     # partition filter must prune at the scan, not post-filter
     assert "PartitionFilters: [isnotnull(lang" in plan or "lang#" in plan
+
+
+def test_orc_round_trip_and_pushdown(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from architrave_project_apache_nifi_spark.sources.files import (
+        read_orc_table,
+        write_orc,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("s"),
+    )
+    path = str(tmp_path / "orc_tbl")
+    write_orc(df, path)
+    back = read_orc_table(spark, path, df.schema)
+    assert back.count() == 1000
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    # filter + projection reach the ORC scan (pushdown/pruning intact)
+    plan = (
+        back.filter(F.col("k") == 3)
+        .select("id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(k), EqualTo(k,3)]" in plan, plan
