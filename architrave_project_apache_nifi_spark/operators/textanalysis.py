@@ -461,8 +461,12 @@ def repetition_features(
     """
     text = F.col(text_col)
     toks = F.filter(tokens(text), lambda x: x != "")
+    # NOTE: lambda, not bare F.trim — transform() passes (element,
+    # index) to two-parameter callables, and pyspark's trim grew an
+    # optional trim-characters second parameter, which would silently
+    # turn the index into the trim set (caught by the hypothesis suite)
     lines = F.filter(
-        F.transform(F.split(text, line_delim), F.trim),
+        F.transform(F.split(text, line_delim), lambda x: F.trim(x)),
         lambda x: x != "",
     )
     line_structs = F.transform(

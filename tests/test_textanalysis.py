@@ -318,3 +318,40 @@ def test_bigram_logprob_higher_for_predictable_text(spark):
         for r in bigram_logprob(sdf, "text", "doc_id").collect()
     }
     assert rows[100] > rows[101]
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_WORD = st.sampled_from(["a", "bb", "ccc", "Dd", "é", "x-y", "zz"])
+_SEP = st.sampled_from([" ", "  ", "\n", " \n ", "\t"])
+
+
+@st.composite
+def _doc(draw):
+    n = draw(st.integers(min_value=1, max_value=30))
+    words = [draw(_WORD) for _ in range(n)]
+    seps = [draw(_SEP) for _ in range(n - 1)] + [""]
+    return "".join(w + s for w, s in zip(words, seps))
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(texts=st.lists(_doc(), min_size=1, max_size=8))
+def test_repetition_features_property(spark, texts):
+    """Arbitrary whitespace styles, unicode, mixed case, tie-heavy tiny
+    vocab: Spark output equals the pure-python spec exactly on every
+    fraction and on the keep bit."""
+    docs = [(i, t) for i, t in enumerate(texts)]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in repetition_features(sdf, "text", "doc_id").collect()
+    }
+    for i, text in docs:
+        ref = _ref_repetition(text)
+        for k, v in ref.items():
+            assert got[i][k] == v, (i, k, got[i][k], v, repr(text))
