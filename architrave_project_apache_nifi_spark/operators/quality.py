@@ -187,3 +187,117 @@ def quantile_transform(
         .withColumn(target, F.col("__q"))
         .drop("__v", "__q")
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality scoring (r9): the classifier rung of the quality
+# ladder, above the heuristic gates (gopher_rules, repetition_features)
+# and the corpus-LM scores (unigram/bigram logprob). The CCNet/LLaMA
+# recipe: weak-label a reference-like positive set against random
+# crawl negatives, train a linear classifier on cheap per-doc
+# features, score the whole corpus, keep by probability.
+# ---------------------------------------------------------------------------
+
+QUALITY_FEATURE_COLS = (
+    "n_tokens",
+    "type_token_ratio",
+    "stopword_ratio",
+    "dup_bigram_ratio",
+    "top_token_ratio",
+)
+
+
+def weak_quality_labels(
+    df: DataFrame,
+    id_col: str,
+    positive: Column,
+    neg_rate: float = 1.0,
+    seed: int = 41,
+) -> DataFrame:
+    """Weak-label bootstrap: rows matching ``positive`` (a reference-
+    domain predicate — 'looks like the curated corpus') get label 1;
+    a deterministic LCG-hash sample of the REST at ``neg_rate`` gets
+    label 0; everything else is unlabeled and dropped. Map-only; the
+    same replayable hash arithmetic as sampling.stratified_sample, so
+    the training set is stable across runs and engines."""
+    h = (
+        (F.col(id_col).cast("long") % F.lit(2147483647))
+        * F.lit(1103515245)
+        + F.lit(12345 + seed)
+    ) % F.lit(2147483648)
+    keep_neg = (h.cast("double") / F.lit(2147483648.0)) < F.lit(neg_rate)
+    return (
+        df.withColumn(
+            "label",
+            F.when(positive, F.lit(1.0)).otherwise(
+                F.when(keep_neg, F.lit(0.0))
+            ),
+        )
+        .filter(F.col("label").isNotNull())
+    )
+
+
+def _feature_vector(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    from pyspark.ml.feature import VectorAssembler
+
+    from .textanalysis import quality_features
+
+    feats = quality_features(df, text_col, id_col).select(
+        id_col, *QUALITY_FEATURE_COLS
+    )
+    asm = VectorAssembler(
+        inputCols=list(QUALITY_FEATURE_COLS),
+        outputCol="features",
+        handleInvalid="keep",
+    )
+    return asm.transform(feats)
+
+
+def train_quality_classifier(
+    labeled: DataFrame,
+    text_col: str,
+    id_col: str,
+    label_col: str = "label",
+    max_iter: int = 50,
+    reg_param: float = 0.01,
+):
+    """Fit a logistic-regression quality model on the per-doc feature
+    set the heuristic gates already compute (QUALITY_FEATURE_COLS; all
+    map-only Column arithmetic). Returns the fitted
+    ``LogisticRegressionModel``.
+
+    Scale: feature extraction is one map pass; LBFGS training is
+    MLlib's tree-aggregated gradient loop — a linear scan of the
+    (bounded, weak-labeled) training set per iteration, never a
+    corpus shuffle. The model is k+1 doubles; persist with
+    ``model.write().save(path)`` like the IVF index artifact."""
+    from pyspark.ml.classification import LogisticRegression
+
+    train = _feature_vector(
+        labeled.select(id_col, text_col, label_col), text_col, id_col
+    ).join(labeled.select(id_col, label_col), id_col)
+    lr = LogisticRegression(
+        featuresCol="features",
+        labelCol=label_col,
+        maxIter=max_iter,
+        regParam=reg_param,
+        standardization=True,
+    )
+    return lr.fit(train)
+
+
+def score_quality(
+    df: DataFrame, model, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, ``quality_prob``) for every document: P(label=1) under the
+    trained model. Feature extraction + the linear model are both
+    map-only — scoring composes with any scan, and the keep decision
+    is a plain filter (absolute floor or adaptive_percentile_filter
+    on the probability)."""
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(_feature_vector(df, text_col, id_col))
+    return scored.select(
+        id_col,
+        vector_to_array("probability")[1].alias("quality_prob"),
+    )

@@ -199,3 +199,95 @@ def test_quantile_transform_ties_and_nulls(spark):
     assert out[1] == out[2] == 1 / 3  # tie shares the below-count
     assert out[4] == 1.0
     assert out[5] is None
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality classifier (r9)
+# ---------------------------------------------------------------------------
+
+
+def _clf_corpus(spark):
+    import random
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    rng = random.Random(5)
+    vocab = [f"tok{i}" for i in range(300)]
+    rows = []
+    for i in range(120):  # diverse, stopword-bearing "good" docs
+        words = ["the", "of", "and"] + [rng.choice(vocab) for _ in range(60)]
+        rng.shuffle(words)
+        rows.append((i, " ".join(words), 1.0))
+    for i in range(120, 240):  # repetitive junk
+        w = rng.choice(vocab)
+        rows.append((i, " ".join([w] * 40), 0.0))
+    return spark.createDataFrame(rows, "doc_id long, text string, label double")
+
+
+def test_quality_classifier_separates_junk(spark):
+    from architrave_project_apache_nifi_spark.operators.quality import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    docs = _clf_corpus(spark)
+    train = docs.filter("doc_id % 2 = 0")
+    heldout = docs.filter("doc_id % 2 = 1")
+    model = train_quality_classifier(train, "text", "doc_id")
+    scored = score_quality(heldout, model, "text", "doc_id").join(
+        heldout.select("doc_id", "label"), "doc_id"
+    )
+    rows = scored.collect()
+    assert len(rows) == heldout.count()
+    acc = sum(
+        1 for r in rows if (r["quality_prob"] >= 0.5) == (r["label"] == 1.0)
+    ) / len(rows)
+    assert acc >= 0.95, acc
+    good = [r["quality_prob"] for r in rows if r["label"] == 1.0]
+    junk = [r["quality_prob"] for r in rows if r["label"] == 0.0]
+    assert min(good) > max(junk)  # linearly separable by construction
+
+
+def test_quality_classifier_deterministic(spark):
+    from architrave_project_apache_nifi_spark.operators.quality import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    docs = _clf_corpus(spark)
+    m1 = train_quality_classifier(docs, "text", "doc_id")
+    m2 = train_quality_classifier(docs.repartition(7), "text", "doc_id")
+    s1 = {
+        r["doc_id"]: round(r["quality_prob"], 9)
+        for r in score_quality(docs, m1, "text", "doc_id").collect()
+    }
+    s2 = {
+        r["doc_id"]: round(r["quality_prob"], 9)
+        for r in score_quality(docs, m2, "text", "doc_id").collect()
+    }
+    # LBFGS over tree-aggregated gradients: same data -> same model up
+    # to aggregation-order float noise; scores equal at 1e-9 grain
+    assert s1 == s2
+
+
+def test_weak_quality_labels_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from architrave_project_apache_nifi_spark.operators.quality import (
+        weak_quality_labels,
+    )
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") < 100).alias("is_ref")
+    )
+    lab = weak_quality_labels(
+        docs, "doc_id", F.col("is_ref"), neg_rate=0.3
+    )
+    rows = lab.collect()
+    pos = [r for r in rows if r["label"] == 1.0]
+    neg = [r for r in rows if r["label"] == 0.0]
+    assert len(pos) == 100  # every reference doc labeled positive
+    assert 150 < len(neg) < 400  # ~30% of the 900 non-reference docs
+    # deterministic replay
+    again = weak_quality_labels(docs, "doc_id", F.col("is_ref"), neg_rate=0.3)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
