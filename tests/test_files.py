@@ -120,3 +120,37 @@ def test_orc_round_trip_and_pushdown(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters: [IsNotNull(k), EqualTo(k,3)]" in plan, plan
+
+
+def test_jsonl_gzip_landing(spark, tmp_path):
+    """Compressed JSONL drops land through the same reader: spark.read
+    .text decompresses .gz transparently. Caveat pinned here: gzip is
+    NOT byte-range splittable — one .gz file = one input task, so
+    producers must land many files for parallelism (unlike the
+    uncompressed path, where one huge file still fans out)."""
+    import gzip
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from architrave_project_apache_nifi_spark.sources.files import (
+        read_jsonl_table,
+    )
+
+    d = tmp_path / "gz"
+    d.mkdir()
+    with gzip.open(d / "part-0.jsonl.gz", "wt") as fh:
+        fh.write('{"id": 1, "s": "a"}\n{"id": 2, "s": "b"}\n')
+        fh.write("not json at all\n")
+    with gzip.open(d / "part-1.jsonl.gz", "wt") as fh:
+        fh.write('{"id": 3, "s": "c"}\n')
+    schema = StructType(
+        [StructField("id", LongType()), StructField("s", StringType())]
+    )
+    good, bad = read_jsonl_table(spark, str(d), schema)
+    assert sorted((r["id"], r["s"]) for r in good.collect()) == [
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+    ]
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1 and "not json" in bad_rows[0]["raw_line"]
