@@ -155,6 +155,20 @@ def pack_bins(
         tokens_col.cast("long").alias("n_tokens"),
         F.floor(F.col(id_col).cast("long") / shard_width).alias("shard"),
     )
+    # NULL token counts (failed upstream tokenize) route out like
+    # oversize docs — map-only, BEFORE the Arrow group: a NaN in the
+    # pandas batch would flip the whole n_tokens column to float64 and
+    # kill the task on int conversion / schema mismatch.
+    nulls = base.filter(F.col("n_tokens").isNull()).select(
+        "id",
+        "stream",
+        "n_tokens",
+        "shard",
+        F.lit(-1).cast("long").alias("bin_local"),
+        F.lit(0).cast("long").alias("bin_fill"),
+        F.lit(0).alias("is_packed"),
+    )
+    base = base.filter(F.col("n_tokens").isNotNull())
 
     def _ffd(pdf):
         import pandas as pd
@@ -190,9 +204,10 @@ def pack_bins(
         pdf["is_packed"] = pd.array(packed, dtype="int32")
         return pdf
 
-    return base.groupBy("stream", "shard").applyInPandas(
+    packed = base.groupBy("stream", "shard").applyInPandas(
         _ffd, _PACK_BINS_SCHEMA
     )
+    return packed.unionByName(nulls)
 
 
 def packing_waste(packed: DataFrame, budget: int) -> DataFrame:
@@ -215,14 +230,19 @@ def packing_waste(packed: DataFrame, budget: int) -> DataFrame:
             "n_oversize_dropped"
         )
     )
-    return bins.join(drops, "stream").select(
+    # drops is the base side: a stream whose docs are ALL oversize has
+    # no packed bins, and its drop count is exactly the signal this
+    # report exists to surface
+    return drops.join(bins, "stream", "left").select(
         "stream",
-        "n_bins",
-        "packed_tokens",
-        (
+        F.coalesce("n_bins", F.lit(0)).alias("n_bins"),
+        F.coalesce("packed_tokens", F.lit(0)).alias("packed_tokens"),
+        F.when(F.col("n_bins").isNull() | (F.col("n_bins") == 0), F.lit(0.0))
+        .otherwise(
             1.0
             - F.col("packed_tokens").cast("double")
             / (F.col("n_bins") * F.lit(float(budget)))
-        ).alias("waste_frac"),
+        )
+        .alias("waste_frac"),
         "n_oversize_dropped",
     )

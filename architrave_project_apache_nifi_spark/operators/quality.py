@@ -218,14 +218,14 @@ def weak_quality_labels(
     domain predicate — 'looks like the curated corpus') get label 1;
     a deterministic LCG-hash sample of the REST at ``neg_rate`` gets
     label 0; everything else is unlabeled and dropped. Map-only; the
-    same replayable hash arithmetic as sampling.stratified_sample, so
-    the training set is stable across runs and engines."""
-    h = (
-        (F.col(id_col).cast("long") % F.lit(2147483647))
-        * F.lit(1103515245)
-        + F.lit(12345 + seed)
-    ) % F.lit(2147483648)
-    keep_neg = (h.cast("double") / F.lit(2147483648.0)) < F.lit(neg_rate)
+    negative sample rides ``sampling.sample_hash`` (the engine's one
+    LCG — seed folded into the id), so the training set is stable
+    across runs and engines and stays consistent with every other
+    deterministic sample in the repo."""
+    from .sampling import _LCG_RANGE, sample_hash
+
+    h = sample_hash(F.col(id_col).cast("long") + F.lit(seed))
+    keep_neg = (h.cast("double") / F.lit(float(_LCG_RANGE))) < F.lit(neg_rate)
     return (
         df.withColumn(
             "label",
@@ -274,7 +274,7 @@ def train_quality_classifier(
     from pyspark.ml.classification import LogisticRegression
 
     train = _feature_vector(
-        labeled.select(id_col, text_col, label_col), text_col, id_col
+        labeled.select(id_col, text_col), text_col, id_col
     ).join(labeled.select(id_col, label_col), id_col)
     lr = LogisticRegression(
         featuresCol="features",

@@ -459,6 +459,11 @@ def repetition_features(
     every output is a single scalar division — bit-exact against the
     DuckDB oracle with no rounding (queries.py ``text_gopher_repetition``).
     """
+    ns = sorted(set(top_ns) | set(dup_ns))
+    if any(n < 2 for n in ns):
+        # n=1 is the _LINE_N sentinel: a token-unigram request would
+        # silently merge with the line units in the shared relation
+        raise ValueError(f"n-gram sizes must be >= 2, got {ns}")
     text = F.col(text_col)
     toks = F.filter(tokens(text), lambda x: x != "")
     # NOTE: lambda, not bare F.trim — transform() passes (element,
@@ -473,7 +478,6 @@ def repetition_features(
         lines,
         lambda l: F.struct(F.lit(_LINE_N).alias("n"), l.alias("gram")),
     )
-    ns = sorted(set(top_ns) | set(dup_ns))
     units = F.concat(line_structs, *[_gram_structs(toks, n) for n in ns])
 
     base = df.select(

@@ -227,3 +227,50 @@ def test_pack_bins_waste_beats_naive_inorder(spark):
     assert waste["n_oversize_dropped"] == 0
     assert waste["waste_frac"] <= naive_waste + 1e-12
     assert waste["waste_frac"] < 0.05  # FFD pairs 300+212 and 412+100
+
+
+def test_pack_bins_null_tokens_routed_not_fatal(spark):
+    from pyspark.sql import functions as F
+
+    from architrave_project_apache_nifi_spark.operators.packing import (
+        pack_bins,
+        packing_waste,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "s", 100), (2, "s", None), (3, "t", None), (4, "t", None)],
+        "doc_id long, lang string, n_tok long",
+    )
+    out = {
+        r["id"]: r
+        for r in pack_bins(
+            df, "doc_id", "lang", F.col("n_tok"), 512, 100
+        ).collect()
+    }
+    assert len(out) == 4
+    assert out[1]["is_packed"] == 1
+    for i in (2, 3, 4):
+        assert out[i]["is_packed"] == 0 and out[i]["bin_local"] == -1
+        assert out[i]["n_tokens"] is None
+
+
+def test_packing_waste_reports_all_dropped_stream(spark):
+    from pyspark.sql import functions as F
+
+    from architrave_project_apache_nifi_spark.operators.packing import (
+        pack_bins,
+        packing_waste,
+    )
+
+    # stream "big": every doc oversize -> 0 bins, but the drop count
+    # must still appear in the report
+    df = spark.createDataFrame(
+        [(1, "ok", 100), (2, "ok", 200), (10, "big", 900), (11, "big", 800)],
+        "doc_id long, lang string, n_tok long",
+    )
+    packed = pack_bins(df, "doc_id", "lang", F.col("n_tok"), 512, 100)
+    rep = {r["stream"]: r for r in packing_waste(packed, 512).collect()}
+    assert rep["big"]["n_bins"] == 0
+    assert rep["big"]["n_oversize_dropped"] == 2
+    assert rep["big"]["waste_frac"] == 0.0
+    assert rep["ok"]["n_bins"] == 1 and rep["ok"]["n_oversize_dropped"] == 0

@@ -258,16 +258,18 @@ def test_quality_classifier_deterministic(spark):
     m1 = train_quality_classifier(docs, "text", "doc_id")
     m2 = train_quality_classifier(docs.repartition(7), "text", "doc_id")
     s1 = {
-        r["doc_id"]: round(r["quality_prob"], 9)
+        r["doc_id"]: r["quality_prob"]
         for r in score_quality(docs, m1, "text", "doc_id").collect()
     }
     s2 = {
-        r["doc_id"]: round(r["quality_prob"], 9)
+        r["doc_id"]: r["quality_prob"]
         for r in score_quality(docs, m2, "text", "doc_id").collect()
     }
     # LBFGS over tree-aggregated gradients: same data -> same model up
-    # to aggregation-order float noise; scores equal at 1e-9 grain
-    assert s1 == s2
+    # to aggregation-order float noise, whose size depends on the
+    # treeAggregate shape (parallelism) — assert a tolerance, not bits
+    assert s1.keys() == s2.keys()
+    assert max(abs(s1[k] - s2[k]) for k in s1) < 1e-6
 
 
 def test_weak_quality_labels_semantics(spark):

@@ -355,3 +355,11 @@ def test_repetition_features_property(spark, texts):
         ref = _ref_repetition(text)
         for k, v in ref.items():
             assert got[i][k] == v, (i, k, got[i][k], v, repr(text))
+
+
+def test_repetition_features_rejects_unigram_n(spark):
+    import pytest
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match=">= 2"):
+        repetition_features(docs, "text", "doc_id", top_ns=(1, 2))
