@@ -7,7 +7,9 @@ Run: python examples/assemble_dataset.py   (reads testdata, prints a report)
 Chains: quality floor (corpus-adaptive percentile) → leakage-safe
 train/val/test split (near-dup clusters never straddle a boundary) →
 per-source token budgets → mixture upsampling of rare languages →
-deterministic training-order shuffle → sequence packing. Every step is
+deterministic training-order shuffle → sequence packing (both
+contracts: concat-then-chunk and boundary-respecting FFD bins, with
+the padding waste of the latter measured). Every step is
 replayable: thresholds come from the corpus, randomness is the integer
 LCG, ordering is the hash permutation.
 """
@@ -23,7 +25,11 @@ from pyspark.sql import functions as F
 from architrave_project_apache_nifi_spark.operators import dedup as dd
 from architrave_project_apache_nifi_spark.operators import sampling as sp
 from architrave_project_apache_nifi_spark.operators import textanalysis as ta
-from architrave_project_apache_nifi_spark.operators.packing import pack_sequences
+from architrave_project_apache_nifi_spark.operators.packing import (
+    pack_bins,
+    pack_sequences,
+    packing_waste,
+)
 from architrave_project_apache_nifi_spark.operators.splits import (
     leakage_safe_split,
 )
@@ -87,6 +93,20 @@ def main() -> None:
     )
     n_seqs = packed.agg(F.countDistinct("seq_id")).collect()[0][0]
     print("packed sequences:", n_seqs)
+
+    # -- 6. the SFT-shaped alternative: boundary-respecting FFD bins ----
+    # concat-then-chunk wastes zero tokens but splits documents across
+    # sequence edges; pack_bins keeps every document whole and reports
+    # the padding waste that contract costs
+    bins = pack_bins(
+        ordered, "doc_id", "lang", ta.token_count(F.col("text")), budget=512
+    )
+    for r in packing_waste(bins, 512).orderBy("stream").collect():
+        print(
+            f"ffd bins [{r['stream']}]: {r['n_bins']} bins, "
+            f"waste {r['waste_frac']:.1%}, "
+            f"{r['n_oversize_dropped']} oversize routed to chunking"
+        )
 
 
 if __name__ == "__main__":

@@ -22,7 +22,7 @@ REPO = os.path.join(os.path.dirname(__file__), "..")
         ("examples/cdc_to_scd2.py", "streamed history rows: 5"),
         ("examples/clean_corpus.py", "sampled"),
         ("examples/similarity_search.py", "IVF probe"),
-        ("examples/assemble_dataset.py", "packed sequences:"),
+        ("examples/assemble_dataset.py", "oversize routed to chunking"),
         ("examples/tokenizer_dataset.py", "sampled windows:"),
         ("examples/monitoring_pipeline.py", "rollup equals recompute over accepted batches: True"),
         ("examples/late_events.py", "invariant violations after splice: 0"),
