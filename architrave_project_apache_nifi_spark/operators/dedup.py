@@ -353,10 +353,11 @@ def minhash_lsh_candidates(
     id_col: str,
     text_col: str,
     num_hashes: int = 64,
-    bands: int = 16,
+    bands: int | None = 16,
     shingle_n: int = 3,
     max_band_bucket: int | None = None,
     band_impl: str = "auto",
+    threshold: float | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH: docs agreeing on any
     full band of ``num_hashes/bands`` minhashes collide. Returns
@@ -409,7 +410,15 @@ def minhash_lsh_candidates(
     (|hot| ≤ band_rows / cap) — AQE sizes the materialized agg stage at
     runtime and broadcasts when it fits, shuffle-joins when an
     adversarial corpus inflates it (no hint, no eager count; see
-    ``_salt_hot_bands``)."""
+    ``_salt_hot_bands``).
+
+    ``threshold``: pass a target Jaccard with ``bands=None`` and the
+    band count comes from :func:`lsh_plan` (S-curve knee at the
+    threshold) instead of being hand-picked."""
+    if bands is None:
+        if threshold is None:
+            raise ValueError("pass bands explicitly or a threshold")
+        bands, _rows, _est = lsh_plan(num_hashes, threshold)
     assert num_hashes % bands == 0
     if band_impl == "auto":
         band_impl = _auto_band_impl(df)

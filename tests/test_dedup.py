@@ -549,3 +549,35 @@ def test_lsh_plan_and_probability():
     # the repo's gate configuration: 64 hashes targeting ~0.8
     b64, r64, est64 = lsh_plan(64, 0.8)
     assert b64 * r64 == 64 and 0.6 < est64 < 0.95
+
+
+def test_lsh_candidates_threshold_derives_bands(spark):
+    import pytest
+
+    from architrave_project_apache_nifi_spark.operators.dedup import (
+        lsh_plan,
+        minhash_lsh_candidates,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 4} a b c d e f g h {i % 3}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    b, _r, _e = lsh_plan(64, 0.2)
+    explicit = sorted(
+        map(
+            tuple,
+            minhash_lsh_candidates(docs, "doc_id", "text", 64, b, 2).collect(),
+        )
+    )
+    derived = sorted(
+        map(
+            tuple,
+            minhash_lsh_candidates(
+                docs, "doc_id", "text", 64, None, 2, threshold=0.2
+            ).collect(),
+        )
+    )
+    assert explicit == derived
+    with pytest.raises(ValueError, match="bands explicitly or a threshold"):
+        minhash_lsh_candidates(docs, "doc_id", "text", 64, None, 2)
