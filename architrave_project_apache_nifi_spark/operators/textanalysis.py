@@ -466,12 +466,16 @@ def repetition_features(
         raise ValueError(f"n-gram sizes must be >= 2, got {ns}")
     text = F.col(text_col)
     toks = F.filter(tokens(text), lambda x: x != "")
-    # NOTE: lambda, not bare F.trim — transform() passes (element,
-    # index) to two-parameter callables, and pyspark's trim grew an
-    # optional trim-characters second parameter, which would silently
-    # turn the index into the trim set (caught by the hypothesis suite)
+    # Full-whitespace trim (NOT F.trim, which strips only ASCII spaces
+    # and would let trailing \t/\r survive into line grams — and whose
+    # bare reference would also hit the transform() (element, index)
+    # two-parameter trap). Matches python str.strip() and the DuckDB
+    # oracle's regexp_replace on CRLF/tab corpora.
     lines = F.filter(
-        F.transform(F.split(text, line_delim), lambda x: F.trim(x)),
+        F.transform(
+            F.split(text, line_delim),
+            lambda x: F.regexp_replace(x, r"^\s+|\s+$", ""),
+        ),
         lambda x: x != "",
     )
     line_structs = F.transform(

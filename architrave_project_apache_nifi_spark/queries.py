@@ -1148,7 +1148,8 @@ WITH base AS (
          list_filter(string_split_regex(lower(trim(text)), '\\s+'),
                      x -> x <> '') AS toks,
          list_filter(list_transform(string_split_regex(text, '{line_delim_sql}'),
-                                    x -> trim(x)), x -> x <> '') AS lns
+                                    x -> regexp_replace(x, '^\\s+|\\s+$', '', 'g')),
+                     x -> x <> '') AS lns
   FROM documents WHERE length(trim(text)) > 0
 ), dc AS (
   SELECT doc_id, length(array_to_string(toks, ' ')) AS doc_chars FROM base
@@ -6218,24 +6219,18 @@ _OVERFLOW = [
     # feature arithmetic); the rows-only HLL estimate sibling returns
     # to the ungated tail, superseded in-window by its exact twin.
     "multimodal_frame_sample",  # geometry plumbing ≡ in-window decode_real/resize; CI-oracled here
-    # r9 addition: compressed-codec decode — plumbing + geometry twin
-    # multimodal_decode_real is in-window; the zlib/unfilter codec is
-    # the new surface
-    "multimodal_decode_png",
+    # r10 rotation (VERDICT r9 #2): the four green r9 surfaces
+    # text_gopher_repetition / text_bigram_logprob /
+    # dedup_cluster_keep_best / multimodal_decode_png ENTER the graded
+    # window; the four below leave, each with an in-window (or
+    # strictly-stronger entering) mechanical twin:
+    "text_token_count",  # split+count is a strict subset of in-window text_quality's signals
+    "text_langid",  # char-n-gram broadcast-profile scoring ≈ entering text_bigram_logprob (same gram explode + broadcast table apply, one conditional deeper)
+    "multimodal_resize",  # mapInPandas geometry ≡ in-window decode_real + feature_extract; codec strictly stronger in entering decode_png
+    "dedup_cluster_canonical",  # identical closure as entering dedup_cluster_keep_best; keep rule strictly weaker (min-id vs decomposable argmax)
     # r9 addition: per-domain cap ≈ in-window topk_per_key_skew_salted
     # (same two-phase salted rank) + stratified_sample (LCG priority)
     "domain_cap_documents",
-    # r9 additions: the repetition half of the Gopher gate ≈ in-window
-    # text_gopher_rules (same map-side gate role) + text_quality (the
-    # dup-bigram/top-token signals are this family's 2-gram special
-    # case); the bigram LM ≈ in-window text_unigram_logprob (same
-    # train/apply vocab-table shape, one conditional deeper)
-    "text_gopher_repetition",
-    "text_bigram_logprob",
-    # r9 addition: keep-best canonicalization ≈ in-window
-    # dedup_cluster_canonical (identical closure; the keep rule swaps
-    # min-id for a decomposable argmax)
-    "dedup_cluster_keep_best",
 ]
 
 # Rows-only entries promoted INTO the driver's 50-entry gate window.

@@ -324,14 +324,23 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 _WORD = st.sampled_from(["a", "bb", "ccc", "Dd", "é", "x-y", "zz"])
-_SEP = st.sampled_from([" ", "  ", "\n", " \n ", "\t"])
+# Consecutive whitespace runs ("\t\n", "\r\n", "\n\t\n") make lines with
+# trailing tabs/CRs and whitespace-only lines — the cases where a
+# space-only trim (F.trim / SQL trim) diverges from str.strip(); the
+# operator and oracle now use a full-whitespace regexp trim and this
+# strategy keeps that path exercised (ADVICE r9).
+_SEP = st.sampled_from(
+    [" ", "  ", "\n", " \n ", "\t", "\t\n", "\r\n", "\n\t\n", " \t\n "]
+)
 
 
 @st.composite
 def _doc(draw):
     n = draw(st.integers(min_value=1, max_value=30))
     words = [draw(_WORD) for _ in range(n)]
-    seps = [draw(_SEP) for _ in range(n - 1)] + [""]
+    # trailing separator allowed: a doc may end in whitespace, making
+    # the final line whitespace-only after the split
+    seps = [draw(_SEP) for _ in range(n - 1)] + [draw(st.sampled_from(["", "\t", "\n", " \n"]))]
     return "".join(w + s for w, s in zip(words, seps))
 
 
