@@ -151,7 +151,10 @@ def pack_bins(
 
     base = df.select(
         F.col(id_col).cast("long").alias("id"),
-        F.col(stream_col).alias("stream"),
+        # cast mirrors the id cast: the Arrow output schema pins
+        # `stream string`, so a non-string stream (e.g. an integer
+        # domain id) must be coerced here, not fail in applyInPandas
+        F.col(stream_col).cast("string").alias("stream"),
         tokens_col.cast("long").alias("n_tokens"),
         F.floor(F.col(id_col).cast("long") / shard_width).alias("shard"),
     )
@@ -212,9 +215,13 @@ def pack_bins(
 
 def packing_waste(packed: DataFrame, budget: int) -> DataFrame:
     """One row per stream: bins used, padding waste fraction
-    (1 − packed tokens / (bins × budget)) and the oversize-drop count —
-    the metric that justifies FFD over naive in-order packing. One
-    tiny two-level aggregation (distinct bins per stream ≪ docs)."""
+    (1 − packed tokens / (bins × budget)), the oversize-drop count and
+    the failed-tokenize count — the metric that justifies FFD over
+    naive in-order packing. pack_bins routes BOTH oversize docs and
+    NULL-token docs out with is_packed=0; the two causes are reported
+    separately (an oversize doc needs chunking, a NULL one needs its
+    tokenizer fixed). One tiny two-level aggregation (distinct bins per
+    stream ≪ docs)."""
     bins = (
         packed.filter(F.col("is_packed") == 1)
         .groupBy("stream", "shard", "bin_local")
@@ -225,10 +232,14 @@ def packing_waste(packed: DataFrame, budget: int) -> DataFrame:
             F.sum("fill").alias("packed_tokens"),
         )
     )
+    unpacked = F.col("is_packed") == 0
     drops = packed.groupBy("stream").agg(
-        F.sum(F.when(F.col("is_packed") == 0, 1).otherwise(0)).alias(
-            "n_oversize_dropped"
-        )
+        F.sum(
+            F.when(unpacked & F.col("n_tokens").isNotNull(), 1).otherwise(0)
+        ).alias("n_oversize_dropped"),
+        F.sum(
+            F.when(unpacked & F.col("n_tokens").isNull(), 1).otherwise(0)
+        ).alias("n_null_tokens"),
     )
     # drops is the base side: a stream whose docs are ALL oversize has
     # no packed bins, and its drop count is exactly the signal this
@@ -245,4 +256,5 @@ def packing_waste(packed: DataFrame, budget: int) -> DataFrame:
         )
         .alias("waste_frac"),
         "n_oversize_dropped",
+        "n_null_tokens",
     )

@@ -273,9 +273,16 @@ def train_quality_classifier(
     ``model.write().save(path)`` like the IVF index artifact."""
     from pyspark.ml.classification import LogisticRegression
 
-    train = _feature_vector(
-        labeled.select(id_col, text_col), text_col, id_col
-    ).join(labeled.select(id_col, label_col), id_col)
+    # Zero-token docs have null type_token_ratio/stopword_ratio, which
+    # handleInvalid='keep' forwards as NaN features; one such doc in
+    # the weak-label sample would NaN-poison the LBFGS loss. Train only
+    # on docs with tokens ('keep' stays for the scoring path, where a
+    # NaN probability just drops that doc).
+    train = (
+        _feature_vector(labeled.select(id_col, text_col), text_col, id_col)
+        .filter(F.col("n_tokens") > 0)
+        .join(labeled.select(id_col, label_col), id_col)
+    )
     lr = LogisticRegression(
         featuresCol="features",
         labelCol=label_col,

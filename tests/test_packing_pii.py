@@ -274,3 +274,41 @@ def test_packing_waste_reports_all_dropped_stream(spark):
     assert rep["big"]["n_oversize_dropped"] == 2
     assert rep["big"]["waste_frac"] == 0.0
     assert rep["ok"]["n_bins"] == 1 and rep["ok"]["n_oversize_dropped"] == 0
+
+
+def test_packing_waste_splits_null_tokens_from_oversize(spark):
+    from pyspark.sql import functions as F
+
+    from architrave_project_apache_nifi_spark.operators.packing import (
+        pack_bins,
+        packing_waste,
+    )
+
+    # one oversize doc and two failed-tokenize (NULL) docs share
+    # is_packed=0 but must be reported as different causes
+    df = spark.createDataFrame(
+        [(1, "s", 100), (2, "s", 900), (3, "s", None), (4, "s", None)],
+        "doc_id long, lang string, n_tok long",
+    )
+    packed = pack_bins(df, "doc_id", "lang", F.col("n_tok"), 512, 100)
+    rep = packing_waste(packed, 512).collect()[0]
+    assert rep["n_oversize_dropped"] == 1
+    assert rep["n_null_tokens"] == 2
+
+
+def test_pack_bins_accepts_non_string_stream(spark):
+    from pyspark.sql import functions as F
+
+    from architrave_project_apache_nifi_spark.operators.packing import (
+        pack_bins,
+    )
+
+    # integer domain id as the stream column: the Arrow output schema
+    # pins `stream string`, so pack_bins must coerce, not crash
+    df = spark.createDataFrame(
+        [(1, 7, 100), (2, 7, 200), (3, 9, 300)],
+        "doc_id long, domain int, n_tok long",
+    )
+    out = pack_bins(df, "doc_id", "domain", F.col("n_tok"), 512, 100).collect()
+    assert {r["stream"] for r in out} == {"7", "9"}
+    assert all(r["is_packed"] == 1 for r in out)

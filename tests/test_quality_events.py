@@ -272,6 +272,32 @@ def test_quality_classifier_deterministic(spark):
     assert max(abs(s1[k] - s2[k]) for k in s1) < 1e-6
 
 
+def test_quality_classifier_survives_empty_doc_in_training(spark):
+    import math
+
+    from architrave_project_apache_nifi_spark.operators.quality import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    # Zero-token docs yield NULL ratio features, which the assembler's
+    # handleInvalid='keep' forwards as NaN; the training path must
+    # filter them or one sampled negative NaN-poisons the LBFGS loss.
+    docs = _clf_corpus(spark).unionByName(
+        spark.createDataFrame(
+            [(9001, "", 0.0), (9002, "   \t\n ", 0.0)],
+            "doc_id long, text string, label double",
+        )
+    )
+    model = train_quality_classifier(docs, "text", "doc_id")
+    coefs = list(model.coefficients) + [model.intercept]
+    assert all(math.isfinite(c) for c in coefs), coefs
+    scored = score_quality(
+        _clf_corpus(spark), model, "text", "doc_id"
+    ).collect()
+    assert all(math.isfinite(r["quality_prob"]) for r in scored)
+
+
 def test_weak_quality_labels_semantics(spark):
     from pyspark.sql import functions as F
 
