@@ -262,7 +262,13 @@ def ivf_build(
     At 100 TB the index is a persisted table, not a cached DataFrame —
     ``ivf_save``/``ivf_load`` write/read exactly this shape
     (lists partitioned by ``list_id`` so a probe's cell filter becomes
-    partition pruning). nlist should grow ~√N so cells stay bounded."""
+    partition pruning). nlist should grow ~√N so cells stay bounded.
+
+    Storage: ``persist()`` uses the Spark 3+ default
+    (MEMORY_AND_DISK_DESER), so memory-pressure eviction degrades to a
+    disk read — never a silent k-means rebuild; the centroids live
+    driver-side in the returned IvfIndex (adjudicated r10,
+    BASELINE.md "r9→r10 drift adjudication")."""
     from pyspark.ml.functions import array_to_vector
 
     cents, model = ivf_centroids(corpus, vec_col, nlist, seed, max_iter)

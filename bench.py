@@ -60,20 +60,31 @@ def _wait_for_quiet(load_max: float, budget_s: float) -> dict:
     per-pass gate record embedded in load_telemetry; if the budget
     runs out the pass proceeds and says so (`proceeded_over_threshold`
     — the documented override, visible to the judge in BENCH_r*.json).
-    Disable with SPARK_GRAFT_LOAD_MAX=0."""
+    Disable with SPARK_GRAFT_LOAD_MAX=0.
+
+    r10 (VERDICT r9 #7): the gate record also carries loadavg_5m and a
+    `busy_5m` flag (soft threshold, BASELINE.md "Load gating") — the
+    r9 official run passed the 1-minute gate during a dip while the
+    5-minute average said the host was busy the whole time, and the
+    round burned a cross-round comparison on it. The 5m value is
+    recorded, not waited on: a 5-minute average decays too slowly for
+    a bounded wait to be useful, but the flag makes a contended run
+    adjudicable from the artifact alone."""
     t0 = time.monotonic()
     while True:
         try:
-            la = os.getloadavg()[0]
+            la1, la5, _ = os.getloadavg()
         except OSError:
             return {"loadavg_1m_at_start": None, "waited_s": 0.0,
                     "proceeded_over_threshold": False}
         waited = time.monotonic() - t0
-        if load_max <= 0 or la <= load_max or waited >= budget_s:
+        if load_max <= 0 or la1 <= load_max or waited >= budget_s:
             return {
-                "loadavg_1m_at_start": round(la, 2),
+                "loadavg_1m_at_start": round(la1, 2),
+                "loadavg_5m_at_start": round(la5, 2),
+                "busy_5m": load_max > 0 and la5 > load_max,
                 "waited_s": round(waited, 1),
-                "proceeded_over_threshold": load_max > 0 and la > load_max,
+                "proceeded_over_threshold": load_max > 0 and la1 > load_max,
             }
         time.sleep(5.0)
 
