@@ -1277,6 +1277,93 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.bigram_logprob(docs, "text", "doc_id", lam=0.75)
 
 
+# Deterministic HTML wrapper for the extraction entry: the synthetic
+# corpus is plain text, so both sides wrap each document in the SAME
+# markup (script with < > operators, style block, comment, entities,
+# nav-list boilerplate) — the operator must strip everything it added
+# and recover the body, exactly, on both engines.
+_HTML_PREFIX = (
+    '<html><head><title>t</title><style>p { color: red; }</style>'
+    '<script type="text/javascript">var x = 1 < 2 && 3 > 2;</script>'
+    "</head><body><h1>Doc "
+)
+_HTML_MID = "</h1><!-- layout\ncomment --><p>"
+_HTML_SUFFIX = (
+    "</p><div>Click &quot;here&quot; &amp; read more &#39;now&#39;.</div>"
+    "<ul><li>nav</li><li>menu</li></ul></body></html>"
+)
+
+
+def _sql_str(s: str) -> str:
+    """SQL string literal for a Python string: single quotes doubled,
+    embedded newlines spliced as chr(10) (DuckDB's plain '...' literals
+    do not process backslash escapes, so repr() would silently turn a
+    newline into a two-char backslash-n)."""
+    return " || chr(10) || ".join(
+        "'" + part.replace("'", "''") + "'" for part in s.split("\n")
+    )
+
+
+def _html_extract_oracle() -> str:
+    """Replays operators/html.html_to_text + c4_keep_lines as the SAME
+    regexp_replace chain (patterns imported from the module constants,
+    shared Java-regex/RE2 dialect) over the same synthesized markup."""
+    from .operators import html as H
+
+    expr = "h.html"
+    for pat, rep in H.HTML_CHAIN:
+        expr = f"regexp_replace({expr}, '{pat}', {_sql_str(rep)}, 'g')"
+    c4 = """array_to_string(list_filter(string_split(extracted, chr(10)),
+      l -> len(list_filter(string_split(l, ' '), w -> w <> '')) >= 3
+           AND regexp_matches(l, '[.!?"]$')
+           AND NOT contains(l, '{') AND NOT contains(l, '}')
+           AND NOT contains(lower(l), 'javascript')
+           AND NOT contains(lower(l), 'lorem ipsum')
+           AND NOT contains(lower(l), 'cookie')), chr(10))"""
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         {_sql_str(_HTML_PREFIX)} || CAST(doc_id AS VARCHAR)
+           || {_sql_str(_HTML_MID)} || text
+           || {_sql_str(_HTML_SUFFIX)} AS html
+  FROM documents
+), e AS (
+  SELECT doc_id, {expr} AS extracted FROM h
+)
+SELECT doc_id, extracted, {c4} AS c4_text FROM e
+"""
+
+
+@register("text_html_extract", _html_extract_oracle())
+def q_text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate/tag extraction (operators/html.py) — the stage
+    C4/CCNet/RefinedWeb run before the Gopher gates this engine already
+    has (VERDICT r9 "What's missing"): script/style/comment removal,
+    block tags → line breaks, tag strip, entity decode, whitespace
+    normalization, then the C4 line-level boilerplate gate (≥3 words,
+    terminal punctuation, no braces/markers — Raffel et al. 2020
+    §2.2). The corpus is plain text, so the entry wraps each doc in a
+    deterministic markup shell both sides must strip identically. One
+    fused map-only regexp chain — codegen beside the scan, zero
+    shuffles, zero Python."""
+    from .operators.html import c4_keep_lines, html_to_text
+
+    docs = spread(load(spark, "documents", sf_dir), "doc_id")
+    html = F.concat(
+        F.lit(_HTML_PREFIX),
+        F.col("doc_id").cast("string"),
+        F.lit(_HTML_MID),
+        F.col("text"),
+        F.lit(_HTML_SUFFIX),
+    )
+    extracted = html_to_text(html)
+    return docs.select(
+        "doc_id",
+        extracted.alias("extracted"),
+        c4_keep_lines(extracted).alias("c4_text"),
+    )
+
+
 @register(
     "doc_fingerprint",
     """
@@ -1474,6 +1561,32 @@ def q_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, "documents", sf_dir)
     cands = dd.minhash_lsh_candidates(
         docs, "doc_id", "text", 64, 64, _SHINGLE_N, max_band_bucket=10_000
+    )
+    pairs = dd.verify_candidate_pairs(
+        docs, cands, "doc_id", "text", _JACCARD_THRESHOLD, _SHINGLE_N
+    )
+    return canonical_docs_best(docs, pairs, "doc_id", "n_chars")
+
+
+@register("dedup_cluster_keep_best_prod", None)
+def q_cluster_keep_best_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION parameterization of the keep-best composite
+    (VERDICT r9 #3): bands sized by the lsh_plan S-curve tuner for the
+    Jaccard threshold instead of the gate entries' rows=1 pinning. The
+    rows=1 gate twins above are oracle-exact but quadratic at sf1 by
+    construction (candidate prob ≈ 64·J; BASELINE.md "Correctness at
+    scale (r9 session-2)"); THIS is the configuration a 100 TB corpus
+    runs — candidate volume stays near-linear (prob ≈ b·J^r, near-zero
+    for non-dups) at the price of a recall knee near the threshold, so
+    the entry is property-checked (tests/test_cluster.py: keep-rule
+    argmax + closure invariants + recall vs the exact twin at gate
+    scale) and swept end-to-end at sf1 rather than SQL-oracled."""
+    from .operators.cluster import canonical_docs_best
+
+    docs = load(spark, "documents", sf_dir)
+    bands, rows, _est = dd.lsh_plan(64, _JACCARD_THRESHOLD)
+    cands = dd.minhash_lsh_candidates(
+        docs, "doc_id", "text", 64, bands, _SHINGLE_N, max_band_bucket=10_000
     )
     pairs = dd.verify_candidate_pairs(
         docs, cands, "doc_id", "text", _JACCARD_THRESHOLD, _SHINGLE_N
@@ -6231,6 +6344,10 @@ _OVERFLOW = [
     # r9 addition: per-domain cap ≈ in-window topk_per_key_skew_salted
     # (same two-phase salted rank) + stratified_sample (LCG priority)
     "domain_cap_documents",
+    # r10 addition (VERDICT r9 #4): HTML tag/boilerplate extraction —
+    # map-only regexp chain ≈ in-window pii_redact / text_normalize
+    # mechanics; the markup-strip + C4 line gate is the new surface
+    "text_html_extract",
 ]
 
 # Rows-only entries promoted INTO the driver's 50-entry gate window.

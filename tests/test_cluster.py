@@ -131,3 +131,70 @@ def test_canonical_docs_best_constant_score_equals_min_id_rule(spark):
         )
     )
     assert a == b
+
+
+def test_keep_best_prod_invariants_and_recall_vs_exact_twin(spark):
+    """The prod-banded composite (queries.dedup_cluster_keep_best_prod):
+    lsh_plan-sized bands instead of the gate entries' rows=1 pinning.
+    Not SQL-oracled (banding has a recall knee near the threshold), so
+    pin the contract here: (a) output is a total partition of the
+    corpus with exactly one kept representative per cluster, (b) the
+    representative is the argmax by (n_chars, -id) within its cluster,
+    (c) cluster assignments are a coarsening of the exact rows=1
+    twin's (banding only MISSES edges, never invents them), and
+    (d) recall of the exact twin's duplicate pairs is high at gate
+    scale."""
+    from collections import defaultdict
+
+    from architrave_project_apache_nifi_spark.queries import REGISTRY
+
+    sf_dir = "/root/testdata/sf0.001"
+    prod = {
+        r["doc_id"]: r
+        for r in REGISTRY["dedup_cluster_keep_best_prod"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r["doc_id"]: r
+        for r in REGISTRY["dedup_cluster_keep_best"].fn(spark, sf_dir).collect()
+    }
+    docs = {
+        r["doc_id"]: r["n_chars"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    assert prod.keys() == docs.keys()  # total partition, nothing lost
+
+    clusters = defaultdict(list)
+    for i, r in prod.items():
+        clusters[r["canonical_id"]].append(i)
+    for canon, members in clusters.items():
+        kept = [i for i in members if prod[i]["is_kept"] == 1]
+        assert kept == [canon]  # exactly one representative: the label
+        best = max(members, key=lambda i: (docs[i], -i))
+        assert canon == best  # argmax by (n_chars, -id)
+
+    # coarsening: prod clusters never merge docs the exact twin separates
+    same_prod = {
+        (min(a, b), max(a, b))
+        for c in clusters.values()
+        if len(c) > 1
+        for a in c
+        for b in c
+        if a < b
+    }
+    exact_clusters = defaultdict(set)
+    for i, r in exact.items():
+        exact_clusters[r["canonical_id"]].add(i)
+    exact_pairs = {
+        (min(a, b), max(a, b))
+        for c in exact_clusters.values()
+        if len(c) > 1
+        for a in c
+        for b in c
+        if a < b
+    }
+    assert same_prod <= exact_pairs
+    # recall at gate scale: the S-curve knee loses only near-threshold
+    # edges; the synthetic corpus's dup families sit well above it
+    if exact_pairs:
+        recall = len(same_prod) / len(exact_pairs)
+        assert recall >= 0.8, recall
