@@ -146,7 +146,18 @@ def extract_html_text(
     """DataFrame form: replace ``html_col`` with its extracted text in
     ``out_col`` (other columns pass through untouched). With
     ``c4_filter=True`` the C4 line gate runs fused into the same map
-    stage. The pre-gate stage of examples/clean_corpus.py."""
+    stage. The pre-gate stage of examples/clean_corpus.py.
+
+    Pipeline note: land the extracted corpus (parquet write, or
+    ``localCheckpoint`` in a single job) before feeding it to
+    expression-heavy per-doc analysis (repetition grams, minhash
+    shingles). Those operators reference the text column dozens of
+    times, and without a plan barrier Catalyst inlines this chain's
+    ~20 nested regexp_replace calls into every reference, then
+    re-analyzes the blown-up plan on each action — measured ~30×
+    driver-side planning overhead on the clean_corpus dedup stage.
+    A ``persist()`` is NOT enough: it caches execution, not the
+    logical plan."""
     extracted = html_to_text(F.col(html_col))
     if c4_filter:
         extracted = c4_keep_lines(extracted, min_words=min_words)

@@ -2,9 +2,10 @@
 
 Run: python examples/clean_corpus.py   (reads testdata, prints a report)
 
-Chains: Gopher-rule gate (well-formedness + the §A1.1 repetition
-suite) → normalization → bigram-LM quality floor → exact dedup →
-MinHash-LSH near-dup clustering (bands picked by lsh_plan, keep-best
+Chains: HTML boilerplate extraction (tag strip + C4 line gate) →
+Gopher-rule gate (well-formedness + the §A1.1 repetition suite) →
+normalization → bigram-LM quality floor → exact dedup → MinHash-LSH
+near-dup clustering (bands picked by lsh_plan, keep-best
 canonicalization) → benchmark decontamination → temperature mixture
 sampling — the pipeline a 100 TB pretraining corpus runs, here on the
 sf0.001 documents table.
@@ -22,6 +23,7 @@ from architrave_project_apache_nifi_spark.operators import (
     decontaminate as dc,
 )
 from architrave_project_apache_nifi_spark.operators import dedup as dd
+from architrave_project_apache_nifi_spark.operators import html as html_ops
 from architrave_project_apache_nifi_spark.operators import sampling as sp
 from architrave_project_apache_nifi_spark.operators import textanalysis as ta
 from architrave_project_apache_nifi_spark.operators.cluster import (
@@ -31,10 +33,53 @@ from architrave_project_apache_nifi_spark.session import get_spark
 
 
 def main() -> None:
-    spark = get_spark("example-clean", master="local[4]")
+    spark = get_spark("example-clean", master="local[8]")
     spark.sparkContext.setLogLevel("ERROR")
+    # 1000 docs: 32 shuffle partitions would spread every one of this
+    # pipeline's ~dozen aggregations over mostly-empty tasks
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     n0 = docs.count()
+
+    # 0. HTML boilerplate extraction — crawl corpora arrive as markup,
+    # so the example wraps each doc in a crawl-shaped shell (nav list,
+    # script, style, comment, entity-bearing footer) and recovers the
+    # body with the tag-strip chain plus the line-level boilerplate
+    # gate. The gate runs with require_terminal_punct=False because the
+    # synthetic word-soup body has no sentence punctuation (a real
+    # crawl corpus keeps the default C4 rule); the short nav/footer
+    # lines (<3 words) drop out. Dropping them is not cosmetic: a
+    # shell line surviving into every document would hand all 1000
+    # docs shared shingles and densify the near-dup candidate graph
+    # toward n^2 — boilerplate removal is exactly what keeps
+    # LSH-based dedup near-linear on crawl corpora.
+    pages = docs.withColumn(
+        "html",
+        F.concat(
+            F.lit(
+                "<html><head><script>var nav = 1 < 2;</script>"
+                "<style>li { color: blue; }</style></head>"
+                "<body><!-- header --><ul><li>Home</li><li>About</li></ul><p>"
+            ),
+            F.col("text"),
+            F.lit("</p><div>&copy; 2026</div></body></html>"),
+        ),
+    ).drop("text")
+    extracted = html_ops.extract_html_text(pages, "html", c4_filter=False)
+    docs = extracted.withColumn(
+        "text",
+        html_ops.c4_keep_lines(
+            F.col("text"), min_words=3, require_terminal_punct=False
+        ),
+    ).localCheckpoint(eager=True)
+    # localCheckpoint, NOT persist: a persist caches EXECUTION but the
+    # logical plan still carries the ~20-step regexp chain, which
+    # Catalyst re-inlines into every downstream expression referencing
+    # `text` (the gram builders mention it dozens of times) and then
+    # re-analyzes per action — measured 30x driver-side planning
+    # overhead on the dedup stage. The checkpoint truncates the plan
+    # itself; at 100 TB the extracted corpus lands to parquet, which is
+    # the same barrier.
 
     # 1. heuristic gate + normalization (map-only, composes with the
     # scan), then the repetition half of the Gopher gate and a
@@ -46,7 +91,12 @@ def main() -> None:
     gated = docs.filter(ta.gopher_keep(F.col("text"))).withColumn(
         "text", ta.normalize_text(F.col("text"))
     )
-    rep = ta.repetition_features(gated, "text", "doc_id", line_delim=r"\s+")
+    # rep and lm are each consumed TWICE (percentile agg + join-back);
+    # without a persist the explode/agg pipelines replay through
+    # lineage for every consumer — measured 40% of the example's wall
+    rep = ta.repetition_features(
+        gated, "text", "doc_id", line_delim=r"\s+"
+    ).persist()
     rep_ceiling = rep.agg(
         F.expr("percentile(dup_5gram_char_frac, 0.90)").alias("c")
     )
@@ -56,18 +106,25 @@ def main() -> None:
         .select("doc_id")
     )
     gated = gated.join(rep_keep, "doc_id", "left_semi")
-    lm = ta.bigram_logprob(gated, "text", "doc_id")
+    lm = ta.bigram_logprob(gated, "text", "doc_id").persist()
     floor = lm.agg(F.expr("percentile(mean_logprob, 0.10)").alias("f"))
     lm_keep = (
         lm.join(F.broadcast(floor))
         .filter(F.col("mean_logprob") >= F.col("f"))
         .select("doc_id")
     )
-    gated = gated.join(lm_keep, "doc_id", "left_semi").persist()
+    gated = gated.join(lm_keep, "doc_id", "left_semi").localCheckpoint(
+        eager=True
+    )
+    rep.unpersist()
+    lm.unpersist()
     # barrier: the two quality gates are AGGREGATIONS (gram counts, LM
     # tables), and every downstream stage (minhash, verify, decontam)
-    # would replay them through lineage — materialize the gate output
-    # once. At 100 TB this is a parquet checkpoint, not a cache.
+    # would replay them through lineage — and, worse, re-ANALYZE their
+    # gram-explosion expression trees on every action (the same
+    # planning-overhead trap as the extraction stage above, measured
+    # there at ~30x). Truncate the plan once. At 100 TB this is a
+    # parquet checkpoint, not a cache.
     n1 = gated.count()
 
     # 2. exact dedup (keep the smallest id per identical text)
