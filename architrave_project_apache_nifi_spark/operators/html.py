@@ -135,6 +135,71 @@ def c4_keep_lines(
     return F.array_join(F.filter(lines, keep), "\n")
 
 
+def drop_boilerplate_lines(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_docs: int = 1,
+    delim: str = "\n",
+) -> DataFrame:
+    """CORPUS-frequency boilerplate removal (the CCNet/RefinedWeb step
+    after per-page extraction): a line whose trimmed form appears in
+    more than ``max_docs`` DISTINCT documents is boilerplate (cookie
+    banners, nav rows, license footers survive per-page heuristics
+    because they look like prose) and is dropped from EVERY document;
+    document-unique lines keep their original order. Returns the df
+    with ``text_col`` rewritten (empty string if nothing survives).
+
+    This is the cross-document complement of :func:`c4_keep_lines`
+    (per-line shape) and the line-granular sibling of the span-dedup
+    rewrite family. Beyond cleanliness it protects the dedup stage: a
+    boilerplate line shared corpus-wide hands every document pair
+    common shingles and densifies the LSH candidate graph toward n².
+
+    Scale: one posexplode, one count-distinct agg keyed by the LINE
+    text (sharded by content — no doc-level hot key can exist), one
+    broadcast-or-hash join back on that key, and one per-doc
+    ``collect_list`` regroup whose size is bounded by the longest
+    single document (the bound every per-doc operator in this engine
+    carries). countDistinct on a hot line key partial-aggregates
+    map-side because the group key IS the line."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("__pos", "__line"),
+    ).withColumn("__key", F.regexp_replace("__line", r"^\s+|\s+$", ""))
+    common = (
+        lines.filter(F.col("__key") != "")
+        .groupBy("__key")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") > max_docs)
+        .select("__key", F.lit(1).alias("__drop"))
+    )
+    kept = (
+        lines.join(common, "__key", "left")
+        .filter(F.col("__drop").isNull() & (F.col("__key") != ""))
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "__line"))
+                    ),
+                    lambda s: s["__line"],
+                ),
+                delim,
+            ).alias("__clean")
+        )
+    )
+    keep_cols = [c for c in df.columns if c != text_col]
+    return (
+        df.select(*keep_cols)
+        .join(kept, id_col, "left")
+        .select(
+            *keep_cols, F.coalesce("__clean", F.lit("")).alias(text_col)
+        )
+    )
+
+
 def extract_html_text(
     df: DataFrame,
     html_col: str,

@@ -1365,6 +1365,67 @@ def q_text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_lines_global",
+    """
+WITH w AS (
+  SELECT doc_id,
+         'Breadcrumb Home About' || chr(10) || text
+           || chr(10) || 'Copyright footer 2026' AS text
+  FROM documents
+), ls AS (
+  SELECT doc_id, string_split(text, chr(10)) AS arr FROM w
+), l AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(arr) + 1),
+                i -> struct_pack(pos := i,
+                                 line := arr[CAST(i AS INT)]))) AS u
+  FROM ls
+), lines AS (
+  SELECT doc_id, u.pos AS pos, u.line AS line,
+         regexp_replace(u.line, '^\\s+|\\s+$', '', 'g') AS key
+  FROM l
+), common AS (
+  SELECT key FROM lines WHERE key <> ''
+  GROUP BY key HAVING count(DISTINCT doc_id) > 1
+), kept AS (
+  SELECT doc_id,
+         array_to_string(list(line ORDER BY pos), chr(10)) AS clean_text
+  FROM lines
+  WHERE key <> '' AND key NOT IN (SELECT key FROM common)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(k.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+""",
+)
+def q_dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate-line removal
+    (html.drop_boilerplate_lines — the CCNet/RefinedWeb cross-document
+    step after per-page extraction): lines whose trimmed form appears
+    in more than one distinct document are dropped from every document.
+    The synthetic corpus is single-line, so the entry stacks a shared
+    breadcrumb header and copyright footer onto each doc — the operator
+    must remove exactly those two lines everywhere, plus the bodies of
+    exact-duplicate documents (their line appears in >1 doc), leaving
+    unique bodies in original order. One posexplode + one count-distinct
+    agg keyed by line content + one per-doc regroup bounded by the
+    longest document."""
+    from .operators.html import drop_boilerplate_lines
+
+    docs = spread(load(spark, "documents", sf_dir), "doc_id")
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("Breadcrumb Home About\n"),
+            F.col("text"),
+            F.lit("\nCopyright footer 2026"),
+        ).alias("text"),
+    )
+    out = drop_boilerplate_lines(wrapped, "text", "doc_id", max_docs=1)
+    return out.select("doc_id", F.col("text").alias("clean_text"))
+
+
+@register(
     "doc_fingerprint",
     """
 SELECT doc_id,
@@ -6348,6 +6409,10 @@ _OVERFLOW = [
     # map-only regexp chain ≈ in-window pii_redact / text_normalize
     # mechanics; the markup-strip + C4 line gate is the new surface
     "text_html_extract",
+    # r10 addition: corpus-frequency boilerplate-line removal —
+    # explode+agg+join-back ≈ in-window decontaminate_ngrams mechanics;
+    # the cross-document line-frequency rule is the new surface
+    "dedup_lines_global",
 ]
 
 # Rows-only entries promoted INTO the driver's 50-entry gate window.

@@ -123,3 +123,72 @@ def test_attribute_gt_limitation_is_documented_shape(spark):
     # to a real parser); pin the behavior so a change is deliberate
     out = _extract(spark, '<a href="a>b">link</a> tail.')
     assert "link" in out and "tail." in out
+
+
+def test_drop_boilerplate_lines_semantics(spark):
+    from architrave_project_apache_nifi_spark.operators.html import (
+        drop_boilerplate_lines,
+    )
+
+    nav = "Accept cookies to continue"
+    df = spark.createDataFrame(
+        [
+            (1, f"{nav}\nUnique first body line.\nAnother unique line."),
+            (2, f"{nav}\nCompletely different body."),
+            # whitespace variant of the nav line still matches (trimmed key);
+            # the duplicated body line appears in docs 3 and 4 -> dropped
+            (3, f"  {nav}\t\nShared body line here.\nDoc three extra."),
+            (4, f"{nav}\nShared body line here."),
+            (5, "No boilerplate at all in this one."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in drop_boilerplate_lines(df, "text", "doc_id").collect()
+    }
+    assert out[1] == "Unique first body line.\nAnother unique line."
+    assert out[2] == "Completely different body."
+    assert out[3] == "Doc three extra."
+    assert out[4] == ""  # everything it had was corpus-duplicated
+    assert out[5] == "No boilerplate at all in this one."
+
+
+def test_drop_boilerplate_lines_keeps_order_and_intra_doc_dups(spark):
+    from architrave_project_apache_nifi_spark.operators.html import (
+        drop_boilerplate_lines,
+    )
+
+    # a line repeated WITHIN one doc is not corpus boilerplate
+    # (count_distinct docs == 1) and keeps both copies in order
+    df = spark.createDataFrame(
+        [(1, "alpha\nbeta\nalpha\ngamma"), (2, "delta only")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in drop_boilerplate_lines(df, "text", "doc_id").collect()
+    }
+    assert out[1] == "alpha\nbeta\nalpha\ngamma"
+
+
+def test_drop_boilerplate_lines_max_docs_threshold(spark):
+    from architrave_project_apache_nifi_spark.operators.html import (
+        drop_boilerplate_lines,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "shared pair line\nbody %d" % i) for i in (1, 2)]
+        + [(3, "tolerated\nbody 3")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in drop_boilerplate_lines(
+            df, "text", "doc_id", max_docs=2
+        ).collect()
+    }
+    # appears in exactly 2 docs, max_docs=2 -> tolerated, kept
+    assert out[1] == "shared pair line\nbody 1"
+    assert out[2] == "shared pair line\nbody 2"
+    assert out[3] == "tolerated\nbody 3"
