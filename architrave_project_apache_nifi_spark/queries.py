@@ -1426,6 +1426,115 @@ def q_dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "url_canonical_dedup",
+    """
+WITH m AS (
+  SELECT doc_id,
+         CAST(doc_id % 20 AS VARCHAR) AS k,
+         CASE CAST(doc_id % 5 AS INT)
+           WHEN 0 THEN 'HTTP://News.Example.com/en/a/' || CAST(doc_id % 20 AS VARCHAR)
+                       || '?id=' || CAST(doc_id % 20 AS VARCHAR)
+           WHEN 1 THEN 'http://news.example.com:80/en/a/' || CAST(doc_id % 20 AS VARCHAR)
+                       || '?id=' || CAST(doc_id % 20 AS VARCHAR) || '#frag'
+           WHEN 2 THEN 'http://NEWS.example.COM/en/a/' || CAST(doc_id % 20 AS VARCHAR)
+                       || '?utm_source=feed&id=' || CAST(doc_id % 20 AS VARCHAR)
+           WHEN 3 THEN 'http://news.example.com/en/a/' || CAST(doc_id % 20 AS VARCHAR)
+                       || '?id=' || CAST(doc_id % 20 AS VARCHAR) || '&utm_campaign=x'
+           ELSE 'https://News.Example.com:443/en/b/' || CAST(doc_id % 20 AS VARCHAR) || '/'
+         END AS url
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(trim(url), '#.*$', '', 'g'),
+                        '\\?', '?&', 'g') AS u
+  FROM m
+), s2 AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(u,
+               '(?i)&(?:utm_[a-z]+|gclid|fbclid|msclkid|ref|mc_cid|mc_eid)=[^&#]*',
+               '', 'g'),
+             '\\?&', '?', 'g'),
+           '\\?$', '', 'g') AS u
+  FROM s1
+), s3 AS (
+  SELECT doc_id, u,
+         regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) AS pref
+  FROM s2
+), s4 AS (
+  SELECT doc_id,
+         (CASE WHEN lower(pref) LIKE 'https://%' AND lower(pref) LIKE '%:443'
+               THEN substr(lower(pref), 1, length(pref) - 4)
+               WHEN lower(pref) LIKE 'http://%' AND lower(pref) LIKE '%:80'
+               THEN substr(lower(pref), 1, length(pref) - 3)
+               ELSE lower(pref) END)
+           || substr(u, length(pref) + 1) AS u
+  FROM s3
+), canon AS (
+  SELECT doc_id,
+         CASE WHEN regexp_matches(u, '://[^/?#]+/.+/$')
+              THEN substr(u, 1, length(u) - 1) ELSE u END AS canonical_url
+  FROM s4
+), grouped AS (
+  SELECT canonical_url,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         min(doc_id) AS keep_id
+  FROM canon GROUP BY canonical_url
+)
+SELECT canonical_url, n_docs, keep_id,
+       lower(regexp_extract(canonical_url,
+             '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1)) AS host,
+       CAST(len(list_filter(string_split(
+              regexp_extract(canonical_url,
+                '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1), '/'),
+              s -> s <> '')) AS INT) AS path_depth,
+       CAST(CASE WHEN contains(canonical_url, '?') THEN 1 ELSE 0 END AS INT)
+         AS has_query,
+       CAST(CASE WHEN regexp_matches(
+              lower(regexp_extract(canonical_url,
+                '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1)),
+              '^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}$')
+            THEN 1 ELSE 0 END AS INT) AS is_ip_host
+FROM grouped
+""",
+)
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + canonical-key dedup (operators/urls.py —
+    the companion to the HTML stage: crawl pipelines key dedup,
+    blocklists, and domain mixing on the canonical url). The corpus has
+    no URL column, so the entry synthesizes five deterministic messy
+    variants per doc-key (uppercase scheme/host, explicit default
+    ports, utm/campaign tracking params in first and last position,
+    fragments, trailing slash) that normalize_url must collapse; the
+    output is one row per canonical url with the collapse count, the
+    kept doc id, and the url_features signals. Map-only chain into one
+    hash agg — no lookaround, no group-ref replacements, so the DuckDB
+    oracle replays the identical chain (dialect note in
+    urls.normalize_url)."""
+    from .operators.urls import normalize_url, url_features
+
+    docs = spread(load(spark, "documents", sf_dir), "doc_id").select("doc_id")
+    k = (F.col("doc_id") % 20).cast("string")
+    v = (F.col("doc_id") % 5).cast("int")
+    messy = (
+        F.when(v == 0, F.concat(F.lit("HTTP://News.Example.com/en/a/"), k, F.lit("?id="), k))
+        .when(v == 1, F.concat(F.lit("http://news.example.com:80/en/a/"), k, F.lit("?id="), k, F.lit("#frag")))
+        .when(v == 2, F.concat(F.lit("http://NEWS.example.COM/en/a/"), k, F.lit("?utm_source=feed&id="), k))
+        .when(v == 3, F.concat(F.lit("http://news.example.com/en/a/"), k, F.lit("?id="), k, F.lit("&utm_campaign=x")))
+        .otherwise(F.concat(F.lit("https://News.Example.com:443/en/b/"), k, F.lit("/")))
+    )
+    canon = docs.select(
+        "doc_id", normalize_url(messy).alias("canonical_url")
+    )
+    grouped = canon.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("keep_id"),
+    )
+    return url_features(grouped, "canonical_url")
+
+
+@register(
     "doc_fingerprint",
     """
 SELECT doc_id,
@@ -6413,6 +6522,11 @@ _OVERFLOW = [
     # explode+agg+join-back ≈ in-window decontaminate_ngrams mechanics;
     # the cross-document line-frequency rule is the new surface
     "dedup_lines_global",
+    # r10 addition: URL canonicalization + canonical-key dedup —
+    # map-only regexp chain + hash agg ≈ in-window regex_extract /
+    # dedup_exact mechanics; the canonical-url collapse is the new
+    # surface
+    "url_canonical_dedup",
 ]
 
 # Rows-only entries promoted INTO the driver's 50-entry gate window.
