@@ -23,10 +23,12 @@ because the scale rides along as one float per row.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import _collect_block
+from .similarity import _collect_block, _unit
 
 
 def _max_abs(vec: Column) -> Column:
@@ -175,3 +177,248 @@ def quantized_topk(
             F.col("rank").cast("long"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (r10): m-subspace codebooks + ADC search
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class PqCodebooks:
+    """Trained PQ codebooks: ``m`` subspaces of width ``dsub``, each
+    with ``ksub`` centroids. ``codebooks`` has shape (m, ksub, dsub) as
+    nested lists (plain data — broadcastable, persistable as one
+    parquet row like the IVF centroid sidecar)."""
+
+    m: int
+    ksub: int
+    dsub: int
+    codebooks: list  # m × ksub × dsub
+
+
+def pq_train(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 8,
+    ksub: int = 16,
+    max_iter: int = 12,
+    sample_rows: int = 4096,
+) -> PqCodebooks:
+    """Train product-quantization codebooks (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): split the
+    (unit-normalized) vector into ``m`` contiguous subvectors and run
+    k-means with ``ksub`` centroids independently per subspace.
+
+    Training follows the FAISS convention: codebooks are fitted on a
+    BOUNDED deterministic sample (the ``sample_rows`` smallest ids —
+    replayable, engine-independent) on the driver, because codebook
+    quality saturates at a few thousand points per centroid while the
+    ENCODE and SEARCH passes — the 100 TB part — stay fully
+    distributed. The collect is guarded by the same contract as every
+    bounded collect in this engine (`similarity._collect_block`).
+
+    Deterministic: sample order, evenly-spaced init over the sorted
+    sample, and stable argmin ties. Lloyd runs per subspace in numpy;
+    empty clusters re-seed to the farthest point (standard fix, also
+    deterministic)."""
+    import numpy as np
+
+    rows = (
+        df.select(F.col(id_col).alias("__id"), _unit(F.col(vec_col)).alias("__u"))
+        .orderBy("__id")
+        .limit(sample_rows)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq_train: empty input")
+    X = np.stack([np.asarray(r["__u"], dtype=np.float64) for r in rows])
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+    if not 2 <= ksub <= 256:
+        raise ValueError(f"pq_train: ksub must be in [2, 256], got {ksub}")
+    dsub = dim // m
+    books = []
+    for s in range(m):
+        Xs = X[:, s * dsub : (s + 1) * dsub]
+        # deterministic init: evenly spaced rows of the id-sorted sample
+        idx = np.linspace(0, len(Xs) - 1, ksub).astype(int)
+        C = Xs[idx].copy()
+        for _ in range(max_iter):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            newC = C.copy()
+            for c in range(ksub):
+                mask = assign == c
+                if mask.any():
+                    newC[c] = Xs[mask].mean(axis=0)
+                else:  # re-seed dead centroid to the farthest point
+                    newC[c] = Xs[d2.min(axis=1).argmax()]
+            if np.allclose(newC, C, atol=1e-12):
+                C = newC
+                break
+            C = newC
+        books.append(C.tolist())
+    return PqCodebooks(m=m, ksub=ksub, dsub=dsub, codebooks=books)
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cb: PqCodebooks,
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Encode every vector to ``m`` small codes (ARRAY<SMALLINT>,
+    values in [0, ksub)): per subspace, the nearest codebook centroid
+    of the unit-normalized subvector. 64-dim float64 (512 B) becomes
+    m bytes-ish on the wire — the representation the 100 TB corpus
+    stores and shuffles.
+
+    Arrow ``mapInPandas``; the codebook broadcasts as one (m, ksub,
+    dsub) array; per batch the work is m small matmuls. Map-only —
+    zero shuffles, composes with any scan."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    bcb = spark.sparkContext.broadcast(
+        np.asarray(cb.codebooks, dtype=np.float64)
+    )
+    m, dsub = cb.m, cb.dsub
+    keep = [c for c in df.columns if c != out_col]
+    schema_rest = df.select(*keep).schema
+    schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in schema_rest.fields]
+        + [f"{out_col} array<smallint>"]
+    )
+
+    base = df.select(*keep, _unit(F.col(vec_col)).alias("__u"))
+
+    def enc(batches):
+        C = bcb.value  # (m, ksub, dsub)
+        for pdf in batches:
+            U = np.stack(pdf["__u"].to_numpy()).astype(np.float64)
+            codes = np.empty((len(U), m), dtype=np.int16)
+            for s in range(m):
+                Us = U[:, s * dsub : (s + 1) * dsub]
+                # ||x - c||² ordered by -2x·c + ||c||² (x² constant per row)
+                d = -2.0 * (Us @ C[s].T) + (C[s] ** 2).sum(axis=1)[None, :]
+                codes[:, s] = d.argmin(axis=1)
+            out = pdf.drop(columns=["__u"]).copy()
+            out[out_col] = [c for c in codes]
+            yield out
+
+    return base.mapInPandas(enc, schema)
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    cb: PqCodebooks,
+    id_col: str,
+    code_col: str = "pq_code",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    k: int = 10,
+    max_query_rows: int = 100_000,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: queries stay
+    exact, the corpus is its codes. Per query, one (m × ksub) lookup
+    table of subvector·centroid dot products; a corpus row's
+    approximate cosine is the sum of m table lookups — no
+    reconstruction, no float corpus anywhere.
+
+    Same distribution shape as ``quantized_topk``/``brute_force_topk``:
+    broadcast LUT block, partition-local numpy top-k, global top-k
+    merge; only ≤ k survivors per (query, partition) shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = _collect_block(
+        queries, [query_id_col, query_vec_col], max_query_rows,
+        "pq_topk", "max_query_rows",
+    )
+    if not q_rows:
+        raise ValueError("pq_topk: empty query set")
+    C = np.asarray(cb.codebooks, dtype=np.float64)  # (m, ksub, dsub)
+    m, dsub = cb.m, cb.dsub
+    q_ids = np.array([r[query_id_col] for r in q_rows])
+    Q = np.stack([np.asarray(r[query_vec_col], dtype=np.float64) for r in q_rows])
+    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    # LUTs: (nq, m, ksub) — query subvector · every centroid
+    lut = np.einsum("qmd,mkd->qmk", Q.reshape(len(Q), m, dsub), C)
+    spark = codes.sparkSession
+    b = spark.sparkContext.broadcast((q_ids, lut))
+
+    schema = f"{query_id_col} long, neighbor_id long, score double"
+
+    def local_topk(batches):
+        for pdf in batches:
+            ids = pdf["__id"].to_numpy()
+            code = np.stack(pdf["__c"].to_numpy()).astype(np.int64)  # (n, m)
+            qids, L = b.value
+            n = len(ids)
+            S = np.empty((n, len(qids)))
+            rng = np.arange(m)
+            for j in range(len(qids)):
+                S[:, j] = L[j][rng, code].sum(axis=1)
+            out = []
+            kk = min(k + 1, n)
+            for j in range(len(qids)):
+                part = np.argpartition(-S[:, j], kk - 1)[:kk]
+                for i in part:
+                    if ids[i] != qids[j]:
+                        out.append((int(qids[j]), int(ids[i]), float(S[i, j])))
+            yield pd.DataFrame(out, columns=[query_id_col, "neighbor_id", "score"])
+
+    base = codes.select(
+        F.col(id_col).alias("__id"), F.col(code_col).alias("__c")
+    )
+    local = base.mapInPandas(local_topk, schema)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            F.round("score", 6).alias("score"),
+            F.col("rank").cast("long"),
+        )
+    )
+
+
+def pq_reconstruction_mse(
+    df: DataFrame, vec_col: str, cb: PqCodebooks, code_col: str = "pq_code"
+) -> float:
+    """Mean squared reconstruction error of the codes against the
+    unit-normalized vectors — the quality probe for choosing (m, ksub).
+    One distributed mean over per-row numpy errors."""
+    import numpy as np
+
+    spark = df.sparkSession
+    bcb = spark.sparkContext.broadcast(np.asarray(cb.codebooks, dtype=np.float64))
+    m, dsub = cb.m, cb.dsub
+
+    def err(batches):
+        import pandas as pd
+
+        C = bcb.value
+        for pdf in batches:
+            U = np.stack(pdf["__u"].to_numpy()).astype(np.float64)
+            code = np.stack(pdf["__c"].to_numpy()).astype(np.int64)
+            R = np.concatenate(
+                [C[s][code[:, s]] for s in range(m)], axis=1
+            )
+            yield pd.DataFrame({"se": ((U - R) ** 2).sum(axis=1)})
+
+    base = df.select(_unit(F.col(vec_col)).alias("__u"), F.col(code_col).alias("__c"))
+    row = base.mapInPandas(err, "se double").agg(F.avg("se")).collect()[0]
+    return float(row[0])

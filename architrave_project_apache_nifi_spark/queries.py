@@ -3500,6 +3500,31 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_probe(index, queries, k=_TOP_K, nprobe=12)
 
 
+@register("ann_topk_pq", None)
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (operators/quantization.py r10:
+    pq_train/pq_encode/pq_topk — Jégou et al. 2011): codebooks train on
+    a bounded deterministic sample (FAISS convention), the corpus is
+    encoded to m=8 small codes, and queries rank the codes by summed
+    LUT lookups without ever reconstructing a float corpus. The third
+    ANN memory/compute point beside brute-force (exact, full scan) and
+    IVF (partition-pruned scan): PQ scans everything but at m bytes per
+    vector — at 100 TB the codes table is ~32× smaller than the
+    embedding column, and production composes IVF×PQ (prune cells, then
+    ADC within). Approximate by construction → rows-only here; recall
+    floors and numpy-reference score equality are pinned in
+    tests/test_pq.py."""
+    from .operators.quantization import pq_encode, pq_topk, pq_train
+
+    emb = load(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cb = pq_train(emb, "vec_id", "embedding", m=8, ksub=16)
+    codes = pq_encode(emb, "vec_id", "embedding", cb)
+    return pq_topk(codes, queries, cb, "vec_id", k=_TOP_K)
+
+
 @register("sketch_approx_aggs", None)
 def q_sketch_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB sketch path beside its exact twins, one hash
