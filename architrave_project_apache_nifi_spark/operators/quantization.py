@@ -422,3 +422,154 @@ def pq_reconstruction_mse(
     base = df.select(_unit(F.col(vec_col)).alias("__u"), F.col(code_col).alias("__c"))
     row = base.mapInPandas(err, "se double").agg(F.avg("se")).collect()[0]
     return float(row[0])
+
+
+def ivfpq_encode(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index,
+    cb: PqCodebooks,
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """(id, list_id, code) — the IVF×PQ serving layout (what FAISS
+    calls IVFPQ, the standard production ANN shape): each vector is
+    assigned to its coarse cell AND product-quantized, in ONE Arrow
+    pass (both need the normalized vector; neither needs a shuffle).
+    Persist partitioned by ``list_id`` (``ivf_save`` layout) and a
+    probe's cell filter becomes partition pruning over a codes table
+    ~32× smaller than the float corpus."""
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    Ccells = np.asarray(index.centroids, dtype=np.float64)
+    Cbooks = np.asarray(cb.codebooks, dtype=np.float64)
+    b = spark.sparkContext.broadcast((Ccells, Cbooks))
+    m, dsub = cb.m, cb.dsub
+
+    def enc(batches):
+        cells, books = b.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            nrm = np.linalg.norm(X, axis=1, keepdims=True)
+            U = X / np.where(nrm == 0, 1.0, nrm)
+            d2 = -2.0 * (U @ cells.T) + (cells**2).sum(axis=1)[None, :]
+            lists = d2.argmin(axis=1).astype(np.int32)
+            codes = np.empty((len(U), m), dtype=np.int16)
+            for s in range(m):
+                Us = U[:, s * dsub : (s + 1) * dsub]
+                d = -2.0 * (Us @ books[s].T) + (books[s] ** 2).sum(axis=1)[None, :]
+                codes[:, s] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "list_id": lists,
+                    out_col: [c for c in codes],
+                }
+            )
+
+    base = corpus.select(id_col, F.col(vec_col).alias("__v"))
+    return base.mapInPandas(
+        enc, f"{id_col} long, list_id int, {out_col} array<smallint>"
+    )
+
+
+def ivfpq_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    index,
+    cb: PqCodebooks,
+    id_col: str,
+    code_col: str = "pq_code",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+    max_query_rows: int = 10_000,
+) -> DataFrame:
+    """IVF×PQ search: each query ADC-scores only its ``nprobe``
+    nearest cells' codes. Cell selection is one driver-side numpy
+    matmul (centroids are already local — no job); the probed cell
+    union is pushed as an ``isin`` filter BEFORE any scoring, so a
+    disk-resident codes table (partitioned by list_id) scans only the
+    probed partitions; within a batch each query scores only rows of
+    its own cells. Scan fraction ≈ nprobe/nlist of a table already
+    ~32× smaller than the float corpus — the compounding that makes
+    100 TB ANN serveable."""
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import _collect_block
+
+    q_rows = _collect_block(
+        queries, [query_id_col, query_vec_col], max_query_rows,
+        "ivfpq_topk", "max_query_rows",
+    )
+    if not q_rows:
+        raise ValueError("ivfpq_topk: empty query set")
+    Ccells = np.asarray(index.centroids, dtype=np.float64)
+    Cbooks = np.asarray(cb.codebooks, dtype=np.float64)
+    m, dsub = cb.m, cb.dsub
+    q_ids = np.array([r[query_id_col] for r in q_rows])
+    Q = np.stack([np.asarray(r[query_vec_col], dtype=np.float64) for r in q_rows])
+    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    d2 = -2.0 * (Q @ Ccells.T) + (Ccells**2).sum(axis=1)[None, :]
+    nprobe = min(nprobe, Ccells.shape[0])
+    probed = np.argsort(d2, axis=1)[:, :nprobe]  # (nq, nprobe)
+    lut = np.einsum("qmd,mkd->qmk", Q.reshape(len(Q), m, dsub), Cbooks)
+    all_cells = sorted({int(c) for row in probed for c in row})
+
+    spark = encoded.sparkSession
+    b = spark.sparkContext.broadcast((q_ids, probed, lut))
+    schema = f"{query_id_col} long, neighbor_id long, score double"
+
+    def local_topk(batches):
+        qids, prb, L = b.value
+        cell_sets = [set(int(c) for c in prb[j]) for j in range(len(qids))]
+        rng = np.arange(m)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["__id"].to_numpy()
+            lists = pdf["__l"].to_numpy()
+            code = np.stack(pdf["__c"].to_numpy()).astype(np.int64)
+            out = []
+            for j in range(len(qids)):
+                mask = np.fromiter(
+                    (l in cell_sets[j] for l in lists), bool, len(lists)
+                )
+                if not mask.any():
+                    continue
+                S = L[j][rng, code[mask]].sum(axis=1)
+                sub_ids = ids[mask]
+                kk = min(k + 1, len(S))
+                part = np.argpartition(-S, kk - 1)[:kk]
+                for i in part:
+                    if sub_ids[i] != qids[j]:
+                        out.append((int(qids[j]), int(sub_ids[i]), float(S[i])))
+            yield pd.DataFrame(out, columns=[query_id_col, "neighbor_id", "score"])
+
+    base = encoded.filter(F.col("list_id").isin(all_cells)).select(
+        F.col(id_col).alias("__id"),
+        F.col("list_id").alias("__l"),
+        F.col(code_col).alias("__c"),
+    )
+    local = base.mapInPandas(local_topk, schema)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            F.round("score", 6).alias("score"),
+            F.col("rank").cast("long"),
+        )
+    )

@@ -3525,6 +3525,29 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(codes, queries, cb, "vec_id", k=_TOP_K)
 
 
+@register("ann_topk_ivfpq", None)
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×PQ — the composition production ANN actually serves (FAISS
+    IVFPQ): the coarse quantizer prunes to nprobe cells, ADC ranks the
+    PQ codes inside them. Scan fraction ≈ nprobe/nlist of a codes
+    table ~32× smaller than the float corpus — at 100 TB both factors
+    compound. Encode is one Arrow pass doing cell assignment AND
+    product quantization (quantization.ivfpq_encode); the cell filter
+    is pushed as isin before any scoring, so a list_id-partitioned
+    codes table prunes whole partitions. Approximate → rows-only;
+    scan-fraction and recall contracts pinned in tests/test_pq.py."""
+    from .operators.quantization import ivfpq_encode, ivfpq_topk, pq_train
+
+    emb = load(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    index = sim.ivf_index_for(emb, cache_key=sf_dir)
+    cb = pq_train(emb, "vec_id", "embedding", m=8, ksub=16)
+    codes = ivfpq_encode(emb, "vec_id", "embedding", index, cb)
+    return ivfpq_topk(codes, queries, index, cb, "vec_id", k=_TOP_K, nprobe=12)
+
+
 @register("sketch_approx_aggs", None)
 def q_sketch_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB sketch path beside its exact twins, one hash
