@@ -573,3 +573,24 @@ def ivfpq_topk(
             F.col("rank").cast("long"),
         )
     )
+
+
+def pq_save(spark, cb: PqCodebooks, path: str) -> None:
+    """Persist codebooks as a one-row parquet sidecar (the same
+    artifact convention as ``similarity.ivf_save``'s meta): PQ is
+    train-once/serve-many — the serving path loads the artifact and
+    never retrains."""
+    spark.createDataFrame(
+        [(cb.m, cb.ksub, cb.dsub, cb.codebooks)],
+        "m int, ksub int, dsub int, codebooks array<array<array<double>>>",
+    ).write.mode("overwrite").parquet(path)
+
+
+def pq_load(spark, path: str) -> PqCodebooks:
+    r = spark.read.parquet(path).collect()[0]
+    return PqCodebooks(
+        m=r.m,
+        ksub=r.ksub,
+        dsub=r.dsub,
+        codebooks=[[list(c) for c in book] for book in r.codebooks],
+    )

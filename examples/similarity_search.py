@@ -43,6 +43,25 @@ def main() -> None:
         loaded = sim.ivf_load(spark, f"{d}/index")
         print("— IVF probe of the reloaded on-disk index (nprobe=4) —")
         sim.ivf_probe(loaded, queries, k=3, nprobe=4).show()
+
+        # 2b. IVF×PQ: the production composition — codebooks train on a
+        # bounded sample, the corpus becomes (cell, m-byte code) rows,
+        # probes ADC-score only their nprobe cells' codes. Both
+        # artifacts reload from disk; the serving path never retrains.
+        from architrave_project_apache_nifi_spark.operators import (
+            quantization as pq,
+        )
+
+        cb = pq.pq_train(emb, "vec_id", "embedding", m=8, ksub=16)
+        pq.pq_save(spark, cb, f"{d}/codebooks")
+        cb = pq.pq_load(spark, f"{d}/codebooks")
+        codes = pq.ivfpq_encode(emb, "vec_id", "embedding", loaded, cb)
+        codes.write.partitionBy("list_id").parquet(f"{d}/codes")
+        codes_disk = spark.read.parquet(f"{d}/codes")
+        print("— IVF×PQ ADC probe of the on-disk codes table (nprobe=4) —")
+        pq.ivfpq_topk(
+            codes_disk, queries, loaded, cb, "vec_id", k=3, nprobe=4
+        ).show()
         index.assigned.unpersist()
 
     print("— cosine near-dup pairs within LSH buckets —")

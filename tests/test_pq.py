@@ -280,3 +280,25 @@ def test_ivfpq_probed_cells_only(spark):
     )
     out = ivfpq_topk(enc, q, FakeIndex(), cb2, "vec_id", k=3, nprobe=1).collect()
     assert {r["neighbor_id"] for r in out} == {1, 2}
+
+
+def test_pq_save_load_roundtrip(spark, emb, cb, tmp_path):
+    from architrave_project_apache_nifi_spark.operators.quantization import (
+        pq_load,
+        pq_save,
+    )
+
+    pq_save(spark, cb, str(tmp_path / "cb"))
+    loaded = pq_load(spark, str(tmp_path / "cb"))
+    assert (loaded.m, loaded.ksub, loaded.dsub) == (cb.m, cb.ksub, cb.dsub)
+    assert np.allclose(np.asarray(loaded.codebooks), np.asarray(cb.codebooks))
+    # codes from the reloaded artifact are identical
+    a = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in pq_encode(emb, "vec_id", "embedding", cb).collect()
+    }
+    b = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in pq_encode(emb, "vec_id", "embedding", loaded).collect()
+    }
+    assert a == b
