@@ -84,3 +84,53 @@ def ngram_decontaminate(
             (F.col("n_contaminated") > 0).cast("int").alias("is_contaminated"),
         )
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.35,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the PARAPHRASE
+    complement of :func:`ngram_decontaminate`: n-gram overlap misses a
+    benchmark item that was reworded, but its embedding still sits next
+    to the benchmark's. Every corpus vector gets its max cosine against
+    the benchmark set (rounded, so the flag is reproducible across
+    engines) and ``is_contaminated = max_cosine >= threshold``.
+
+    Shape: ``crossJoin(broadcast(bench))`` + one max-agg keyed by the
+    corpus id — benchmark suites are thousands of items (a few MB of
+    vectors), so the small side broadcasts and the corpus never
+    shuffles; per-row work is |bench| dot products inside codegen
+    (zip_with/aggregate — no Python). This is the EXACT baseline; at
+    100 TB with a large benchmark union, prune candidates first with
+    the ANN family (ivf/pq probe against the bench set) and run this
+    exact pass on survivors only — same compose-then-verify pattern as
+    LSH→verify dedup."""
+    a = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    b = F.transform(F.col("__bvec"), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    nb = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    cos = dot / (na * nb)
+    joined = corpus.crossJoin(
+        F.broadcast(bench.select(F.col(vec_col).alias("__bvec")))
+    )
+    scored = (
+        joined.groupBy(id_col)
+        .agg(F.round(F.max(cos), round_digits).alias("max_cosine"))
+    )
+    return scored.select(
+        id_col,
+        "max_cosine",
+        (F.col("max_cosine") >= threshold).cast("int").alias("is_contaminated"),
+    )

@@ -3500,6 +3500,50 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_probe(index, queries, k=_TOP_K, nprobe=12)
 
 
+@register(
+    "decontaminate_semantic",
+    """
+WITH bench AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS b FROM embeddings
+  WHERE vec_id % 10 = 7 AND vec_id < 200
+), corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE NOT (vec_id % 10 = 7 AND vec_id < 200)
+), scored AS (
+  SELECT c.vec_id,
+         round(max(list_cosine_similarity(c.v, bench.b)), 4) AS max_cosine
+  FROM corpus c CROSS JOIN bench GROUP BY c.vec_id
+)
+SELECT vec_id, max_cosine,
+       CAST(CASE WHEN max_cosine >= 0.35 THEN 1 ELSE 0 END AS INT)
+         AS is_contaminated
+FROM scored
+""",
+)
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination
+    (decontaminate.semantic_decontaminate) — the paraphrase complement
+    of the in-window n-gram decontamination: reworded benchmark items
+    keep near-identical embeddings even when no 5-gram survives. A
+    bounded benchmark slice (vec_id % 10 = 7, < 200) broadcasts; every
+    corpus vector's max cosine against it is computed in codegen
+    (zip_with/aggregate dots — no Python) and thresholded. The oracle
+    replays it with DuckDB's list_cosine_similarity over the same
+    double-cast vectors, rounded to 4 digits so the flag is
+    grid-stable across summation orders."""
+    from .operators.decontaminate import semantic_decontaminate
+
+    emb = load(spark, "embeddings", sf_dir)
+    is_bench = (F.col("vec_id") % 10 == 7) & (F.col("vec_id") < 200)
+    return semantic_decontaminate(
+        emb.filter(~is_bench).select("vec_id", "embedding"),
+        emb.filter(is_bench).select("embedding"),
+        "vec_id",
+        "embedding",
+        threshold=0.35,
+    )
+
+
 @register("ann_topk_pq", None)
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-k (operators/quantization.py r10:
@@ -6575,6 +6619,11 @@ _OVERFLOW = [
     # dedup_exact mechanics; the canonical-url collapse is the new
     # surface
     "url_canonical_dedup",
+    # r10 addition: embedding-space decontamination — broadcast
+    # cross-join + max-agg ≈ in-window neardup_cosine /
+    # decontaminate_ngrams mechanics; the paraphrase-robust bench
+    # screen is the new surface
+    "decontaminate_semantic",
 ]
 
 # Rows-only entries promoted INTO the driver's 50-entry gate window.

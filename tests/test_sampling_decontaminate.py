@@ -100,3 +100,43 @@ def test_temperature_rates_flatten_mixture(spark):
     assert abs(rates["big"][1] - math.sqrt(10 / 900)) < 1e-12
     flat = {r.lang: r.rate for r in sp.temperature_rates(df, ["lang"], alpha=1.0).collect()}
     assert set(flat.values()) == {1.0}
+
+
+def test_semantic_decontaminate_flags_paraphrase_neighbors(spark):
+    import numpy as np
+
+    from architrave_project_apache_nifi_spark.operators.decontaminate import (
+        semantic_decontaminate,
+    )
+
+    rng = np.random.default_rng(31)
+    bench_vecs = rng.normal(size=(5, 16))
+    rows_bench = [([float(x) for x in v],) for v in bench_vecs]
+    corpus = []
+    # ids 0-4: tiny perturbations of bench items (paraphrases);
+    # ids 100+: independent random vectors
+    for i in range(5):
+        corpus.append((i, [float(x) for x in bench_vecs[i] + 0.01 * rng.normal(size=16)]))
+    for i in range(100, 140):
+        corpus.append((i, [float(x) for x in rng.normal(size=16)]))
+    cdf = spark.createDataFrame(corpus, "vec_id long, embedding array<double>")
+    bdf = spark.createDataFrame(rows_bench, "embedding array<double>")
+    out = {
+        r["vec_id"]: r
+        for r in semantic_decontaminate(
+            cdf, bdf, "vec_id", "embedding", threshold=0.9
+        ).collect()
+    }
+    assert len(out) == 45
+    for i in range(5):
+        assert out[i]["is_contaminated"] == 1, out[i]
+        assert out[i]["max_cosine"] > 0.99
+    # random 16-dim vectors essentially never reach cosine 0.9
+    assert all(out[i]["is_contaminated"] == 0 for i in range(100, 140))
+
+    # max_cosine agrees with numpy to the rounding grid
+    B = bench_vecs / np.linalg.norm(bench_vecs, axis=1, keepdims=True)
+    for i, vec in corpus[:10]:
+        v = np.asarray(vec)
+        ref = float((v / np.linalg.norm(v) @ B.T).max())
+        assert abs(out[i]["max_cosine"] - round(ref, 4)) <= 1e-4
