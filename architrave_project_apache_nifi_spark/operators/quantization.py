@@ -528,7 +528,6 @@ def ivfpq_topk(
 
     def local_topk(batches):
         qids, prb, L = b.value
-        cell_sets = [set(int(c) for c in prb[j]) for j in range(len(qids))]
         rng = np.arange(m)
         for pdf in batches:
             if len(pdf) == 0:
@@ -538,9 +537,7 @@ def ivfpq_topk(
             code = np.stack(pdf["__c"].to_numpy()).astype(np.int64)
             out = []
             for j in range(len(qids)):
-                mask = np.fromiter(
-                    (l in cell_sets[j] for l in lists), bool, len(lists)
-                )
+                mask = np.isin(lists, prb[j])
                 if not mask.any():
                     continue
                 S = L[j][rng, code[mask]].sum(axis=1)

@@ -66,11 +66,19 @@ def main() -> None:
         ),
     ).drop("text")
     extracted = html_ops.extract_html_text(pages, "html", c4_filter=False)
-    docs = extracted.withColumn(
+    per_page = extracted.withColumn(
         "text",
         html_ops.c4_keep_lines(
             F.col("text"), min_words=3, require_terminal_punct=False
         ),
+    )
+    # cross-document pass: any line shared by >3 docs is boilerplate
+    # the per-page heuristics missed (here: none — the shell lines are
+    # already gone — but exact-duplicate doc bodies in >3 copies drop
+    # too, which is why it runs BEFORE near-dup: shared lines would
+    # densify the LSH candidate graph)
+    docs = html_ops.drop_boilerplate_lines(
+        per_page, "text", "doc_id", max_docs=3
     ).localCheckpoint(eager=True)
     # localCheckpoint, NOT persist: a persist caches EXECUTION but the
     # logical plan still carries the ~20-step regexp chain, which
