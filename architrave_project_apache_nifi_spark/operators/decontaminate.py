@@ -110,23 +110,28 @@ def semantic_decontaminate(
     the ANN family (ivf/pq probe against the bench set) and run this
     exact pass on survivors only — same compose-then-verify pattern as
     LSH→verify dedup."""
-    a = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    b = F.transform(F.col("__bvec"), lambda x: x.cast("double"))
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    from .similarity import _unit
+
+    # Normalize each side ONCE, before the join — not per (corpus ×
+    # bench) pair, which would redo the norm aggregate |bench| times
+    # per row — and via _unit, whose zero-norm contract (a padding row
+    # / failed encoder stays the zero vector) makes the cosine 0.0
+    # instead of a NULL that would drop the doc from BOTH routes of an
+    # is_contaminated == 0/1 filter downstream.
+    left = corpus.select(
+        F.col(id_col), _unit(F.col(vec_col)).alias("__cu")
     )
-    na = F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    right = F.broadcast(
+        bench.select(_unit(F.col(vec_col)).alias("__bu"))
     )
-    nb = F.sqrt(
-        F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v)
-    )
-    cos = dot / (na * nb)
-    joined = corpus.crossJoin(
-        F.broadcast(bench.select(F.col(vec_col).alias("__bvec")))
+    cos = F.aggregate(
+        F.zip_with(F.col("__cu"), F.col("__bu"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
     scored = (
-        joined.groupBy(id_col)
+        left.crossJoin(right)
+        .groupBy(id_col)
         .agg(F.round(F.max(cos), round_digits).alias("max_cosine"))
     )
     return scored.select(

@@ -239,6 +239,12 @@ def pq_train(
         raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
     if not 2 <= ksub <= 256:
         raise ValueError(f"pq_train: ksub must be in [2, 256], got {ksub}")
+    if len(X) < ksub:
+        raise ValueError(
+            f"pq_train: sample has {len(X)} rows < ksub={ksub} — the "
+            "evenly-spaced init would duplicate centroids; lower ksub "
+            "or raise sample_rows"
+        )
     dsub = dim // m
     books = []
     for s in range(m):
@@ -250,12 +256,19 @@ def pq_train(
             d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)
             newC = C.copy()
+            # dead centroids re-seed to DISTINCT farthest points: one
+            # shared farthest point would collapse them back into a
+            # single survivor next iteration (stable-argmin ties route
+            # every point to the lowest index)
+            far = np.argsort(-d2.min(axis=1), kind="stable")
+            dead_rank = 0
             for c in range(ksub):
                 mask = assign == c
                 if mask.any():
                     newC[c] = Xs[mask].mean(axis=0)
-                else:  # re-seed dead centroid to the farthest point
-                    newC[c] = Xs[d2.min(axis=1).argmax()]
+                else:
+                    newC[c] = Xs[far[min(dead_rank, len(far) - 1)]]
+                    dead_rank += 1
             if np.allclose(newC, C, atol=1e-12):
                 C = newC
                 break
@@ -300,6 +313,8 @@ def pq_encode(
     def enc(batches):
         C = bcb.value  # (m, ksub, dsub)
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             U = np.stack(pdf["__u"].to_numpy()).astype(np.float64)
             codes = np.empty((len(U), m), dtype=np.int16)
             for s in range(m):
@@ -357,6 +372,8 @@ def pq_topk(
 
     def local_topk(batches):
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             ids = pdf["__id"].to_numpy()
             code = np.stack(pdf["__c"].to_numpy()).astype(np.int64)  # (n, m)
             qids, L = b.value
@@ -518,7 +535,9 @@ def ivfpq_topk(
     Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
     d2 = -2.0 * (Q @ Ccells.T) + (Ccells**2).sum(axis=1)[None, :]
     nprobe = min(nprobe, Ccells.shape[0])
-    probed = np.argsort(d2, axis=1)[:, :nprobe]  # (nq, nprobe)
+    # kind='stable' mirrors ivf_probe: tied centroid distances must
+    # yield the same probe set on every run/numpy version
+    probed = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]  # (nq, nprobe)
     lut = np.einsum("qmd,mkd->qmk", Q.reshape(len(Q), m, dsub), Cbooks)
     all_cells = sorted({int(c) for row in probed for c in row})
 
@@ -591,3 +610,36 @@ def pq_load(spark, path: str) -> PqCodebooks:
         dsub=r.dsub,
         codebooks=[[list(c) for c in book] for book in r.codebooks],
     )
+
+
+_PQ_CB_CACHE: dict = {}
+
+
+def pq_codebooks_for(
+    df: DataFrame,
+    cache_key: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+) -> PqCodebooks:
+    """Memoized ``pq_train`` — the same train-once contract as
+    ``similarity.ivf_index_for``: the first call for a corpus key
+    trains (one bounded driver collect + Lloyd), every later call
+    returns the cached codebooks, so repeated query invocations (the
+    bench's three passes, the driver's gate) time the ENCODE+SEARCH
+    path, not retraining. Codebooks are a few KB of plain data; evict
+    with :func:`pq_evict` when cycling many corpora."""
+    key = (cache_key, id_col, vec_col, m, ksub)
+    if key not in _PQ_CB_CACHE:
+        _PQ_CB_CACHE[key] = pq_train(df, id_col, vec_col, m=m, ksub=ksub)
+    return _PQ_CB_CACHE[key]
+
+
+def pq_evict(cache_key: str) -> int:
+    """Drop every memoized codebook trained under ``cache_key``;
+    returns the number evicted."""
+    victims = [k for k in _PQ_CB_CACHE if k[0] == cache_key]
+    for k in victims:
+        _PQ_CB_CACHE.pop(k)
+    return len(victims)

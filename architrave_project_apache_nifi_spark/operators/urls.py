@@ -16,14 +16,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Query parameters that are tracking noise, never content-addressing
-# (Google/Facebook/Microsoft click ids + the utm_* family).
+# (Google/Facebook/Microsoft click ids + the utm_*/Mailchimp families).
+# Deliberately NOT included: bare `ref` — many real sites use it as a
+# content selector (a git ref, a section anchor), so stripping it would
+# collapse distinct pages into one canonical URL and dedup them away.
 TRACKING_PARAM_PATTERN = (
-    r"(?i)&(?:utm_[a-z]+|gclid|fbclid|msclkid|ref|mc_cid|mc_eid)"
+    r"(?i)&(?:utm_[a-z]+|gclid|fbclid|msclkid|mc_cid|mc_eid)"
     r"=[^&#]*"
 )
 
 _SCHEME = r"^[a-zA-Z][a-zA-Z0-9+.-]*://"
 _PREFIX = r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)"
+# Non-root, query-less path ending in '/': the [^?#]+ path part keeps
+# the rule from firing across a '?' (a slash inside a query VALUE is
+# content, not layout). Shared with the DuckDB oracle.
+TRAILING_SLASH_PATTERN = r"://[^/?#]+/[^?#]+/$"
 
 
 def normalize_url(url: Column) -> Column:
@@ -70,8 +77,9 @@ def normalize_url(url: Column) -> Column:
     )
     u = F.concat(low, rest)
     # trailing slash off a non-root, query-less path: …/a/ -> …/a
+    # (see TRAILING_SLASH_PATTERN for why it can't fire across a '?')
     return F.when(
-        u.rlike(r"://[^/?#]+/.+/$"),
+        u.rlike(TRAILING_SLASH_PATTERN),
         u.substr(F.lit(1), F.length(u) - F.lit(1)),
     ).otherwise(u)
 

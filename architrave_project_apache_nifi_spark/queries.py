@@ -1425,9 +1425,20 @@ def q_dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.col("text").alias("clean_text"))
 
 
-@register(
-    "url_canonical_dedup",
-    """
+def _url_oracle() -> str:
+    """Built from the urls.py module constants (placeholder
+    substitution, NOT an f-string — the SQL is full of regex braces
+    that f-strings would silently evaluate as expressions) so the
+    oracle can never drift from the operator's patterns — the same
+    structural-parity discipline as html.HTML_CHAIN."""
+    from .operators import urls as U
+
+    return _URL_ORACLE_TEMPLATE.replace(
+        "__TRACKING__", U.TRACKING_PARAM_PATTERN
+    ).replace("__TRAILING_SLASH__", U.TRAILING_SLASH_PATTERN)
+
+
+_URL_ORACLE_TEMPLATE = """
 WITH m AS (
   SELECT doc_id,
          CAST(doc_id % 20 AS VARCHAR) AS k,
@@ -1453,7 +1464,7 @@ WITH m AS (
          regexp_replace(
            regexp_replace(
              regexp_replace(u,
-               '(?i)&(?:utm_[a-z]+|gclid|fbclid|msclkid|ref|mc_cid|mc_eid)=[^&#]*',
+               '__TRACKING__',
                '', 'g'),
              '\\?&', '?', 'g'),
            '\\?$', '', 'g') AS u
@@ -1473,7 +1484,7 @@ WITH m AS (
   FROM s3
 ), canon AS (
   SELECT doc_id,
-         CASE WHEN regexp_matches(u, '://[^/?#]+/.+/$')
+         CASE WHEN regexp_matches(u, '__TRAILING_SLASH__')
               THEN substr(u, 1, length(u) - 1) ELSE u END AS canonical_url
   FROM s4
 ), grouped AS (
@@ -1497,8 +1508,10 @@ SELECT canonical_url, n_docs, keep_id,
               '^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}$')
             THEN 1 ELSE 0 END AS INT) AS is_ip_host
 FROM grouped
-""",
-)
+"""
+
+
+@register("url_canonical_dedup", _url_oracle())
 def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + canonical-key dedup (operators/urls.py —
     the companion to the HTML stage: crawl pipelines key dedup,
@@ -3503,15 +3516,27 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "decontaminate_semantic",
     """
-WITH bench AS (
-  SELECT CAST(embedding AS DOUBLE[]) AS b FROM embeddings
+WITH bench0 AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
   WHERE vec_id % 10 = 7 AND vec_id < 200
-), corpus AS (
+), bench AS (
+  SELECT list_transform(v, x -> x / n) AS b
+  FROM (SELECT v,
+               CASE WHEN sqrt(list_inner_product(v, v)) = 0 THEN 1
+                    ELSE sqrt(list_inner_product(v, v)) END AS n
+        FROM bench0)
+), corpus0 AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
   WHERE NOT (vec_id % 10 = 7 AND vec_id < 200)
+), corpus AS (
+  SELECT vec_id, list_transform(v, x -> x / n) AS u
+  FROM (SELECT vec_id, v,
+               CASE WHEN sqrt(list_inner_product(v, v)) = 0 THEN 1
+                    ELSE sqrt(list_inner_product(v, v)) END AS n
+        FROM corpus0)
 ), scored AS (
   SELECT c.vec_id,
-         round(max(list_cosine_similarity(c.v, bench.b)), 4) AS max_cosine
+         round(max(list_inner_product(c.u, bench.b)), 4) AS max_cosine
   FROM corpus c CROSS JOIN bench GROUP BY c.vec_id
 )
 SELECT vec_id, max_cosine,
@@ -3527,10 +3552,11 @@ def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep near-identical embeddings even when no 5-gram survives. A
     bounded benchmark slice (vec_id % 10 = 7, < 200) broadcasts; every
     corpus vector's max cosine against it is computed in codegen
-    (zip_with/aggregate dots — no Python) and thresholded. The oracle
-    replays it with DuckDB's list_cosine_similarity over the same
-    double-cast vectors, rounded to 4 digits so the flag is
-    grid-stable across summation orders."""
+    (both sides unit-normalized ONCE before the join, then one
+    zip_with/aggregate dot per pair — no Python; zero-norm vectors
+    score 0.0 instead of NULL). The oracle replays the identical
+    normalize-then-dot formulation with list_inner_product, rounded to
+    4 digits so the flag is grid-stable across summation orders."""
     from .operators.decontaminate import semantic_decontaminate
 
     emb = load(spark, "embeddings", sf_dir)
@@ -3558,13 +3584,15 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ADC within). Approximate by construction → rows-only here; recall
     floors and numpy-reference score equality are pinned in
     tests/test_pq.py."""
-    from .operators.quantization import pq_encode, pq_topk, pq_train
+    from .operators.quantization import pq_codebooks_for, pq_encode, pq_topk
 
     emb = load(spark, "embeddings", sf_dir)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    cb = pq_train(emb, "vec_id", "embedding", m=8, ksub=16)
+    # memoized per corpus key — repeated invocations time encode+search,
+    # not retraining (the ivf_index_for contract)
+    cb = pq_codebooks_for(emb, cache_key=sf_dir)
     codes = pq_encode(emb, "vec_id", "embedding", cb)
     return pq_topk(codes, queries, cb, "vec_id", k=_TOP_K)
 
@@ -3580,14 +3608,18 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     is pushed as isin before any scoring, so a list_id-partitioned
     codes table prunes whole partitions. Approximate → rows-only;
     scan-fraction and recall contracts pinned in tests/test_pq.py."""
-    from .operators.quantization import ivfpq_encode, ivfpq_topk, pq_train
+    from .operators.quantization import (
+        ivfpq_encode,
+        ivfpq_topk,
+        pq_codebooks_for,
+    )
 
     emb = load(spark, "embeddings", sf_dir)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     index = sim.ivf_index_for(emb, cache_key=sf_dir)
-    cb = pq_train(emb, "vec_id", "embedding", m=8, ksub=16)
+    cb = pq_codebooks_for(emb, cache_key=sf_dir)
     codes = ivfpq_encode(emb, "vec_id", "embedding", index, cb)
     return ivfpq_topk(codes, queries, index, cb, "vec_id", k=_TOP_K, nprobe=12)
 

@@ -75,8 +75,11 @@ def _wait_for_quiet(load_max: float, budget_s: float) -> dict:
         try:
             la1, la5, _ = os.getloadavg()
         except OSError:
-            return {"loadavg_1m_at_start": None, "waited_s": 0.0,
-                    "proceeded_over_threshold": False}
+            # one gate schema everywhere: unknown load is None, not a
+            # missing key (adjudication tooling reads busy_5m)
+            return {"loadavg_1m_at_start": None,
+                    "loadavg_5m_at_start": None, "busy_5m": None,
+                    "waited_s": 0.0, "proceeded_over_threshold": False}
         waited = time.monotonic() - t0
         if load_max <= 0 or la1 <= load_max or waited >= budget_s:
             return {

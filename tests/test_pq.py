@@ -302,3 +302,29 @@ def test_pq_save_load_roundtrip(spark, emb, cb, tmp_path):
         for r in pq_encode(emb, "vec_id", "embedding", loaded).collect()
     }
     assert a == b
+
+
+def test_pq_train_rejects_sample_smaller_than_ksub(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="sample has 5 rows < ksub"):
+        pq_train(df, "vec_id", "embedding", m=1, ksub=16)
+
+
+def test_pq_codebooks_for_memoizes(spark, emb):
+    from architrave_project_apache_nifi_spark.operators.quantization import (
+        pq_codebooks_for,
+        pq_evict,
+    )
+
+    a = pq_codebooks_for(emb, cache_key="/tmp/test-memo")
+    b = pq_codebooks_for(emb, cache_key="/tmp/test-memo")
+    assert a is b  # cached object, no retrain
+    assert pq_evict("/tmp/test-memo") == 1
+    c = pq_codebooks_for(emb, cache_key="/tmp/test-memo")
+    assert c is not a and np.allclose(
+        np.asarray(c.codebooks), np.asarray(a.codebooks)
+    )
+    pq_evict("/tmp/test-memo")

@@ -140,3 +140,28 @@ def test_semantic_decontaminate_flags_paraphrase_neighbors(spark):
         v = np.asarray(vec)
         ref = float((v / np.linalg.norm(v) @ B.T).max())
         assert abs(out[i]["max_cosine"] - round(ref, 4)) <= 1e-4
+
+
+def test_semantic_decontaminate_zero_vector_scores_zero(spark):
+    from architrave_project_apache_nifi_spark.operators.decontaminate import (
+        semantic_decontaminate,
+    )
+
+    cdf = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    bdf = spark.createDataFrame(
+        [([1.0, 0.0, 0.0],)], "embedding array<double>"
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semantic_decontaminate(
+            cdf, bdf, "vec_id", "embedding", threshold=0.5
+        ).collect()
+    }
+    # zero-norm padding row: cosine 0.0 and a REAL flag, never NULL —
+    # a NULL would drop the doc from both routes of an == 0/1 filter
+    assert out[1]["max_cosine"] == 0.0
+    assert out[1]["is_contaminated"] == 0
+    assert out[2]["max_cosine"] == 1.0 and out[2]["is_contaminated"] == 1

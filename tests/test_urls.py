@@ -100,3 +100,26 @@ def test_url_host_edge_shapes(spark):
     got = [r["h"] for r in df.select(url_host(F.col("u")).alias("h")).collect()]
     assert got[0] == "files.example.net"
     assert got[1] == ""  # contract: no scheme -> no host claim
+
+
+def test_trailing_slash_never_fires_inside_query_values(spark):
+    # a slash ending a query VALUE is content, not path layout
+    got = _norm(
+        spark,
+        "http://e.com/search?path=/docs/",
+        "http://e.com/a/b/?x=1",  # path slash BEFORE query also kept
+    )
+    assert got[0] == "http://e.com/search?path=/docs/"
+    assert got[1] == "http://e.com/a/b/?x=1"
+
+
+def test_ref_param_is_content_addressing_and_kept(spark):
+    # bare ?ref= selects content on many sites (a git ref, a section);
+    # stripping it would dedup distinct pages together
+    (a, b) = _norm(
+        spark,
+        "https://site.com/tree?ref=main",
+        "https://site.com/tree?ref=release-1.0",
+    )
+    assert a != b
+    assert a.endswith("?ref=main")
