@@ -135,6 +135,43 @@ def c4_keep_lines(
     return F.array_join(F.filter(lines, keep), "\n")
 
 
+# Sentence terminators: a run of .!? followed by whitespace or end of
+# string. No lookaround (RE2 parity — the match consuming the trailing
+# whitespace is harmless for COUNTING).
+SENTENCE_END_PATTERN = r"[.!?]+(\s+|$)"
+
+
+def sentence_count(text: Column) -> Column:
+    """Cheap sentence count: terminator runs followed by whitespace or
+    EOL. The C4 page rule's denominator — not a linguistic segmenter
+    (abbreviations over-count), which is exactly the approximation the
+    public pipelines gate on."""
+    return F.size(
+        F.regexp_extract_all(text, F.lit(SENTENCE_END_PATTERN), F.lit(0))
+    )
+
+
+def c4_page_keep(
+    text: Column,
+    min_sentences: int = 3,
+    drop_markers: tuple[str, ...] = ("lorem ipsum",),
+    forbid_braces: bool = True,
+) -> Column:
+    """C4 PAGE-level gate (Raffel et al. 2020 §2.2), the document-
+    granularity sibling of :func:`c4_keep_lines`: keep pages with at
+    least ``min_sentences`` sentences, none of the lowercase
+    ``drop_markers`` (placeholder text), and — optionally — no curly
+    braces (leaked code/templates). Boolean Column; compose with
+    ``gopher_rules``/``repetition_features`` as one fused map stage."""
+    keep = sentence_count(text) >= F.lit(min_sentences)
+    low = F.lower(text)
+    for m in drop_markers:
+        keep = keep & ~low.contains(m)
+    if forbid_braces:
+        keep = keep & ~text.contains("{") & ~text.contains("}")
+    return keep
+
+
 def drop_boilerplate_lines(
     df: DataFrame,
     text_col: str,

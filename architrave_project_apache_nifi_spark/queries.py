@@ -1548,6 +1548,62 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_c4_page_rules",
+    r"""
+WITH s AS (
+  SELECT doc_id,
+         'Intro sentence number one. ' || text
+           || (CASE WHEN doc_id % 3 = 0
+                    THEN ' Then a second one! And a third?'
+                    WHEN doc_id % 3 = 1 THEN ' Then a second one.'
+                    ELSE '' END)
+           || (CASE WHEN doc_id % 7 = 0 THEN ' lorem ipsum filler' ELSE '' END)
+           || (CASE WHEN doc_id % 11 = 0 THEN ' if (x) { y(); }' ELSE '' END)
+           AS page
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(page, '[.!?]+(\s+|$)')) AS INT)
+           AS n_sentences,
+         contains(lower(page), 'lorem ipsum') AS has_marker,
+         (contains(page, '{') OR contains(page, '}')) AS has_brace
+  FROM s
+)
+SELECT doc_id, n_sentences,
+       CAST(CASE WHEN n_sentences >= 3 AND NOT has_marker
+                  AND NOT has_brace
+                 THEN 1 ELSE 0 END AS INT) AS c4_keep
+FROM f
+""",
+)
+def q_text_c4_page_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 page-level gate (html.c4_page_keep + sentence_count, Raffel
+    et al. 2020 §2.2) — the document-granularity sibling of the C4
+    line gate: ≥3 sentences, no placeholder markers, no braces. The
+    synthetic corpus has no sentence punctuation, so the entry stamps
+    a deterministic sentence scaffold (0/1/2 extra terminators by
+    doc key) plus marker/brace injections both engines must judge
+    identically. Map-only Column expressions — fuses with the scan."""
+    from .operators.html import c4_page_keep, sentence_count
+
+    docs = spread(load(spark, "documents", sf_dir), "doc_id")
+    page = F.concat(
+        F.lit("Intro sentence number one. "),
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" Then a second one! And a third?"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(" Then a second one."))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" lorem ipsum filler")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" if (x) { y(); }")).otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id",
+        sentence_count(page).alias("n_sentences"),
+        c4_page_keep(page, min_sentences=3).cast("int").alias("c4_keep"),
+    )
+
+
+@register(
     "doc_fingerprint",
     """
 SELECT doc_id,
@@ -6656,6 +6712,10 @@ _OVERFLOW = [
     # decontaminate_ngrams mechanics; the paraphrase-robust bench
     # screen is the new surface
     "decontaminate_semantic",
+    # r10 addition: C4 page-level gate — rule-conjunction Column
+    # expressions ≈ in-window text_quality / overflow text_gopher_rules
+    # mechanics; the sentence-count denominator is the new surface
+    "text_c4_page_rules",
 ]
 
 # Rows-only entries promoted INTO the driver's 50-entry gate window.

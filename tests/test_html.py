@@ -192,3 +192,37 @@ def test_drop_boilerplate_lines_max_docs_threshold(spark):
     assert out[1] == "shared pair line\nbody 1"
     assert out[2] == "shared pair line\nbody 2"
     assert out[3] == "tolerated\nbody 3"
+
+
+def test_sentence_count_and_c4_page_keep(spark):
+    from architrave_project_apache_nifi_spark.operators.html import (
+        c4_page_keep,
+        sentence_count,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "One. Two! Three?"),  # 3 sentences -> keep
+            (2, "Only one sentence here."),
+            (3, "First. Second. Third. But lorem ipsum appears."),
+            (4, "First. Second. Third. With code { x }."),
+            (5, "Ellipsis... still one!? Terminator runs count once. ok."),
+            (6, "no terminators at all"),
+        ],
+        "id long, t string",
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            sentence_count(F.col("t")).alias("n"),
+            c4_page_keep(F.col("t")).alias("keep"),
+        ).collect()
+    }
+    assert rows[1]["n"] == 3 and rows[1]["keep"]
+    assert rows[2]["n"] == 1 and not rows[2]["keep"]
+    assert rows[3]["n"] == 4 and not rows[3]["keep"]  # marker
+    assert rows[4]["n"] == 4 and not rows[4]["keep"]  # braces
+    # "..." one run, "!?" one run, "." x2 -> 4; keeps
+    assert rows[5]["n"] == 4 and rows[5]["keep"]
+    assert rows[6]["n"] == 0 and not rows[6]["keep"]
