@@ -112,6 +112,17 @@ def semantic_decontaminate(
     LSH→verify dedup."""
     from .similarity import _unit
 
+    # An empty benchmark makes the crossJoin yield ZERO rows — every
+    # corpus doc would silently vanish from the output instead of
+    # scoring 0.0. That is never what a decontamination pass means;
+    # fail loudly (mirrors pq_topk's empty-query guard). bench is
+    # broadcast-small by contract, so the extra action is one tiny job.
+    if bench.isEmpty():
+        raise ValueError(
+            "semantic_decontaminate: empty benchmark set — the "
+            "crossJoin would drop every corpus doc; pass >=1 bench row"
+        )
+
     # Normalize each side ONCE, before the join — not per (corpus ×
     # bench) pair, which would redo the norm aggregate |bench| times
     # per row — and via _unit, whose zero-norm contract (a padding row
@@ -129,10 +140,20 @@ def semantic_decontaminate(
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+    # A NULL corpus embedding (a failed encoder can emit NULL as easily
+    # as a zero vector) makes every pairwise cosine NULL, so the max
+    # aggregates to NULL and is_contaminated would be NULL — the very
+    # both-routes-of-a-filter drop the zero-norm contract exists to
+    # prevent. Coalesce the per-doc max to 0.0 so every input id
+    # appears with a definite 0/1 flag.
     scored = (
         left.crossJoin(right)
         .groupBy(id_col)
-        .agg(F.round(F.max(cos), round_digits).alias("max_cosine"))
+        .agg(
+            F.round(
+                F.coalesce(F.max(cos), F.lit(0.0)), round_digits
+            ).alias("max_cosine")
+        )
     )
     return scored.select(
         id_col,

@@ -53,12 +53,18 @@ def normalize_url(url: Column) -> Column:
     """
     u = F.trim(url)
     u = F.regexp_replace(u, r"#.*$", "")  # fragment
-    # tracking params: the sentinel makes every param &-led so ONE
-    # pattern covers first/middle/last positions, then it unwinds
-    u = F.regexp_replace(u, r"\?", "?&")
-    u = F.regexp_replace(u, TRACKING_PARAM_PATTERN, "")
-    u = F.regexp_replace(u, r"\?&", "?")
-    u = F.regexp_replace(u, r"\?$", "")
+    # tracking params: applied ONLY to the substring after the first
+    # '?' — '&' is a legal path sub-delimiter (RFC 3986 §3.3), so a
+    # literal '&utm_x=…' inside a path segment of a query-less URL must
+    # survive. Within the query, the sentinel makes every param &-led
+    # so ONE pattern covers first/middle/last positions, then unwinds.
+    pre_q = F.regexp_extract(u, r"^([^?]*)", 1)
+    qs = u.substr(F.length(pre_q) + F.lit(1), F.length(u))
+    qs = F.regexp_replace(qs, r"\?", "?&")
+    qs = F.regexp_replace(qs, TRACKING_PARAM_PATTERN, "")
+    qs = F.regexp_replace(qs, r"\?&", "?")
+    qs = F.regexp_replace(qs, r"\?$", "")
+    u = F.concat(pre_q, qs)
     # scheme://host[:port] lowercased, default port dropped; the rest
     # of the string (path, case preserved) re-attached via substr
     pref = F.regexp_extract(u, _PREFIX, 1)

@@ -1364,6 +1364,147 @@ def q_text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_str_net(s: str) -> str:
+    """SQL literal for a network-framing string: CRLF pairs spliced as
+    chr(13)||chr(10) (the strings here never carry a lone CR), each
+    remaining segment through :func:`_sql_str` (which handles lone LF
+    and quote doubling)."""
+    return " || chr(13) || chr(10) || ".join(
+        _sql_str(p) for p in s.split("\r\n")
+    )
+
+
+def _warc_oracle() -> str:
+    """Closed-form expected output of parse(frame(documents)) — the
+    WARC framing is deterministic, so the correct parse result is known
+    without replaying the byte split in SQL: any framing/parse defect
+    (wrong Content-Length arithmetic, off-by-one body slice, header
+    misread) breaks a value column and the hash. The HTML replay reuses
+    the shared html.HTML_CHAIN constants (same discipline as
+    _html_extract_oracle); byte lengths use DuckDB strlen ≡ Spark
+    octet_length (both count UTF-8 bytes)."""
+    from .operators import html as H
+
+    expr = "body"
+    for pat, rep in H.HTML_CHAIN:
+        expr = f"regexp_replace({expr}, '{pat}', {_sql_str(rep)}, 'g')"
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         {_sql_str(_HTML_PREFIX)} || CAST(doc_id AS VARCHAR)
+           || {_sql_str(_HTML_MID)} || text
+           || {_sql_str(_HTML_SUFFIX)} AS body
+  FROM documents
+), p AS (
+  SELECT doc_id, body,
+         {_sql_str_net(_WARC_HTTP_HEAD)} || CAST(strlen(body) AS VARCHAR)
+           || chr(13) || chr(10) || chr(13) || chr(10) || body AS http
+  FROM h
+)
+SELECT doc_id,
+       'http://warc.example.com/doc/' || CAST(doc_id AS VARCHAR)
+         AS target_uri,
+       'response' AS warc_type,
+       CAST(200 AS INT) AS http_status,
+       'text/html; charset=utf-8' AS http_content_type,
+       CAST(strlen(http) AS BIGINT) AS record_bytes,
+       {expr} AS extracted,
+       CAST(NULL AS VARCHAR) AS parse_error
+FROM p
+"""
+
+
+# The deterministic framing shells shared (verbatim) by the Spark entry
+# and the oracle. Only the two Content-Length values and the doc-keyed
+# fields vary per record.
+_WARC_HTTP_HEAD = (
+    "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+    "Content-Length: "
+)
+_WARC_REC_HEAD = (
+    "WARC/1.0\r\nWARC-Type: response\r\n"
+    "WARC-Date: 2026-01-01T00:00:00Z\r\nWARC-Record-ID: <urn:uuid:"
+)
+
+
+@register("warc_extract", _warc_oracle())
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC landed-source round trip (sources/warc.py — VERDICT r10
+    "What's missing" #1: real crawl corpora arrive as WARC containers,
+    not one-HTML-per-row). The corpus has no WARC files, so the entry
+    synthesizes the framing the reader consumes: each doc becomes an
+    HTTP response inside a WARC/1.0 response record (Content-Length
+    framing computed with octet_length), 25 records concatenate into
+    one multi-record blob, and the EXACT production parser
+    (warc_records_from_binary — same mapInPandas path as
+    read_warc_records' binaryFile scan) splits them back. Output =
+    parsed record metadata + the html_to_text extraction of the
+    recovered body; the oracle states the closed-form expected values,
+    so any framing/parse defect breaks the hash. Scale shape: framing
+    is map-side codegen, one hash agg groups records into blobs, the
+    parse is one O(bytes) Python pass per blob (at crawl scale the
+    blobs are the landed files themselves — file-granularity
+    parallelism, module docstring)."""
+    from .operators.html import html_to_text
+    from .sources.warc import warc_records_from_binary
+
+    docs = spread(load(spark, "documents", sf_dir), "doc_id")
+    did = F.col("doc_id").cast("string")
+    body = F.concat(
+        F.lit(_HTML_PREFIX), did, F.lit(_HTML_MID),
+        F.col("text"), F.lit(_HTML_SUFFIX),
+    )
+    http = F.concat(
+        F.lit(_WARC_HTTP_HEAD),
+        F.octet_length(body).cast("string"),
+        F.lit("\r\n\r\n"),
+        body,
+    )
+    rec = F.concat(
+        F.lit(_WARC_REC_HEAD), did,
+        F.lit(">\r\nWARC-Target-URI: http://warc.example.com/doc/"), did,
+        F.lit("\r\nContent-Type: application/http; msgtype=response"),
+        F.lit("\r\nContent-Length: "),
+        F.octet_length(http).cast("string"),
+        F.lit("\r\n\r\n"),
+        http,
+        F.lit("\r\n\r\n"),
+    )
+    blobs = (
+        docs.select(
+            (F.col("doc_id") % 25).alias("blob_id"),
+            F.struct(F.col("doc_id"), rec.alias("rec")).alias("s"),
+        )
+        .groupBy("blob_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda s: s["rec"]
+                ),
+                "",
+            ).alias("blob_str")
+        )
+        .select(
+            F.concat(F.lit("blob://"), F.col("blob_id").cast("string"))
+            .alias("path"),
+            F.col("blob_str").cast("binary").alias("content"),
+        )
+    )
+    recs = warc_records_from_binary(blobs)
+    return recs.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "target_uri",
+        "warc_type",
+        "http_status",
+        "http_content_type",
+        F.col("content_length").alias("record_bytes"),
+        html_to_text(F.col("text")).alias("extracted"),
+        "parse_error",
+    )
+
+
 @register(
     "dedup_lines_global",
     """
@@ -1454,16 +1595,23 @@ WITH m AS (
            ELSE 'https://News.Example.com:443/en/b/' || CAST(doc_id % 20 AS VARCHAR) || '/'
          END AS url
   FROM documents
-), s1 AS (
+), s0 AS (
   SELECT doc_id,
-         regexp_replace(regexp_replace(trim(url), '#.*$', '', 'g'),
-                        '\\?', '?&', 'g') AS u
+         regexp_replace(trim(url), '#.*$', '', 'g') AS u
   FROM m
+), s1 AS (
+  -- tracking strip applies ONLY after the first '?' (urls.py: '&' is a
+  -- legal path sub-delimiter, a path-segment '&utm_x=…' must survive)
+  SELECT doc_id, u,
+         regexp_extract(u, '^([^?]*)', 1) AS pre_q
+  FROM s0
 ), s2 AS (
   SELECT doc_id,
-         regexp_replace(
+         pre_q || regexp_replace(
            regexp_replace(
-             regexp_replace(u,
+             regexp_replace(
+               regexp_replace(substr(u, length(pre_q) + 1),
+                 '\\?', '?&', 'g'),
                '__TRACKING__',
                '', 'g'),
              '\\?&', '?', 'g'),
@@ -6694,28 +6842,21 @@ _OVERFLOW = [
     # r9 addition: per-domain cap ≈ in-window topk_per_key_skew_salted
     # (same two-phase salted rank) + stratified_sample (LCG priority)
     "domain_cap_documents",
-    # r10 addition (VERDICT r9 #4): HTML tag/boilerplate extraction —
-    # map-only regexp chain ≈ in-window pii_redact / text_normalize
-    # mechanics; the markup-strip + C4 line gate is the new surface
-    "text_html_extract",
-    # r10 addition: corpus-frequency boilerplate-line removal —
-    # explode+agg+join-back ≈ in-window decontaminate_ngrams mechanics;
-    # the cross-document line-frequency rule is the new surface
-    "dedup_lines_global",
-    # r10 addition: URL canonicalization + canonical-key dedup —
-    # map-only regexp chain + hash agg ≈ in-window regex_extract /
-    # dedup_exact mechanics; the canonical-url collapse is the new
-    # surface
-    "url_canonical_dedup",
-    # r10 addition: embedding-space decontamination — broadcast
-    # cross-join + max-agg ≈ in-window neardup_cosine /
-    # decontaminate_ngrams mechanics; the paraphrase-robust bench
-    # screen is the new surface
-    "decontaminate_semantic",
-    # r10 addition: C4 page-level gate — rule-conjunction Column
-    # expressions ≈ in-window text_quality / overflow text_gopher_rules
-    # mechanics; the sentence-count denominator is the new surface
-    "text_c4_page_rules",
+    # r11 rotation (VERDICT r10 #1): the five green r10 surfaces
+    # text_html_extract / dedup_lines_global / url_canonical_dedup /
+    # decontaminate_semantic / text_c4_page_rules ENTER the graded
+    # window; the five below leave, each with an in-window (or
+    # strictly-stronger entering) mechanical twin:
+    "text_quality",  # rule-signal Column expressions ≈ entering text_c4_page_rules (same length/punct/stopword signals, one rule-conjunction deeper) + in-window text_gopher_repetition
+    "pii_redact",  # map-only regexp-replace chain ≈ entering text_html_extract (same codegen regexp-chain mechanics, strictly deeper chain)
+    "neardup_cosine",  # broadcast cross-join cosine + threshold ≈ entering decontaminate_semantic (identical kernel, max-agg on top) + in-window semdedup_prune
+    "decontaminate_ngrams",  # explode hashed grams + broadcast join-back ≈ entering dedup_lines_global (same explode+agg+join-back, keyed by content) + in-window doc_fingerprint
+    "multimodal_decode_real",  # BMP/WAV Arrow decode ≡ in-window multimodal_decode_png (strictly stronger codec, same mapInPandas plumbing) + multimodal_feature_extract (runs the same decode path)
+    # r11 addition (VERDICT r10 #2): WARC landed-source round trip —
+    # the framing build is map-only concat ≈ in-window html/regex
+    # mechanics; the Content-Length record split through the production
+    # mapInPandas parser is the new surface
+    "warc_extract",
 ]
 
 # Rows-only entries promoted INTO the driver's 50-entry gate window.

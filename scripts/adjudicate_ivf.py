@@ -44,7 +44,7 @@ import json, os, time
 from architrave_project_apache_nifi_spark.session import get_spark
 from architrave_project_apache_nifi_spark.queries import REGISTRY
 from architrave_project_apache_nifi_spark.operators.similarity import (
-    ivf_index_for, _IVF_INDEX_CACHE,
+    ivf_index_for,
 )
 from architrave_project_apache_nifi_spark.tables import load
 spark = get_spark("ivf-adjudicate"); spark.sparkContext.setLogLevel("ERROR")

@@ -97,10 +97,14 @@ def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
     # source.
     import time
 
+    # "at most ONE replayed batch" in rows: one batch is bounded by the
+    # maxEventsPerBatch option below — derive the duplicate bound from
+    # it so the contract stays self-describing if the budget changes.
+    max_events_per_batch = 5
     q = (
         spark.readStream.format(pyds.FORMAT_NAME)
         .option("path", d)
-        .option("maxEventsPerBatch", 5)
+        .option("maxEventsPerBatch", max_events_per_batch)
         .load()
         .writeStream.foreachBatch(sink)
         .option("checkpointLocation", ckpt)
@@ -111,7 +115,7 @@ def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
     q.stop()
     assert set(seen) == set(first), "restart lost or invented events"
     extras = len(seen) - len(first)
-    assert extras <= 5, (
+    assert extras <= max_events_per_batch, (
         f"{extras} duplicate rows — more than one uncommitted batch "
         "replayed (committed offsets were re-served)"
     )

@@ -165,3 +165,45 @@ def test_semantic_decontaminate_zero_vector_scores_zero(spark):
     assert out[1]["max_cosine"] == 0.0
     assert out[1]["is_contaminated"] == 0
     assert out[2]["max_cosine"] == 1.0 and out[2]["is_contaminated"] == 1
+
+
+def test_semantic_decontaminate_null_embedding_scores_zero(spark):
+    # a failed encoder can emit NULL as easily as a zero vector; the
+    # doc must still appear with a definite 0 flag, not vanish or NULL
+    from architrave_project_apache_nifi_spark.operators.decontaminate import (
+        semantic_decontaminate,
+    )
+
+    cdf = spark.createDataFrame(
+        [(1, None), (2, [1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    bdf = spark.createDataFrame(
+        [([1.0, 0.0, 0.0],)], "embedding array<double>"
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semantic_decontaminate(
+            cdf, bdf, "vec_id", "embedding", threshold=0.5
+        ).collect()
+    }
+    assert len(out) == 2, "NULL-embedding doc dropped from the output"
+    assert out[1]["max_cosine"] == 0.0 and out[1]["is_contaminated"] == 0
+    assert out[2]["is_contaminated"] == 1
+
+
+def test_semantic_decontaminate_empty_bench_raises(spark):
+    # an empty benchmark would make the crossJoin drop EVERY corpus doc
+    # silently — fail loudly instead (mirrors pq_topk's empty guard)
+    import pytest
+
+    from architrave_project_apache_nifi_spark.operators.decontaminate import (
+        semantic_decontaminate,
+    )
+
+    cdf = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    bdf = spark.createDataFrame([], "embedding array<double>")
+    with pytest.raises(ValueError, match="empty benchmark"):
+        semantic_decontaminate(cdf, bdf, "vec_id", "embedding")

@@ -113,6 +113,19 @@ def test_trailing_slash_never_fires_inside_query_values(spark):
     assert got[1] == "http://e.com/a/b/?x=1"
 
 
+def test_tracking_shaped_path_segment_survives(spark):
+    # '&' is a legal path sub-delimiter (RFC 3986 §3.3): a query-less
+    # URL with a literal '&utm_b=1/c' in its PATH must pass through
+    # untouched — the tracking strip applies only after the first '?'
+    got = _norm(
+        spark,
+        "http://e.com/a&utm_b=1/c",
+        "http://e.com/a&gclid=x/deep?utm_source=f&id=2",
+    )
+    assert got[0] == "http://e.com/a&utm_b=1/c"
+    assert got[1] == "http://e.com/a&gclid=x/deep?id=2"
+
+
 def test_ref_param_is_content_addressing_and_kept(spark):
     # bare ?ref= selects content on many sites (a git ref, a section);
     # stripping it would dedup distinct pages together
