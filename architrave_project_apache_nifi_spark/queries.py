@@ -1414,17 +1414,9 @@ FROM p
 """
 
 
-# The deterministic framing shells shared (verbatim) by the Spark entry
-# and the oracle. Only the two Content-Length values and the doc-keyed
-# fields vary per record.
-_WARC_HTTP_HEAD = (
-    "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
-    "Content-Length: "
-)
-_WARC_REC_HEAD = (
-    "WARC/1.0\r\nWARC-Type: response\r\n"
-    "WARC-Date: 2026-01-01T00:00:00Z\r\nWARC-Record-ID: <urn:uuid:"
-)
+# The deterministic framing shell shared (verbatim) by the Spark-side
+# synthesizer (warc.warc_response_record_col) and the oracle replay.
+from .sources.warc import WARC_HTTP_HEAD as _WARC_HTTP_HEAD  # noqa: E402
 
 
 @register("warc_extract", _warc_oracle())
@@ -1446,7 +1438,10 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs are the landed files themselves — file-granularity
     parallelism, module docstring)."""
     from .operators.html import html_to_text
-    from .sources.warc import warc_records_from_binary
+    from .sources.warc import (
+        warc_records_from_binary,
+        warc_response_record_col,
+    )
 
     docs = spread(load(spark, "documents", sf_dir), "doc_id")
     did = F.col("doc_id").cast("string")
@@ -1454,21 +1449,8 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_HTML_PREFIX), did, F.lit(_HTML_MID),
         F.col("text"), F.lit(_HTML_SUFFIX),
     )
-    http = F.concat(
-        F.lit(_WARC_HTTP_HEAD),
-        F.octet_length(body).cast("string"),
-        F.lit("\r\n\r\n"),
-        body,
-    )
-    rec = F.concat(
-        F.lit(_WARC_REC_HEAD), did,
-        F.lit(">\r\nWARC-Target-URI: http://warc.example.com/doc/"), did,
-        F.lit("\r\nContent-Type: application/http; msgtype=response"),
-        F.lit("\r\nContent-Length: "),
-        F.octet_length(http).cast("string"),
-        F.lit("\r\n\r\n"),
-        http,
-        F.lit("\r\n\r\n"),
+    rec = warc_response_record_col(
+        did, F.concat(F.lit("http://warc.example.com/doc/"), did), body
     )
     blobs = (
         docs.select(

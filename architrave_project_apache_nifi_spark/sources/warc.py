@@ -93,6 +93,47 @@ def frame_warc_record(
     return _CRLF.join(headers) + _HDR_END + payload + _CRLF + _CRLF
 
 
+# Framing shells shared by the Column-side synthesizer below, the
+# queries.py oracle (replayed through _sql_str_net), and tests. Only
+# the two Content-Length values and the doc-keyed fields vary.
+WARC_HTTP_HEAD = (
+    "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+    "Content-Length: "
+)
+WARC_RESPONSE_HEAD = (
+    "WARC/1.0\r\nWARC-Type: response\r\n"
+    "WARC-Date: 2026-01-01T00:00:00Z\r\nWARC-Record-ID: <urn:uuid:"
+)
+
+
+def warc_response_record_col(record_key, target_uri, body):
+    """Column-side inverse of the parser for an HTML body: wrap it in
+    an HTTP/1.1 200 envelope inside a canonical WARC/1.0 response
+    record, Content-Length framing computed with ``octet_length``
+    (bytes, not chars). Map-only concat in whole-stage codegen — this
+    is how the oracle entry and clean_corpus synthesize landed WARC
+    bytes DISTRIBUTEDLY; the Python :func:`frame_warc_record` is for
+    driver-side fixtures."""
+    http = F.concat(
+        F.lit(WARC_HTTP_HEAD),
+        F.octet_length(body).cast("string"),
+        F.lit("\r\n\r\n"),
+        body,
+    )
+    return F.concat(
+        F.lit(WARC_RESPONSE_HEAD),
+        record_key,
+        F.lit(">\r\nWARC-Target-URI: "),
+        target_uri,
+        F.lit("\r\nContent-Type: application/http; msgtype=response"),
+        F.lit("\r\nContent-Length: "),
+        F.octet_length(http).cast("string"),
+        F.lit("\r\n\r\n"),
+        http,
+        F.lit("\r\n\r\n"),
+    )
+
+
 def frame_http_response(
     body: bytes,
     *,

@@ -2,13 +2,14 @@
 
 Run: python examples/clean_corpus.py   (reads testdata, prints a report)
 
-Chains: HTML boilerplate extraction (tag strip + C4 line gate) →
-Gopher-rule gate (well-formedness + the §A1.1 repetition suite) →
-normalization → bigram-LM quality floor → exact dedup → MinHash-LSH
-near-dup clustering (bands picked by lsh_plan, keep-best
-canonicalization) → benchmark decontamination → temperature mixture
-sampling — the pipeline a 100 TB pretraining corpus runs, here on the
-sf0.001 documents table.
+Chains: WARC container ingest (the format crawl corpora actually land
+in — record framing parse) → HTML boilerplate extraction (tag strip +
+C4 line gate) → Gopher-rule gate (well-formedness + the §A1.1
+repetition suite) → normalization → bigram-LM quality floor → exact
+dedup → MinHash-LSH near-dup clustering (bands picked by lsh_plan,
+keep-best canonicalization) → benchmark decontamination → temperature
+mixture sampling — the pipeline a 100 TB pretraining corpus runs, here
+on the sf0.001 documents table.
 """
 
 from __future__ import annotations
@@ -30,6 +31,7 @@ from architrave_project_apache_nifi_spark.operators.cluster import (
     canonical_docs_best,
 )
 from architrave_project_apache_nifi_spark.session import get_spark
+from architrave_project_apache_nifi_spark.sources import warc as wc
 
 
 def main() -> None:
@@ -41,30 +43,74 @@ def main() -> None:
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     n0 = docs.count()
 
-    # 0. HTML boilerplate extraction — crawl corpora arrive as markup,
-    # so the example wraps each doc in a crawl-shaped shell (nav list,
-    # script, style, comment, entity-bearing footer) and recovers the
-    # body with the tag-strip chain plus the line-level boilerplate
-    # gate. The gate runs with require_terminal_punct=False because the
-    # synthetic word-soup body has no sentence punctuation (a real
-    # crawl corpus keeps the default C4 rule); the short nav/footer
-    # lines (<3 words) drop out. Dropping them is not cosmetic: a
-    # shell line surviving into every document would hand all 1000
-    # docs shared shingles and densify the near-dup candidate graph
-    # toward n^2 — boilerplate removal is exactly what keeps
-    # LSH-based dedup near-linear on crawl corpora.
-    pages = docs.withColumn(
-        "html",
-        F.concat(
-            F.lit(
-                "<html><head><script>var nav = 1 < 2;</script>"
-                "<style>li { color: blue; }</style></head>"
-                "<body><!-- header --><ul><li>Home</li><li>About</li></ul><p>"
-            ),
-            F.col("text"),
-            F.lit("</p><div>&copy; 2026</div></body></html>"),
+    # 0a. WARC container ingest — crawl corpora land as WARC files
+    # (CommonCrawl), not one-page-per-parquet-row. The example
+    # synthesizes that landed form: each doc becomes an HTTP response
+    # wrapped in a crawl-shaped markup shell (nav list, script, style,
+    # comment, entity-bearing footer) inside a WARC/1.0 response
+    # record; 20 records concatenate into one blob standing in for a
+    # landed .warc file; the PRODUCTION framing parser
+    # (warc_records_from_binary — the same mapInPandas path
+    # read_warc_records drives from a binaryFile scan) splits them
+    # back into (target_uri, html) pages.
+    did = F.col("doc_id").cast("string")
+    shell = F.concat(
+        F.lit(
+            "<html><head><script>var nav = 1 < 2;</script>"
+            "<style>li { color: blue; }</style></head>"
+            "<body><!-- header --><ul><li>Home</li><li>About</li></ul><p>"
         ),
-    ).drop("text")
+        F.col("text"),
+        F.lit("</p><div>&copy; 2026</div></body></html>"),
+    )
+    rec = wc.warc_response_record_col(
+        did, F.concat(F.lit("http://crawl.example/doc/"), did), shell
+    )
+    blobs = (
+        docs.select(
+            (F.col("doc_id") % 50).alias("blob_id"),
+            F.struct(F.col("doc_id"), rec.alias("rec")).alias("s"),
+        )
+        .groupBy("blob_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda s: s["rec"]
+                ),
+                "",
+            ).alias("blob_str")
+        )
+        .select(
+            F.concat(F.lit("mem://part-"), F.col("blob_id").cast("string"))
+            .alias("path"),
+            F.col("blob_str").cast("binary").alias("content"),
+        )
+    )
+    pages = (
+        wc.warc_records_from_binary(blobs)
+        .filter("parse_error IS NULL AND http_status = 200")
+        .select(
+            F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("text").alias("html"),
+        )
+        # crawl metadata the corpus tables carry (lang, source,
+        # n_chars) rides back in by doc key; on a real crawl these are
+        # derived from the record itself post-parse
+        .join(docs.drop("text"), "doc_id")
+    )
+
+    # 0b. HTML boilerplate extraction — recover the body with the
+    # tag-strip chain plus the line-level boilerplate gate. The gate
+    # runs with require_terminal_punct=False because the synthetic
+    # word-soup body has no sentence punctuation (a real crawl corpus
+    # keeps the default C4 rule); the short nav/footer lines (<3
+    # words) drop out. Dropping them is not cosmetic: a shell line
+    # surviving into every document would hand all 1000 docs shared
+    # shingles and densify the near-dup candidate graph toward n^2 —
+    # boilerplate removal is exactly what keeps LSH-based dedup
+    # near-linear on crawl corpora.
     extracted = html_ops.extract_html_text(pages, "html", c4_filter=False)
     per_page = extracted.withColumn(
         "text",
