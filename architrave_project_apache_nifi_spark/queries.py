@@ -3795,9 +3795,9 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes table prunes whole partitions. Approximate → rows-only;
     scan-fraction and recall contracts pinned in tests/test_pq.py."""
     from .operators.quantization import (
+        ivfpq_codebooks_for,
         ivfpq_encode,
         ivfpq_topk,
-        pq_codebooks_for,
     )
 
     emb = load(spark, "embeddings", sf_dir)
@@ -3805,7 +3805,10 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     index = sim.ivf_index_for(emb, cache_key=sf_dir)
-    cb = pq_codebooks_for(emb, cache_key=sf_dir)
+    # residual codebooks (ivfpq_train): trained on u − centroid[cell],
+    # the Jégou §IV-A / FAISS-default form — NOT the raw-vector books
+    # ann_topk_pq uses
+    cb = ivfpq_codebooks_for(emb, index, cache_key=sf_dir)
     codes = ivfpq_encode(emb, "vec_id", "embedding", index, cb)
     return ivfpq_topk(codes, queries, index, cb, "vec_id", k=_TOP_K, nprobe=12)
 
