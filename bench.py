@@ -92,6 +92,36 @@ def _wait_for_quiet(load_max: float, budget_s: float) -> dict:
         time.sleep(5.0)
 
 
+def _wait_for_quiet_5m(load_max: float, budget_s: float) -> dict:
+    """r11 (VERDICT r10 #4): BEFORE the first pass, wait (bounded) for
+    the 5-MINUTE average too — three straight rounds recorded
+    `busy_5m: true` on every official pass, making every absolute
+    number an upper bound and burning adjudication effort on
+    cross-round comparisons. The 1-minute per-pass gate stays as-is
+    (a 5-minute average decays too slowly to re-wait per pass); this
+    one runs once, where it can actually help. Budget default 600 s
+    (env SPARK_GRAFT_LOAD_WAIT_5M_S); on exhaustion the run proceeds
+    and the artifact says so (`proceeded_over_threshold`)."""
+    t0 = time.monotonic()
+    while True:
+        try:
+            la1, la5, _ = os.getloadavg()
+        except OSError:
+            return {"loadavg_1m_at_start": None,
+                    "loadavg_5m_at_start": None, "busy_5m": None,
+                    "waited_s": 0.0, "proceeded_over_threshold": False}
+        waited = time.monotonic() - t0
+        if load_max <= 0 or la5 <= load_max or waited >= budget_s:
+            return {
+                "loadavg_1m_at_start": round(la1, 2),
+                "loadavg_5m_at_start": round(la5, 2),
+                "busy_5m": load_max > 0 and la5 > load_max,
+                "waited_s": round(waited, 1),
+                "proceeded_over_threshold": load_max > 0 and la5 > load_max,
+            }
+        time.sleep(10.0)
+
+
 HEADLINE = [
     "scd2_build",
     "scd2_merge_incremental",
@@ -113,6 +143,11 @@ HEADLINE = [
     "neardup_cosine",
     "ann_topk_bruteforce",
     "ann_topk_ivf",
+    # r11 (VERDICT r10 #5): the PQ serving pair joins the headline —
+    # codebooks are memoized in the pre-pass like the IVF index, so the
+    # timings measure encode+search, not training
+    "ann_topk_pq",
+    "ann_topk_ivfpq",
     "window_running_spend",
     "rollup_events",
 ]
@@ -180,12 +215,22 @@ def main() -> None:
     # operators/similarity.py ivf_build/ivf_save); pre-build it so the
     # ann_topk_ivf timing measures the probe path, as an ANN serving
     # bench would.
+    from architrave_project_apache_nifi_spark.operators.quantization import (
+        ivfpq_codebooks_for,
+        pq_codebooks_for,
+    )
     from architrave_project_apache_nifi_spark.operators.similarity import (
         ivf_index_for,
     )
     from architrave_project_apache_nifi_spark.tables import load
 
-    ivf_index_for(load(spark, "embeddings", sf_dir), cache_key=sf_dir)
+    emb = load(spark, "embeddings", sf_dir)
+    index = ivf_index_for(emb, cache_key=sf_dir)
+    # PQ codebooks are the same train-once artifact (pq_save sidecar in
+    # production) — memoize so ann_topk_pq / ann_topk_ivfpq time the
+    # encode+search serving path
+    pq_codebooks_for(emb, cache_key=sf_dir)
+    ivfpq_codebooks_for(emb, index, cache_key=sf_dir)
 
     # Three full PASSES over the query list, per-query minimum across
     # passes. Two noise sources motivate this over single consecutive
@@ -202,6 +247,10 @@ def main() -> None:
     telemetry = {"passes": []}
     load_max = float(os.environ.get("SPARK_GRAFT_LOAD_MAX", "2.0"))
     wait_budget = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT_S", "600"))
+    # one bounded 5-minute-average wait before the first pass (r11)
+    telemetry["gate_5m"] = _wait_for_quiet_5m(
+        load_max, float(os.environ.get("SPARK_GRAFT_LOAD_WAIT_5M_S", "600"))
+    )
     for _ in range(3):
         gate = _wait_for_quiet(load_max, wait_budget)
         wait_budget = max(0.0, wait_budget - gate["waited_s"])
@@ -219,11 +268,15 @@ def main() -> None:
     # Free the pre-built index's executor storage: the bench is the
     # model citizen for the ivf_index_for contract (build once, probe
     # many, EVICT when the corpus is done).
+    from architrave_project_apache_nifi_spark.operators.quantization import (
+        pq_evict,
+    )
     from architrave_project_apache_nifi_spark.operators.similarity import (
         ivf_evict,
     )
 
     ivf_evict(sf_dir)
+    pq_evict(sf_dir)
 
     # Streaming throughput (separate from the frozen 3-pass batch
     # protocol — additive key, fixed replay, single run; the stream's
