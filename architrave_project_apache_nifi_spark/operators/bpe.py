@@ -201,3 +201,25 @@ def bpe_load(path: str) -> list[tuple[str, str]]:
 
     with open(path) as f:
         return [tuple(p) for p in json.load(f)]
+
+
+_BPE_MERGES_CACHE: dict = {}
+
+
+def bpe_merges_for(
+    df: DataFrame,
+    text_col: str,
+    cache_key: str,
+    n_merges: int = 200,
+) -> list[tuple[str, str]]:
+    """Memoized ``word_freqs`` → ``bpe_train`` — the same train-once
+    contract as ``similarity.ivf_index_for`` / ``pq_codebooks_for``:
+    budget cuts and bin packing keyed to the ACTUAL tokenizer
+    (VERDICT r10 #8) shouldn't retrain the vocabulary per invocation;
+    production loads the ``bpe_save`` artifact."""
+    key = (cache_key, text_col, n_merges)
+    if key not in _BPE_MERGES_CACHE:
+        _BPE_MERGES_CACHE[key] = bpe_train(
+            word_freqs(df, text_col), n_merges=n_merges
+        )
+    return _BPE_MERGES_CACHE[key]

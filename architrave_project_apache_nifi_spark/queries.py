@@ -4824,6 +4824,37 @@ def q_token_budget_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("token_budget_bpe", None)
+def q_token_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget cut costed by the ACTUAL tokenizer (VERDICT r10
+    #8): the mixture budget counts BPE subword tokens
+    (operators/bpe.py — trained merge list memoized per corpus, the
+    bpe_save artifact in production) instead of whitespace words,
+    because training mixtures are specified in model tokens and the
+    two countings ORDER documents differently (short texts of rare
+    words explode under BPE; long texts of common words don't). Same
+    skew-protected prefix-sum machinery as token_budget_per_source —
+    the costing column is the only change (the tokens_col seam).
+    BPE encode is iterative merging → not SQL-expressible → rows-only;
+    the python-reference parity and the whitespace-vs-BPE divergence
+    are pinned in tests/test_bpe.py."""
+    from .operators.bpe import bpe_merges_for, bpe_token_count
+
+    docs = load(spark, "documents", sf_dir)
+    merges = bpe_merges_for(docs, "text", cache_key=sf_dir)
+    costed = bpe_token_count(docs, "text", merges)
+    out = sp.token_budget_filter(
+        costed, ["source"], "doc_id", F.col("n_bpe_tokens"), _TOKEN_BUDGET * 3
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").alias("n_bpe_tokens"),
+        "cum_tokens",
+        "in_budget",
+    )
+
+
 @register(
     "quality_adaptive_floor",
     f"""

@@ -123,3 +123,127 @@ def test_save_load_round_trip(spark, toy, tmp_path):
     a = bpe_encode(_corpus(spark, ["lowest newest"]), "text", merges).collect()
     b = bpe_encode(_corpus(spark, ["lowest newest"]), "text", loaded).collect()
     assert a[0]["bpe_tokens"] == b[0]["bpe_tokens"]
+
+
+def _bpe_count_py(text, merges):
+    """Pure-python reference counter (mirrors bpe._encode_word)."""
+    from architrave_project_apache_nifi_spark.operators.bpe import (
+        _encode_word,
+    )
+
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    return sum(len(_encode_word(w, ranks)) for w in str(text).lower().split())
+
+
+def test_token_budget_costed_by_bpe_matches_python_reference(spark):
+    """The VERDICT r10 #8 seam: token_budget_filter keyed to ACTUAL
+    BPE counts — in_budget/cum_tokens must equal the pure-python
+    replay (encode each doc, cumulative-sum in id order per source)."""
+    from architrave_project_apache_nifi_spark.operators.sampling import (
+        token_budget_filter,
+    )
+
+    texts = [
+        "low lower newest",          # merge-friendly -> few tokens
+        "xqzv bnmp qwrt",            # rare words -> char-level blowup
+        "newest newest newest low",
+        "zzzz xxxx yyyy wwww vvvv",
+        "low low low",
+        "widest newest lower",
+    ]
+    df = spark.createDataFrame(
+        [(i, "s", t) for i, t in enumerate(texts)],
+        "doc_id long, source string, text string",
+    )
+    merges = bpe_train(word_freqs(df, "text"), n_merges=10)
+    counted = bpe_token_count(df, "text", merges)
+    budget = 30
+    out = {
+        r["doc_id"]: r
+        for r in token_budget_filter(
+            counted, ["source"], "doc_id", F.col("n_bpe_tokens"), budget
+        ).collect()
+    }
+    cum = 0
+    for i, t in enumerate(texts):
+        n = _bpe_count_py(t, merges)
+        cum += n
+        assert out[i]["n_tokens"] == n, (i, t)
+        assert out[i]["cum_tokens"] == cum
+        assert out[i]["in_budget"] == int(cum <= budget)
+
+
+def test_bpe_and_whitespace_budgets_order_differently(spark):
+    """Why the seam matters: a whitespace budget and a BPE budget keep
+    DIFFERENT documents — rare-word docs explode under BPE while
+    common-word docs compress, so cutting by word count misstates the
+    model-token spend."""
+    from architrave_project_apache_nifi_spark.operators.sampling import (
+        token_budget_filter,
+    )
+    from architrave_project_apache_nifi_spark.operators.textanalysis import (
+        token_count,
+    )
+
+    # doc 0: 6 common words (BPE-cheap); doc 1: 3 rare words
+    # (BPE-expensive). Whitespace says doc1 < doc0; BPE says opposite.
+    texts = [
+        "low low newest newest widest lower",
+        "xyzqwfjp bnmvcxza qpwoeiru",
+    ]
+    train = spark.createDataFrame(
+        [(0, " ".join(["low lower newest widest"] * 20))],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(word_freqs(train, "text"), n_merges=30)
+    df = spark.createDataFrame(
+        [(i, "s", t) for i, t in enumerate(texts)],
+        "doc_id long, source string, text string",
+    )
+    counted = bpe_token_count(df, "text", merges)
+    rows = {r["doc_id"]: r for r in counted.collect()}
+    ws = {i: len(t.split()) for i, t in enumerate(texts)}
+    assert ws[0] > ws[1]
+    assert rows[0]["n_bpe_tokens"] < rows[1]["n_bpe_tokens"]
+    # a budget that admits doc0 under BPE but would admit doc1 under
+    # whitespace-ordering flips the kept set
+    budget = rows[0]["n_bpe_tokens"]
+    kept_bpe = {
+        r["doc_id"]
+        for r in token_budget_filter(
+            counted, ["source"], "doc_id", F.col("n_bpe_tokens"), budget
+        ).collect()
+        if r["in_budget"] == 1
+    }
+    assert kept_bpe == {0}
+
+
+def test_pack_bins_accepts_bpe_counts(spark):
+    """The pack_bins half of the seam: FFD packing keyed to BPE counts
+    — invariants hold (no bin exceeds budget, every doc appears,
+    oversize routed out) with the model-token costing."""
+    from architrave_project_apache_nifi_spark.operators.packing import (
+        pack_bins,
+    )
+
+    texts = ["low newest"] * 4 + ["xqzv bnmp qwrt zzzz xxxx yyyy"] * 2
+    df = spark.createDataFrame(
+        [(i, "s", t) for i, t in enumerate(texts)],
+        "doc_id long, source string, text string",
+    )
+    merges = bpe_train(word_freqs(df, "text"), n_merges=10)
+    counted = bpe_token_count(df, "text", merges)
+    budget = 30
+    out = pack_bins(
+        counted, "doc_id", "source", F.col("n_bpe_tokens"), budget=budget
+    ).collect()
+    assert {r["id"] for r in out} == set(range(6))
+    fills: dict = {}
+    for r in out:
+        if r["is_packed"]:
+            assert r["n_tokens"] <= budget
+            key = (r["stream"], r["shard"], r["bin_local"])
+            fills[key] = fills.get(key, 0) + r["n_tokens"]
+        else:
+            assert r["n_tokens"] > budget and r["bin_local"] == -1
+    assert all(v <= budget for v in fills.values())
