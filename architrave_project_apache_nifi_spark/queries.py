@@ -3813,6 +3813,39 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(codes, queries, index, cb, "vec_id", k=_TOP_K, nprobe=12)
 
 
+@register("ann_topk_ivfpq_rerank", None)
+def q_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN serving (r11 — Jégou 2011 §V, the shape every
+    production IVFADC deployment runs): IVF×PQ generates R=50
+    candidates from probed cells (compressed index, ~nprobe/nlist of a
+    32×-smaller table), then similarity.rerank_exact re-scores ONLY
+    those nq×R rows against the float vectors (candidates broadcast
+    into the corpus join — the big side never shuffles) and keeps the
+    true top-k. The split is load-bearing: ADC codes resolve clusters,
+    not near-tie orderings within one — BASELINE.md §PQ recall pins
+    recall@10 ≈ 0.10 for raw ADC ranking vs 1.0 after re-rank on the
+    clustered corpus. Approximate candidate set → rows-only; the
+    recall lift and broadcast shape are pinned in tests."""
+    from .operators.quantization import (
+        ivfpq_codebooks_for,
+        ivfpq_encode,
+        ivfpq_topk,
+    )
+    from .operators.similarity import rerank_exact
+
+    emb = load(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    index = sim.ivf_index_for(emb, cache_key=sf_dir)
+    cb = ivfpq_codebooks_for(emb, index, cache_key=sf_dir)
+    codes = ivfpq_encode(emb, "vec_id", "embedding", index, cb)
+    cand = ivfpq_topk(
+        codes, queries, index, cb, "vec_id", k=5 * _TOP_K, nprobe=12
+    )
+    return rerank_exact(cand, emb, queries, k=_TOP_K)
+
+
 @register("sketch_approx_aggs", None)
 def q_sketch_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB sketch path beside its exact twins, one hash

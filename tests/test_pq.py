@@ -414,3 +414,70 @@ def test_pq_codebooks_for_memoizes(spark, emb):
         np.asarray(c.codebooks), np.asarray(a.codebooks)
     )
     pq_evict("/tmp/test-memo")
+
+
+def test_rerank_exact_recovers_true_topk(spark):
+    """Two-stage serving (Jégou 2011 §V): IVFPQ candidates at R ≥ cell
+    occupancy + exact re-rank must return EXACTLY the brute-force
+    top-k — the ADC stage only generates, the float stage ranks."""
+    from architrave_project_apache_nifi_spark.operators.quantization import (
+        ivfpq_encode,
+        ivfpq_topk,
+        ivfpq_train,
+    )
+    from architrave_project_apache_nifi_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_build,
+        rerank_exact,
+    )
+
+    df = _clustered_df(spark)  # 400 rows, 8 clusters -> ~50/cell
+    index = ivf_build(df, "vec_id", "embedding", nlist=8, materialize=False)
+    cb2 = ivfpq_train(df, "vec_id", "embedding", index, m=8, ksub=16)
+    enc = ivfpq_encode(df, "vec_id", "embedding", index, cb2).persist()
+    queries = df.orderBy("vec_id").limit(6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cand = ivfpq_topk(enc, queries, index, cb2, "vec_id", k=60, nprobe=2)
+    got = rerank_exact(cand, df, queries, k=10)
+    exact = brute_force_topk(df, queries, k=10)
+    ex, ap = {}, {}
+    for r in exact.collect():
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in got.collect():
+        ap.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(ex[q] & ap[q]) / len(ex[q]) for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.95, recalls
+    # and the re-ranked scores are the EXACT cosines (not ADC scores)
+    by_pair = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"] for r in got.collect()
+    }
+    vecs = {r["vec_id"]: np.asarray(r["embedding"]) for r in df.collect()}
+    for (q, nb), c in list(by_pair.items())[:10]:
+        u = vecs[q] / np.linalg.norm(vecs[q])
+        v = vecs[nb] / np.linalg.norm(vecs[nb])
+        assert abs(c - round(float(u @ v), 6)) < 1e-9
+    enc.unpersist()
+
+
+def test_rerank_exact_broadcasts_candidates_not_corpus(spark):
+    """Scale contract: the candidate list and the query block broadcast;
+    the corpus side joins without an exchange of its own rows into a
+    shuffle join (no SortMergeJoin / ShuffledHashJoin in the plan)."""
+    from architrave_project_apache_nifi_spark.operators.similarity import (
+        rerank_exact,
+    )
+
+    corpus = _clustered_df(spark)
+    queries = corpus.limit(2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cand = spark.createDataFrame(
+        [(0, 5), (0, 6), (1, 7)], "query_id long, neighbor_id long"
+    )
+    plan = (
+        rerank_exact(cand, corpus, queries, k=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
