@@ -1439,6 +1439,7 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelism, module docstring)."""
     from .operators.html import html_to_text
     from .sources.warc import (
+        warc_blobs,
         warc_records_from_binary,
         warc_response_record_col,
     )
@@ -1452,26 +1453,7 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     rec = warc_response_record_col(
         did, F.concat(F.lit("http://warc.example.com/doc/"), did), body
     )
-    blobs = (
-        docs.select(
-            (F.col("doc_id") % 25).alias("blob_id"),
-            F.struct(F.col("doc_id"), rec.alias("rec")).alias("s"),
-        )
-        .groupBy("blob_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list("s")), lambda s: s["rec"]
-                ),
-                "",
-            ).alias("blob_str")
-        )
-        .select(
-            F.concat(F.lit("blob://"), F.col("blob_id").cast("string"))
-            .alias("path"),
-            F.col("blob_str").cast("binary").alias("content"),
-        )
-    )
+    blobs = warc_blobs(docs, "doc_id", rec, 25)
     recs = warc_records_from_binary(blobs)
     return recs.select(
         F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)

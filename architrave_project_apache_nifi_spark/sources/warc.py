@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import zlib
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -134,6 +135,46 @@ def warc_response_record_col(record_key, target_uri, body):
     )
 
 
+def warc_blobs(
+    df: DataFrame,
+    id_col: str,
+    record_col,
+    n_blobs: int,
+    *,
+    path_prefix: str = "blob://",
+) -> DataFrame:
+    """Concatenate per-row WARC record strings (from
+    :func:`warc_response_record_col`) into ``n_blobs`` deterministic
+    multi-record blobs — the (path, content-binary) shape
+    :func:`warc_records_from_binary` consumes, standing in for landed
+    .warc files when synthesizing framing from a table. Records within
+    a blob order by ``id_col`` (one hash agg; each blob bounded by
+    rows/n_blobs records). Shared by the oracle entry and the
+    clean_corpus example so the framing↔parser contract lives in one
+    place."""
+    return (
+        df.select(
+            (F.col(id_col) % n_blobs).alias("__blob_id"),
+            F.struct(F.col(id_col), record_col.alias("rec")).alias("__s"),
+        )
+        .groupBy("__blob_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("__s")), lambda s: s["rec"]
+                ),
+                "",
+            ).alias("__blob_str")
+        )
+        .select(
+            F.concat(
+                F.lit(path_prefix), F.col("__blob_id").cast("string")
+            ).alias("path"),
+            F.col("__blob_str").cast("binary").alias("content"),
+        )
+    )
+
+
 def frame_http_response(
     body: bytes,
     *,
@@ -180,8 +221,14 @@ def parse_warc_stream(data: bytes, source: str) -> Iterator[dict]:
     block, honor ``Content-Length`` exactly (payloads may legally
     contain blank lines and even the literal string ``WARC/1.0`` — a
     delimiter-split reader is WRONG; only the declared length is),
-    then require the record-final CRLF CRLF. Malformed regions emit
-    one ``parse_error`` row and resync at the next ``WARC/`` magic."""
+    then skip inter-record padding to the next boundary, flagging
+    intervening non-whitespace. Malformed regions emit one
+    ``parse_error`` row; a record whose length can't be trusted (bad
+    ``Content-Length``) resyncs at the next ``CRLF CRLF + WARC/``
+    sequence — the record-final framing — not at a bare ``WARC/``
+    magic, which legally occurs INSIDE payloads and would fabricate
+    records from payload bytes (best-effort by necessity: without a
+    valid length the true boundary is unknowable)."""
     pos, n = 0, len(data)
 
     def _err(offset: int, msg: str) -> dict:
@@ -221,7 +268,12 @@ def parse_warc_stream(data: bytes, source: str) -> Iterator[dict]:
         clen_raw = fields.get(b"content-length", b"")
         if not clen_raw.isdigit():
             yield _err(start, f"bad Content-Length {clen_raw[:20]!r}")
-            pos = body_at
+            # resync at the record-FINAL framing (CRLF CRLF + magic),
+            # not a bare magic — payloads legally contain "WARC/1.0"
+            nxt = data.find(_HDR_END + _MAGIC, body_at)
+            if nxt < 0:
+                return
+            pos = nxt + len(_HDR_END)
             continue
         clen = int(clen_raw)
         if body_at + clen > n:
@@ -289,9 +341,24 @@ def warc_records_from_binary(
         for pdf in batches:
             rows: list[dict] = []
             for path, blob in zip(pdf[path_col], pdf[content_col]):
-                for rec in parse_warc_stream(
-                    _maybe_gunzip(bytes(blob)), str(path)
-                ):
+                # a truncated/corrupt gzip member must route to the
+                # parse_error channel like any malformed region — an
+                # unguarded EOFError here would fail the WHOLE job on
+                # one partially-downloaded file in an 800-file drop
+                try:
+                    data = _maybe_gunzip(bytes(blob))
+                except (OSError, EOFError, zlib.error) as exc:
+                    rows.append({
+                        "source_file": str(path), "record_offset": 0,
+                        "record_id": None, "warc_type": None,
+                        "warc_date": None, "target_uri": None,
+                        "content_type": None, "content_length": None,
+                        "http_status": None, "http_content_type": None,
+                        "payload": None, "text": None,
+                        "parse_error": f"gzip decode failed: {exc}",
+                    })
+                    continue
+                for rec in parse_warc_stream(data, str(path)):
                     if not with_payload:
                         rec.pop("payload", None)
                     rows.append(rec)

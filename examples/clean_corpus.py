@@ -66,26 +66,7 @@ def main() -> None:
     rec = wc.warc_response_record_col(
         did, F.concat(F.lit("http://crawl.example/doc/"), did), shell
     )
-    blobs = (
-        docs.select(
-            (F.col("doc_id") % 50).alias("blob_id"),
-            F.struct(F.col("doc_id"), rec.alias("rec")).alias("s"),
-        )
-        .groupBy("blob_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list("s")), lambda s: s["rec"]
-                ),
-                "",
-            ).alias("blob_str")
-        )
-        .select(
-            F.concat(F.lit("mem://part-"), F.col("blob_id").cast("string"))
-            .alias("path"),
-            F.col("blob_str").cast("binary").alias("content"),
-        )
-    )
+    blobs = wc.warc_blobs(docs, "doc_id", rec, 50, path_prefix="mem://part-")
     pages = (
         wc.warc_records_from_binary(blobs)
         .filter("parse_error IS NULL AND http_status = 200")

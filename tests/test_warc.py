@@ -89,6 +89,47 @@ def test_corrupt_regions_route_and_resync():
     assert any("Content-Length" in r["parse_error"] for r in errs)
 
 
+def test_bad_length_resync_never_fabricates_from_payload():
+    """A bad Content-Length must resync at the record-FINAL framing
+    (CRLF CRLF + magic), not a bare 'WARC/' — the NEXT record's payload
+    legally contains the magic and a delimiter-based resync would
+    manufacture parse_error IS NULL rows from payload bytes."""
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+        b"Content-Length: NaN\r\n\r\n"
+        # undelimited payload embedding a full fake record head
+        b"prose WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 4"
+        b"\r\n\r\nfake"
+    )
+    good = frame_warc_record(
+        warc_type="conversion", target_uri="http://e.com/ok", payload=b"fine."
+    )
+    recs = list(parse_warc_stream(bad + b"\r\n\r\n" + good, "s"))
+    oks = [r for r in recs if r["parse_error"] is None]
+    errs = [r for r in recs if r["parse_error"] is not None]
+    assert len(oks) == 1 and oks[0]["target_uri"] == "http://e.com/ok"
+    assert len(errs) == 1 and "Content-Length" in errs[0]["parse_error"]
+
+
+def test_corrupt_gzip_member_routes_not_fails(spark, tmp_path):
+    """One truncated .warc.gz in a drop must yield a parse_error row,
+    never fail the job (the one-pass (good, bad) contract)."""
+    d = tmp_path / "gz"
+    d.mkdir()
+    rec = frame_warc_record(
+        warc_type="conversion", target_uri="u", payload=b"fine."
+    )
+    (d / "good.warc.gz").write_bytes(gzip.compress(rec))
+    blob = gzip.compress(rec)
+    (d / "trunc.warc.gz").write_bytes(blob[: len(blob) // 2])
+    out = read_warc_records(spark, str(d) + "/*.warc.gz").collect()
+    oks = [r for r in out if r["parse_error"] is None]
+    errs = [r for r in out if r["parse_error"] is not None]
+    assert len(oks) == 1 and oks[0]["text"] == "fine."
+    assert len(errs) == 1 and "gzip" in errs[0]["parse_error"]
+    assert errs[0]["source_file"].endswith("trunc.warc.gz")
+
+
 def test_truncated_payload_routes():
     rec = frame_warc_record(
         warc_type="conversion", target_uri="u", payload=b"0123456789"
