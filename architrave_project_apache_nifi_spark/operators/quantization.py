@@ -672,6 +672,29 @@ def ivfpq_topk(
     )
 
 
+def ivfpq_save(encoded: DataFrame, cb: PqCodebooks, path: str) -> None:
+    """Persist the IVF×PQ serving artifact: the codes table as parquet
+    PARTITIONED BY ``list_id`` (the layout every ``ivfpq_encode``
+    docstring promises — a probe's cell filter becomes directory
+    pruning, so a disk-resident 100 TB codes table scans only
+    nprobe/nlist of its files) + the residual codebooks as the
+    ``pq_save`` sidecar. Pair with ``ivf_save`` for the coarse
+    centroids; ``tests/test_pq.py`` asserts the probe plan actually
+    prunes partitions (PartitionFilters on list_id), not just rows."""
+    encoded.write.partitionBy("list_id").mode("overwrite").parquet(
+        f"{path}/codes"
+    )
+    pq_save(encoded.sparkSession, cb, f"{path}/codebooks")
+
+
+def ivfpq_load(spark, path: str) -> tuple[DataFrame, PqCodebooks]:
+    """Load the serving artifact: (codes DataFrame — list_id is a
+    partition column, filters on it prune directories —, codebooks)."""
+    return spark.read.parquet(f"{path}/codes"), pq_load(
+        spark, f"{path}/codebooks"
+    )
+
+
 def pq_save(spark, cb: PqCodebooks, path: str) -> None:
     """Persist codebooks as a one-row parquet sidecar (the same
     artifact convention as ``similarity.ivf_save``'s meta): PQ is
