@@ -1,0 +1,163 @@
+"""Importance-weighted data selection — DSIR (Xie et al., "Data
+Selection for Language Models via Importance Resampling", NeurIPS
+2023): pick raw-corpus documents that LOOK LIKE a small target set
+(Wikipedia, textbooks, a domain slice) by scoring each document with
+the log-likelihood ratio of its words under target-vs-raw unigram
+models, then resampling with Gumbel top-k. This is the selection step
+that sits BETWEEN the quality gates this engine already has (Gopher /
+C4 / bigram-LM floors — absolute quality) and mixture sampling
+(temperature_rates — composition): those answer "is it good text" and
+"how much of each source"; DSIR answers "is it the KIND of text the
+target distribution wants".
+
+Decomposition for 100 TB (the paper's own: hashed n-gram features make
+the model a bounded table regardless of corpus size):
+
+1. One explode + hash-agg per side builds the word (or hashed-bucket)
+   count table — map-side partial combine absorbs the explosion; the
+   table is vocabulary- (or num_buckets-) sized, megabytes where the
+   corpus is terabytes.
+2. The two log-prob tables broadcast; per-doc scoring is an explode +
+   two broadcast joins + one sum keyed by the doc id — the corpus
+   shuffles once, on its own id.
+3. Selection is Gumbel top-k: score = logweight + Gumbel noise from
+   the engine's deterministic LCG (``sampling.sample_hash`` — same
+   replayability contract as every sampler here), selected = score ≥
+   the k-th largest (a sort+limit+min broadcast, never a global
+   single-partition window).
+
+The raw-word form is DuckDB-replayable end-to-end (the ``dsir_select``
+gate entry); the hashed form (``num_buckets``) is the production path
+when the vocabulary itself is too large to broadcast — same
+arithmetic, bucket collisions are the paper's trade — and is
+property-tested against the raw form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokens
+from .sampling import _LCG_RANGE, sample_hash
+
+# Smoothing: add-one on counts, vocabulary size from the RAW side —
+# fixed denominators both engines compute identically.
+
+
+def _words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__w")
+    ).filter(F.col("__w") != "")
+
+
+def word_logprob_table(
+    words: DataFrame, n_total: int, vocab_size: int
+) -> DataFrame:
+    """(word, logp) under add-one smoothing with the given fixed
+    denominator: ``logp = ln(c + 1) − ln(n_total + vocab_size)``.
+    Words absent from the table take ``−ln(n_total + vocab_size)``
+    (c = 0) via a coalesce at join time."""
+    return words.groupBy("__w").agg(
+        (
+            F.log(F.count(F.lit(1)).cast("double") + F.lit(1.0))
+            - F.log(F.lit(float(n_total + vocab_size)))
+        ).alias("__logp")
+    )
+
+
+def dsir_logweights(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Per-document DSIR log importance weight: ``Σ_w [ logp_target(w)
+    − logp_raw(w) ]`` over the document's words (with multiplicity),
+    add-one smoothed, raw-side vocabulary as the shared smoothing
+    denominator. Positive = more target-like than raw-like.
+
+    ``num_buckets`` switches words to hashed buckets (xxhash64 mod B)
+    — the paper's hashed n-gram features, bounding both model tables
+    at B rows regardless of vocabulary (the 100 TB form; not
+    oracle-portable, property-tested instead).
+
+    Returns (id_col, n_tokens, logweight). Two bounded broadcast
+    tables; the corpus is exploded once and aggregated on its own id —
+    one shuffle. The two ln() calls per distinct word happen in the
+    bounded tables, not per corpus token."""
+    cw = _words(corpus, id_col, text_col)
+    tw = _words(target, id_col, text_col)
+    if num_buckets is not None:
+        bucket = lambda c: F.pmod(F.xxhash64(c), F.lit(num_buckets))  # noqa: E731
+        cw = cw.withColumn("__w", bucket(F.col("__w")))
+        tw = tw.withColumn("__w", bucket(F.col("__w")))
+    # fixed denominators: one tiny agg per side (V from the raw side)
+    n_raw, v_raw = cw.agg(
+        F.count(F.lit(1)), F.countDistinct("__w")
+    ).collect()[0]
+    n_tgt = tw.count()
+    lp_t = word_logprob_table(tw, n_tgt, v_raw).withColumnRenamed(
+        "__logp", "__lp_t"
+    )
+    lp_r = word_logprob_table(cw, n_raw, v_raw).withColumnRenamed(
+        "__logp", "__lp_r"
+    )
+    zero_t = -F.log(F.lit(float(n_tgt + v_raw)))
+    zero_r = -F.log(F.lit(float(n_raw + v_raw)))
+    return (
+        cw.join(F.broadcast(lp_t), "__w", "left")
+        .join(F.broadcast(lp_r), "__w", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.coalesce(F.col("__lp_t"), zero_t)
+                - F.coalesce(F.col("__lp_r"), zero_r)
+            ).alias("logweight"),
+        )
+    )
+
+
+def gumbel_noise(id_col) -> Column:
+    """Deterministic standard-Gumbel draw from the engine's LCG hash:
+    ``u = (h + 1) / (2^31 + 1)`` ∈ (0, 1) strictly (no ±inf), then
+    ``−ln(−ln(u))`` — the same pure-integer-then-IEEE arithmetic in
+    any ANSI engine, so the oracle replays the exact noise."""
+    u = (sample_hash(id_col).cast("double") + F.lit(1.0)) / F.lit(
+        float(_LCG_RANGE + 1)
+    )
+    return -F.log(-F.log(u))
+
+
+def dsir_resample(
+    weights: DataFrame, id_col: str, k: int, logweight_col: str = "logweight"
+) -> DataFrame:
+    """Gumbel top-k resampling (the paper's sampler: adding standard
+    Gumbel noise to log-weights and taking the top k draws k documents
+    WITHOUT replacement with probability ∝ exp(logweight)): annotate
+    every row with its noisy score and ``selected`` = score ≥ the k-th
+    largest. The threshold is a sort+limit+min — distributed
+    TakeOrderedAndProject, broadcast back — never a global
+    single-partition rank window. Deterministic: the noise is the LCG
+    hash of the id; continuous scores make threshold ties
+    measure-zero (and both engines compute the identical score, so
+    they agree even on a tie)."""
+    scored = weights.withColumn(
+        "__score", F.col(logweight_col) + gumbel_noise(id_col)
+    )
+    kth = (
+        scored.orderBy(F.col("__score").desc())
+        .limit(k)
+        .agg(F.min("__score").alias("__kth"))
+    )
+    return (
+        scored.join(F.broadcast(kth))
+        .select(
+            "*",
+            (F.col("__score") >= F.col("__kth")).cast("int").alias("selected"),
+        )
+        .drop("__kth")
+        .withColumnRenamed("__score", "gumbel_score")
+    )

@@ -2009,6 +2009,87 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+# DSIR: LCG constants spliced so the Gumbel noise replays exactly;
+# K documents resampled via noisy-top-k (Xie et al. 2023).
+_DSIR_K = 100
+_DSIR_ORACLE = f"""
+WITH c AS (
+  SELECT doc_id, lang,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+), cw AS (
+  SELECT doc_id, w FROM c WHERE w <> ''
+), tw AS (
+  SELECT doc_id, w FROM c WHERE w <> '' AND lang = 'en'
+), stats AS (
+  SELECT (SELECT count(*) FROM cw) AS n_raw,
+         (SELECT count(DISTINCT w) FROM cw) AS v,
+         (SELECT count(*) FROM tw) AS n_tgt
+), lpt AS (
+  SELECT w, ln(count(*) + 1.0) AS lnum FROM tw GROUP BY w
+), lpr AS (
+  SELECT w, ln(count(*) + 1.0) AS lnum FROM cw GROUP BY w
+), scored AS (
+  SELECT cw.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         sum( (coalesce(t.lnum, 0.0) - ln(s.n_tgt + s.v))
+            - (coalesce(r.lnum, 0.0) - ln(s.n_raw + s.v)) ) AS logweight
+  FROM cw
+  CROSS JOIN stats s
+  LEFT JOIN lpt t ON cw.w = t.w
+  LEFT JOIN lpr r ON cw.w = r.w
+  GROUP BY cw.doc_id
+), noisy AS (
+  SELECT doc_id, n_tokens, logweight,
+         logweight + ( -ln(-ln(
+           (CAST(((doc_id % 2147483647) * 1103515245 + 12345) % 2147483648
+                 AS DOUBLE) + 1.0) / 2147483649.0
+         )) ) AS score
+  FROM scored
+), kth AS (
+  SELECT min(score) AS kth FROM (
+    SELECT score FROM noisy ORDER BY score DESC LIMIT {_DSIR_K}
+  )
+)
+SELECT doc_id, n_tokens,
+       round(logweight, 4) + 0.0 AS logweight,
+       round(score, 4) + 0.0 AS gumbel_score,
+       CAST(CASE WHEN score >= (SELECT kth FROM kth) THEN 1 ELSE 0 END
+            AS INT) AS selected
+FROM noisy
+"""
+# the `+ 0.0` normalizes IEEE -0.0 (a tiny negative weight rounding to
+# zero) to +0.0 on both engines — the sorted-value compare stringifies
+
+
+@register("dsir_select", _DSIR_ORACLE)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/selection.py — Xie et al.
+    NeurIPS 2023): score every document by the target-vs-raw unigram
+    log-likelihood ratio (target = the 'en' slice standing in for a
+    curated target distribution; raw = the whole corpus), add
+    deterministic LCG-Gumbel noise, select the top K=100 — the
+    "is it the KIND of text the target wants" step between the
+    absolute quality gates and mixture sampling. Two bounded broadcast
+    log-prob tables + one explode-and-sum on the doc id (one corpus
+    shuffle); selection threshold via sort+limit+min broadcast, never
+    a global rank window. The oracle replays the identical smoothing,
+    noise, and threshold arithmetic."""
+    from .operators.selection import dsir_logweights, dsir_resample
+
+    docs = spread(load(spark, "documents", sf_dir), "doc_id")
+    target = docs.filter(F.col("lang") == "en")
+    w = dsir_logweights(docs, target, "doc_id", "text")
+    out = dsir_resample(w, "doc_id", k=_DSIR_K)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        (F.round("logweight", 4) + F.lit(0.0)).alias("logweight"),
+        (F.round("gumbel_score", 4) + F.lit(0.0)).alias("gumbel_score"),
+        "selected",
+    )
+
+
 _TEMP_ALPHA = 0.5
 
 
@@ -6888,6 +6969,11 @@ _OVERFLOW = [
     # mechanics; the Content-Length record split through the production
     # mapInPandas parser is the new surface
     "warc_extract",
+    # r11 addition: DSIR importance resampling — explode + broadcast
+    # log-prob tables ≈ in-window text_bigram_logprob mechanics; the
+    # target-vs-raw likelihood ratio + Gumbel top-k selection is the
+    # new surface
+    "dsir_select",
 ]
 
 # Rows-only entries promoted INTO the driver's 50-entry gate window.
