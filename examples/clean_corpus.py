@@ -7,7 +7,8 @@ in — record framing parse) → HTML boilerplate extraction (tag strip +
 C4 line gate) → Gopher-rule gate (well-formedness + the §A1.1
 repetition suite) → normalization → bigram-LM quality floor → exact
 dedup → MinHash-LSH near-dup clustering (bands picked by lsh_plan,
-keep-best canonicalization) → benchmark decontamination → temperature
+keep-best canonicalization) → benchmark decontamination → DSIR
+importance selection (target-distribution resampling) → temperature
 mixture sampling — the pipeline a 100 TB pretraining corpus runs, here
 on the sf0.001 documents table.
 """
@@ -26,6 +27,7 @@ from architrave_project_apache_nifi_spark.operators import (
 from architrave_project_apache_nifi_spark.operators import dedup as dd
 from architrave_project_apache_nifi_spark.operators import html as html_ops
 from architrave_project_apache_nifi_spark.operators import sampling as sp
+from architrave_project_apache_nifi_spark.operators import selection as sel
 from architrave_project_apache_nifi_spark.operators import textanalysis as ta
 from architrave_project_apache_nifi_spark.operators.cluster import (
     canonical_docs_best,
@@ -193,17 +195,36 @@ def main() -> None:
     )
     n4 = clean.count()
 
-    # 5. temperature mixture (α=0.5) across languages
+    # 5. DSIR importance selection (Xie et al. 2023): keep the docs
+    # that LOOK LIKE the target distribution (here: the 'en' slice
+    # stands in for a curated target) — the "is it the KIND of text
+    # we want" step between the absolute quality gates above and the
+    # composition control below. Two bounded broadcast log-prob
+    # tables; Gumbel top-k keeps 80% of survivors.
+    target = clean.filter(F.col("lang") == "en").select("doc_id", "text")
+    weights = sel.dsir_logweights(clean, target, "doc_id", "text")
+    picked = sel.dsir_resample(
+        weights, "doc_id", k=max(1, int(n4 * 0.8))
+    )
+    clean = clean.join(
+        picked.filter(F.col("selected") == 1).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    n5 = clean.count()
+
+    # 6. temperature mixture (α=0.5) across languages
     rates = sp.temperature_rates(clean, ["lang"], alpha=0.5)
     final = sp.stratified_sample(clean, rates.select("lang", "rate"), ["lang"], "doc_id")
-    n5 = final.count()
+    n6 = final.count()
 
     print(f"input        {n0}")
     print(f"gated        {n1}")
     print(f"exact-dedup  {n2}")
     print(f"near-dedup   {n3}")
     print(f"decontam     {n4}")
-    print(f"sampled      {n5}")
+    print(f"dsir-select  {n5}")
+    print(f"sampled      {n6}")
     final.groupBy("lang").count().orderBy("lang").show()
 
 
