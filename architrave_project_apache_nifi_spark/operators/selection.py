@@ -45,10 +45,14 @@ from .sampling import _LCG_RANGE, sample_hash
 # fixed denominators both engines compute identically.
 
 
-def _words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    return df.select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__w")
-    ).filter(F.col("__w") != "")
+def _words(df: DataFrame, id_col: str | None, text_col: str) -> DataFrame:
+    """Exploded non-empty words; ``id_col=None`` drops the id — the
+    TARGET side only ever aggregates by word, and a curated external
+    target corpus has no reason to carry the raw corpus's id column."""
+    cols = ([F.col(id_col)] if id_col else []) + [
+        F.explode(tokens(F.col(text_col))).alias("__w")
+    ]
+    return df.select(*cols).filter(F.col("__w") != "")
 
 
 def word_logprob_table(
@@ -88,7 +92,7 @@ def dsir_logweights(
     one shuffle. The two ln() calls per distinct word happen in the
     bounded tables, not per corpus token."""
     cw = _words(corpus, id_col, text_col)
-    tw = _words(target, id_col, text_col)
+    tw = _words(target, None, text_col)
     if num_buckets is not None:
         bucket = lambda c: F.pmod(F.xxhash64(c), F.lit(num_buckets))  # noqa: E731
         cw = cw.withColumn("__w", bucket(F.col("__w")))
@@ -139,25 +143,28 @@ def dsir_resample(
     WITHOUT replacement with probability ∝ exp(logweight)): annotate
     every row with its noisy score and ``selected`` = score ≥ the k-th
     largest. The threshold is a sort+limit+min — distributed
-    TakeOrderedAndProject, broadcast back — never a global
+    TakeOrderedAndProject — COLLECTED to one scalar and compared as a
+    literal: a join against a threshold subtree would embed the whole
+    upstream lineage (corpus explode + joins + agg) TWICE in the plan
+    and replay it per action; the one bounded job here runs it once
+    (same pattern as the engine's drift/quality gates). Never a global
     single-partition rank window. Deterministic: the noise is the LCG
-    hash of the id; continuous scores make threshold ties
-    measure-zero (and both engines compute the identical score, so
-    they agree even on a tie)."""
+    hash of the id; continuous scores make threshold ties measure-zero
+    (and both engines compute the identical score, so they agree even
+    on a tie)."""
     scored = weights.withColumn(
         "__score", F.col(logweight_col) + gumbel_noise(id_col)
     )
-    kth = (
+    kth_row = (
         scored.orderBy(F.col("__score").desc())
         .limit(k)
-        .agg(F.min("__score").alias("__kth"))
+        .agg(F.min("__score"))
+        .collect()
     )
-    return (
-        scored.join(F.broadcast(kth))
-        .select(
-            "*",
-            (F.col("__score") >= F.col("__kth")).cast("int").alias("selected"),
-        )
-        .drop("__kth")
-        .withColumnRenamed("__score", "gumbel_score")
-    )
+    if not kth_row or kth_row[0][0] is None:
+        raise ValueError("dsir_resample: empty weights input")
+    kth = float(kth_row[0][0])
+    return scored.select(
+        "*",
+        (F.col("__score") >= F.lit(kth)).cast("int").alias("selected"),
+    ).withColumnRenamed("__score", "gumbel_score")

@@ -705,8 +705,13 @@ def rerank_exact(
     cand = candidates.select(
         F.col(query_id_col), F.col("neighbor_id")
     )
+    # join the RAW vectors against the broadcast candidate list FIRST,
+    # then unit-normalize only the ≤ nq×R survivors — Catalyst never
+    # hoists a projection above a join, so normalizing before the join
+    # would pay the O(d) float pass on every corpus row, the full-scan
+    # work the two-stage split exists to avoid
     vecs = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _unit(F.col(vec_col)).alias("__nu")
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")
     )
     qvecs = queries.select(
         F.col(query_id_col), _unit(F.col(query_vec_col)).alias("__qu")
@@ -717,7 +722,7 @@ def rerank_exact(
         .select(
             query_id_col,
             "neighbor_id",
-            dot(F.col("__qu"), F.col("__nu")).alias("cosine"),
+            dot(F.col("__qu"), _unit(F.col("__nv"))).alias("cosine"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(

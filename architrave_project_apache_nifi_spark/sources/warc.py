@@ -272,6 +272,15 @@ def parse_warc_stream(data: bytes, source: str) -> Iterator[dict]:
             # not a bare magic — payloads legally contain "WARC/1.0"
             nxt = data.find(_HDR_END + _MAGIC, body_at)
             if nxt < 0:
+                # the remainder has no recoverable boundary: account
+                # for it (one-pass (good, bad) contract — bytes never
+                # vanish silently), then stop
+                if data[body_at:].strip():
+                    yield _err(
+                        body_at,
+                        "unrecoverable region after bad Content-Length "
+                        "(no record-final CRLF CRLF + WARC/ framing)",
+                    )
                 return
             pos = nxt + len(_HDR_END)
             continue

@@ -201,6 +201,11 @@ def main() -> None:
     # we want" step between the absolute quality gates above and the
     # composition control below. Two bounded broadcast log-prob
     # tables; Gumbel top-k keeps 80% of survivors.
+    # Barrier first: dsir_logweights runs bounded stat jobs of its
+    # own, and without a plan truncation each would replay the whole
+    # LSH/verify/decontaminate lineage above (the same trap the two
+    # earlier checkpoints document).
+    clean = clean.localCheckpoint(eager=True)
     target = clean.filter(F.col("lang") == "en").select("doc_id", "text")
     weights = sel.dsir_logweights(clean, target, "doc_id", "text")
     picked = sel.dsir_resample(
