@@ -111,6 +111,21 @@ def test_bad_length_resync_never_fabricates_from_payload():
     assert len(errs) == 1 and "Content-Length" in errs[0]["parse_error"]
 
 
+def test_bad_length_without_recoverable_boundary_accounts_for_remainder():
+    """If no record-final framing follows a bad Content-Length, the
+    dropped remainder must still surface as an error row — bytes never
+    vanish silently from the (good, bad) accounting."""
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+        b"Content-Length: NaN\r\n\r\n"
+        b"remaining prose with no framing at all"
+    )
+    recs = list(parse_warc_stream(bad, "s"))
+    assert len(recs) == 2
+    assert "Content-Length" in recs[0]["parse_error"]
+    assert "unrecoverable" in recs[1]["parse_error"]
+
+
 def test_corrupt_gzip_member_routes_not_fails(spark, tmp_path):
     """One truncated .warc.gz in a drop must yield a parse_error row,
     never fail the job (the one-pass (good, bad) contract)."""
