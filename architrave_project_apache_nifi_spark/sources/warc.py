@@ -389,3 +389,42 @@ def read_warc_records(
     ``conversion`` records arrive with ``text`` already extracted."""
     scan = spark.read.format("binaryFile").load(path)
     return warc_records_from_binary(scan, with_payload=with_payload)
+
+
+# binaryFile's fixed schema, needed explicitly because file STREAM
+# sources require a user schema (no inference pass on a stream).
+_BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def read_warc_stream(
+    spark: SparkSession,
+    path: str,
+    *,
+    with_payload: bool = False,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """STREAMING WARC ingest — crawl drops land continuously (a
+    CC-MAIN segment appears as ~800 files over hours), so the landed
+    source has a streaming form: ``readStream.format("binaryFile")``
+    discovers newly-arrived .warc/.warc.gz files, each file is parsed
+    once by the SAME ``warc_records_from_binary`` pass the batch
+    reader uses (mapInPandas composes onto streaming DataFrames
+    unchanged), and the checkpoint makes file pickup exactly-once
+    across restarts — new files only, no re-parse of the processed
+    backlog. Compose downstream exactly like the batch form
+    (extract_html_text → gates → dedup/ANN ingest stores), sink via
+    ``foreachBatch`` or any streaming writer with a checkpoint.
+
+    ``max_files_per_trigger`` bounds each micro-batch (one task per
+    file — the same file-granularity parallel unit as the batch scan,
+    applied per trigger)."""
+    reader = spark.readStream.format("binaryFile").schema(
+        _BINARY_FILE_SCHEMA
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return warc_records_from_binary(
+        reader.load(path), with_payload=with_payload
+    )

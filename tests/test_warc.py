@@ -251,3 +251,64 @@ def test_payload_is_opt_in(spark, tmp_path):
     assert "payload" in fat.columns
     row = fat.filter("target_uri = 'http://e.com/0/0'").collect()[0]
     assert bytes(row["payload"]).startswith(b"HTTP/1.1 200")
+
+
+def test_streaming_warc_ingest_exactly_once_per_file(spark, tmp_path):
+    """read_warc_stream: files arriving across micro-batches parse
+    once each through the production pass; a restart on the same
+    checkpoint picks up ONLY new files (no backlog re-parse)."""
+    import time
+
+    from architrave_project_apache_nifi_spark.sources.warc import (
+        read_warc_stream,
+    )
+
+    d = tmp_path / "drop"
+    d.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def _drop(name, n_recs, tag):
+        blob = b"".join(
+            frame_warc_record(
+                warc_type="response",
+                target_uri=f"http://e.com/{tag}/{i}",
+                payload=frame_http_response(f"<p>{tag} {i}.</p>".encode()),
+            )
+            for i in range(n_recs)
+        )
+        (d / name).write_bytes(blob)
+
+    seen: list = []
+
+    def run_until(done, timeout_s=90):
+        q = (
+            read_warc_stream(spark, str(d) + "/*.warc", max_files_per_trigger=1)
+            .filter("parse_error IS NULL")
+            .writeStream.foreachBatch(
+                lambda b, _: seen.extend(
+                    r["target_uri"] for r in b.select("target_uri").collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+        q.stop()
+
+    _drop("f0.warc", 2, "a")
+    _drop("f1.warc", 3, "b")
+    run_until(lambda: len(seen) >= 5)
+    assert sorted(seen) == sorted(
+        [f"http://e.com/a/{i}" for i in range(2)]
+        + [f"http://e.com/b/{i}" for i in range(3)]
+    )
+
+    # restart on the same checkpoint with one NEW file: only its
+    # records arrive — the processed backlog is never re-parsed
+    before = list(seen)
+    _drop("f2.warc", 2, "c")
+    time.sleep(1.1)  # distinct mtime for the new file
+    run_until(lambda: len(seen) >= 7)
+    new = seen[len(before):]
+    assert sorted(new) == [f"http://e.com/c/{i}" for i in range(2)]
