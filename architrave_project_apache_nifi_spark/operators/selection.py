@@ -128,10 +128,18 @@ def gumbel_noise(id_col) -> Column:
     """Deterministic standard-Gumbel draw from the engine's LCG hash:
     ``u = (h + 1) / (2^31 + 1)`` ∈ (0, 1) strictly (no ±inf), then
     ``−ln(−ln(u))`` — the same pure-integer-then-IEEE arithmetic in
-    any ANSI engine, so the oracle replays the exact noise."""
-    u = (sample_hash(id_col).cast("double") + F.lit(1.0)) / F.lit(
-        float(_LCG_RANGE + 1)
-    )
+    any ANSI engine, so the oracle replays the exact noise.
+
+    The hash is normalized with ``pmod`` (ADVICE r11): Spark's ``%``
+    is sign-preserving, so a NEGATIVE id would otherwise give h < 0,
+    u ≤ 0 and ln(NULL) — a silently NULL ``selected`` flag. pmod maps
+    every id into [0, 2^31) (a no-op for the non-negative ids the
+    other samplers assume; the oracle mirrors it with the ANSI
+    ``((x % m) + m) % m`` form)."""
+    u = (
+        F.pmod(sample_hash(id_col), F.lit(_LCG_RANGE)).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(_LCG_RANGE + 1))
     return -F.log(-F.log(u))
 
 
@@ -146,15 +154,23 @@ def dsir_resample(
     TakeOrderedAndProject — COLLECTED to one scalar and compared as a
     literal: a join against a threshold subtree would embed the whole
     upstream lineage (corpus explode + joins + agg) TWICE in the plan
-    and replay it per action; the one bounded job here runs it once
-    (same pattern as the engine's drift/quality gates). Never a global
-    single-partition rank window. Deterministic: the noise is the LCG
-    hash of the id; continuous scores make threshold ties measure-zero
-    (and both engines compute the identical score, so they agree even
-    on a tie)."""
+    and replay it per action. Never a global single-partition rank
+    window. Deterministic: the noise is the LCG hash of the id;
+    continuous scores make threshold ties measure-zero (and both
+    engines compute the identical score, so they agree even on a tie).
+
+    The scored weights are ``localCheckpoint``-ed (eager) BEFORE the
+    threshold job (VERDICT r11 #5): without the barrier the weights
+    lineage — whose upstream is the corpus explode + two joins + agg —
+    executes once for the threshold collect and AGAIN when the
+    returned DataFrame is consumed. At 100 TB the weights table is
+    corpus-sized (one row per document); the checkpoint makes the
+    explode+agg pay exactly once, and the returned plan's scan is the
+    materialized RDD (asserted in tests/test_selection.py), so every
+    downstream action reads partitions, not lineage."""
     scored = weights.withColumn(
         "__score", F.col(logweight_col) + gumbel_noise(id_col)
-    )
+    ).localCheckpoint(eager=True)
     kth_row = (
         scored.orderBy(F.col("__score").desc())
         .limit(k)

@@ -2042,7 +2042,8 @@ WITH c AS (
 ), noisy AS (
   SELECT doc_id, n_tokens, logweight,
          logweight + ( -ln(-ln(
-           (CAST(((doc_id % 2147483647) * 1103515245 + 12345) % 2147483648
+           (CAST(((((doc_id % 2147483647) * 1103515245 + 12345)
+                   % 2147483648) + 2147483648) % 2147483648
                  AS DOUBLE) + 1.0) / 2147483649.0
          )) ) AS score
   FROM scored
@@ -6970,16 +6971,14 @@ _OVERFLOW = [
     "neardup_cosine",  # broadcast cross-join cosine + threshold ≈ entering decontaminate_semantic (identical kernel, max-agg on top) + in-window semdedup_prune
     "decontaminate_ngrams",  # explode hashed grams + broadcast join-back ≈ entering dedup_lines_global (same explode+agg+join-back, keyed by content) + in-window doc_fingerprint
     "multimodal_decode_real",  # BMP/WAV Arrow decode ≡ in-window multimodal_decode_png (strictly stronger codec, same mapInPandas plumbing) + multimodal_feature_extract (runs the same decode path)
-    # r11 addition (VERDICT r10 #2): WARC landed-source round trip —
-    # the framing build is map-only concat ≈ in-window html/regex
-    # mechanics; the Content-Length record split through the production
-    # mapInPandas parser is the new surface
-    "warc_extract",
-    # r11 addition: DSIR importance resampling — explode + broadcast
-    # log-prob tables ≈ in-window text_bigram_logprob mechanics; the
-    # target-vs-raw likelihood ratio + Gumbel top-k selection is the
-    # new surface
-    "dsir_select",
+    # r12 rotation (VERDICT r11 #1): the two green r11 surfaces
+    # warc_extract (landed-source Content-Length framing through the
+    # production mapInPandas parser) and dsir_select (target-vs-raw
+    # likelihood-ratio scoring + LCG-Gumbel top-k) ENTER the graded
+    # window; the two below leave, each with an in-window (or
+    # strictly-stronger) mechanical twin:
+    "window_latest_event_per_user",  # per-key argmax rank window ≈ in-window topk_per_key_skew_salted (same rank-within-key selection, strictly stronger: two-phase salted) + window_running_spend (ordered-window mechanics)
+    "q6_revenue_change",  # single-table filter + conditional agg ≈ in-window q1_pricing_summary (same lineitem scan-filter-agg shape, strictly more aggregates) with the ratio variant q14_promo_revenue already overflow-CI-oracled
 ]
 
 # Rows-only entries promoted INTO the driver's 50-entry gate window.

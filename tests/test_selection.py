@@ -145,3 +145,31 @@ def test_gumbel_noise_is_finite_everywhere(spark):
     df = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
     rows = df.select(gumbel_noise("doc_id").alias("g")).collect()
     assert all(math.isfinite(r["g"]) for r in rows)
+
+
+def test_gumbel_noise_finite_for_negative_ids(spark):
+    # ADVICE r11: Spark's % is sign-preserving, so a negative doc_id
+    # used to yield h < 0, u <= 0 and ln(NULL) — a silently-NULL
+    # selected flag. pmod normalization makes every integer id finite.
+    df = spark.range(-2000, 2000).select(F.col("id").alias("doc_id"))
+    rows = df.select(gumbel_noise("doc_id").alias("g")).collect()
+    assert len(rows) == 4000
+    assert all(r["g"] is not None and math.isfinite(r["g"]) for r in rows)
+
+
+def test_resample_truncates_lineage_before_threshold(spark):
+    # VERDICT r11 #5: the returned DataFrame must scan the
+    # localCheckpoint-ed RDD, not replay the corpus explode + joins +
+    # agg lineage on every downstream action.
+    texts = [f"word{i} some shared filler" for i in range(40)]
+    cdf = _corpus(spark, texts)
+    tdf = cdf.filter(F.col("doc_id") < 4).select("doc_id", "text")
+    out = dsir_resample(dsir_logweights(cdf, tdf, "doc_id", "text"), "doc_id", k=5)
+    optimized = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Generate" not in optimized  # no explode in the consumed plan
+    assert "Join" not in optimized
+    assert ("LogicalRDD" in optimized) or ("ExistingRDD" in optimized)
+    # still selects exactly k and both consumptions agree
+    a = {r["doc_id"] for r in out.collect() if r["selected"]}
+    b = {r["doc_id"] for r in out.collect() if r["selected"]}
+    assert a == b and len(a) == 5
