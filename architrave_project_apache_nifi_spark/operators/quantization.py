@@ -382,6 +382,7 @@ def pq_topk(
     query_vec_col: str = "embedding",
     k: int = 10,
     max_query_rows: int = 100_000,
+    lut_block_rows: int = 1024,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: queries stay
     exact, the corpus is its codes. Per query, one (m × ksub) lookup
@@ -390,8 +391,20 @@ def pq_topk(
     reconstruction, no float corpus anywhere.
 
     Same distribution shape as ``quantized_topk``/``brute_force_topk``:
-    broadcast LUT block, partition-local numpy top-k, global top-k
-    merge; only ≤ k survivors per (query, partition) shuffle."""
+    broadcast query block, partition-local numpy top-k, global top-k
+    merge; only ≤ k survivors per (query, partition) shuffle.
+
+    LUT sizing (VERDICT r11 #4): what broadcasts is the RAW query
+    block — nq × d float64, ~5 MB at 10k×64 — never the (nq × m ×
+    ksub) LUT (~328 MB at 10k queries, m=16/ksub=256). Each task
+    rebuilds LUT slabs of ``lut_block_rows`` queries at a time from
+    the broadcast Q and the (tiny) codebooks: the einsum is exact
+    row-chunkable, so scores are bit-identical to the full-LUT form
+    (the 1e-9 numpy parity pin is unchanged), the per-task transient
+    is ≤ lut_block_rows·m·ksub·8 bytes (32 MB at production sizes) —
+    a documented bound independent of ``max_query_rows`` — and the
+    rebuild costs nq·ksub·d flops per task, microseconds next to the
+    scan."""
     import numpy as np
     import pandas as pd
 
@@ -406,10 +419,9 @@ def pq_topk(
     q_ids = np.array([r[query_id_col] for r in q_rows])
     Q = np.stack([np.asarray(r[query_vec_col], dtype=np.float64) for r in q_rows])
     Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
-    # LUTs: (nq, m, ksub) — query subvector · every centroid
-    lut = np.einsum("qmd,mkd->qmk", Q.reshape(len(Q), m, dsub), C)
     spark = codes.sparkSession
-    b = spark.sparkContext.broadcast((q_ids, lut))
+    b = spark.sparkContext.broadcast((q_ids, Q, C))
+    blk = max(1, int(lut_block_rows))
 
     schema = f"{query_id_col} long, neighbor_id long, score double"
 
@@ -419,19 +431,25 @@ def pq_topk(
                 continue
             ids = pdf["__id"].to_numpy()
             code = np.stack(pdf["__c"].to_numpy()).astype(np.int64)  # (n, m)
-            qids, L = b.value
+            qids, Qb, Cb = b.value
             n = len(ids)
-            S = np.empty((n, len(qids)))
+            nq = len(qids)
             rng = np.arange(m)
-            for j in range(len(qids)):
-                S[:, j] = L[j][rng, code].sum(axis=1)
             out = []
             kk = min(k + 1, n)
-            for j in range(len(qids)):
-                part = np.argpartition(-S[:, j], kk - 1)[:kk]
-                for i in part:
-                    if ids[i] != qids[j]:
-                        out.append((int(qids[j]), int(ids[i]), float(S[i, j])))
+            for c0 in range(0, nq, blk):
+                c1 = min(c0 + blk, nq)
+                # LUT slab for this query block only — the einsum is
+                # row-exact, so slab results == full-LUT results
+                L = np.einsum(
+                    "qmd,mkd->qmk", Qb[c0:c1].reshape(c1 - c0, m, dsub), Cb
+                )
+                for j in range(c0, c1):
+                    S = L[j - c0][rng, code].sum(axis=1)
+                    part = np.argpartition(-S, kk - 1)[:kk]
+                    for i in part:
+                        if ids[i] != qids[j]:
+                            out.append((int(qids[j]), int(ids[i]), float(S[i])))
             yield pd.DataFrame(out, columns=[query_id_col, "neighbor_id", "score"])
 
     base = codes.select(
@@ -552,15 +570,17 @@ def ivfpq_topk(
     k: int = 10,
     nprobe: int = 4,
     max_query_rows: int = 10_000,
+    lut_block_rows: int = 1024,
 ) -> DataFrame:
     """IVF×PQ search over RESIDUAL codes: a row's approximate cosine
     decomposes as ``q·(centroid[cell] + r̂) = q·centroid[cell] + q·r̂``
-    — a per-(query, cell) scalar bias (one driver-side matmul; with
-    the inner-product metric the LUT itself stays per-QUERY, not
-    per-(query, cell): ``q·r̂`` is m lookups in the same residual
-    codebook whichever cell the row lives in). Each query ADC-scores
-    only its ``nprobe`` nearest cells' codes. Cell selection is one
-    driver-side numpy matmul (centroids are already local — no job);
+    — a per-(query, cell) scalar bias (with the inner-product metric
+    the LUT itself stays per-QUERY, not per-(query, cell): ``q·r̂`` is
+    m lookups in the same residual codebook whichever cell the row
+    lives in). Each query ADC-scores only its ``nprobe`` nearest
+    cells' codes. Cell selection is driver-side numpy (centroids are
+    already local — no job), CHUNKED over query blocks so the
+    transient nq × nlist distance matrix never materializes whole;
     the probed cell union is pushed as an ``isin`` filter BEFORE any
     scoring, so a disk-resident codes table (partitioned by list_id)
     scans only the probed partitions. Within a batch the rows are
@@ -568,7 +588,17 @@ def ivfpq_topk(
     for the queries probing that cell — O(rows log rows + hits), not
     the O(nq × rows) per-query mask sweep (VERDICT r10 #3). Scan
     fraction ≈ nprobe/nlist of a table already ~32× smaller than the
-    float corpus — the compounding that makes 100 TB ANN serveable."""
+    float corpus — the compounding that makes 100 TB ANN serveable.
+
+    LUT sizing (VERDICT r11 #4): the broadcast carries the raw query
+    block (nq × d float64), the per-query probed cells + bias scalars
+    (nq × nprobe each) and the tiny codebooks — NEVER the (nq × m ×
+    ksub) LUT or the (nq × nlist) bias matrix (~328 MB + ~328 MB at
+    10k queries, m=16/ksub=256, nlist=4096). Tasks rebuild LUT rows
+    per cell group in ``lut_block_rows``-query slabs; the einsum is
+    exact row-chunkable, so scores are bit-identical (the 1e-9 parity
+    pin holds) and the per-task transient is ≤ lut_block_rows·m·ksub·8
+    bytes — a documented bound independent of ``max_query_rows``."""
     import numpy as np
     import pandas as pd
 
@@ -586,27 +616,40 @@ def ivfpq_topk(
     q_ids = np.array([r[query_id_col] for r in q_rows])
     Q = np.stack([np.asarray(r[query_vec_col], dtype=np.float64) for r in q_rows])
     Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
-    qc = Q @ Ccells.T  # (nq, nlist): the q·centroid bias terms
-    d2 = -2.0 * qc + (Ccells**2).sum(axis=1)[None, :]
+    nq = len(Q)
     nprobe = min(nprobe, Ccells.shape[0])
-    # kind='stable' mirrors ivf_probe: tied centroid distances must
-    # yield the same probe set on every run/numpy version
-    probed = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]  # (nq, nprobe)
-    lut = np.einsum("qmd,mkd->qmk", Q.reshape(len(Q), m, dsub), Cbooks)
+    blk = max(1, int(lut_block_rows))
+    c2 = (Ccells**2).sum(axis=1)[None, :]
+    # driver-side probe selection, chunked: qc/d2 slabs are
+    # (blk × nlist) transients; only the (nq × nprobe) probed cells
+    # and their bias scalars survive
+    probed = np.empty((nq, nprobe), dtype=np.int64)
+    biasp = np.empty((nq, nprobe), dtype=np.float64)
+    for c0 in range(0, nq, blk):
+        c1 = min(c0 + blk, nq)
+        qc = Q[c0:c1] @ Ccells.T
+        d2 = -2.0 * qc + c2
+        # kind='stable' mirrors ivf_probe: tied centroid distances must
+        # yield the same probe set on every run/numpy version
+        pr = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+        probed[c0:c1] = pr
+        biasp[c0:c1] = np.take_along_axis(qc, pr, axis=1)
     all_cells = sorted({int(c) for row in probed for c in row})
-    # inverted probe index: cell -> queries probing it (tiny:
+    # inverted probe index: cell -> [(query_j, q·centroid bias)] (tiny:
     # nq × nprobe entries) — what lets the batch pass group by cell
-    cell2q: dict[int, list[int]] = {}
-    for j, row in enumerate(probed):
-        for c in row:
-            cell2q.setdefault(int(c), []).append(j)
+    cell2q: dict[int, list[tuple[int, float]]] = {}
+    for j in range(nq):
+        for p in range(nprobe):
+            cell2q.setdefault(int(probed[j, p]), []).append(
+                (j, float(biasp[j, p]))
+            )
 
     spark = encoded.sparkSession
-    b = spark.sparkContext.broadcast((q_ids, cell2q, lut, qc))
+    b = spark.sparkContext.broadcast((q_ids, cell2q, Q, Cbooks))
     schema = f"{query_id_col} long, neighbor_id long, score double"
 
     def local_topk(batches):
-        qids, c2q, L, bias = b.value
+        qids, c2q, Qb, books = b.value
         rng = np.arange(m)
         nq = len(qids)
         for pdf in batches:
@@ -631,11 +674,21 @@ def ivfpq_topk(
                 idx = order[st:en]
                 sub_codes = code[idx]
                 sub_ids = ids[idx]
-                for j in qjs:
-                    cand_s[j].append(
-                        L[j][rng, sub_codes].sum(axis=1) + bias[j, cell]
+                # LUT rows for THIS cell's probing queries, in
+                # lut_block_rows slabs — bounded transient, exact
+                for g0 in range(0, len(qjs), blk):
+                    grp = qjs[g0 : g0 + blk]
+                    js = np.array([j for j, _bias in grp])
+                    L = np.einsum(
+                        "qmd,mkd->qmk",
+                        Qb[js].reshape(len(js), m, dsub),
+                        books,
                     )
-                    cand_i[j].append(sub_ids)
+                    for gi, (j, bias) in enumerate(grp):
+                        cand_s[j].append(
+                            L[gi][rng, sub_codes].sum(axis=1) + bias
+                        )
+                        cand_i[j].append(sub_ids)
             out = []
             for j in range(nq):
                 if not cand_s[j]:
@@ -813,6 +866,25 @@ def ivfpq_reconstruction_mse(
 _PQ_CODES_CACHE: dict = {}
 
 
+def _artifact_fingerprint(*arrays) -> str:
+    """Content hash of codebooks / centroids (ADVICE r11): the codes
+    caches used to key on (cache_key, cols, m, ksub) alone, so a
+    caller passing a RETRAINED codebook or rebuilt coarse index under
+    the same cache_key would silently get codes encoded under the OLD
+    artifacts — and ADC would mix fresh LUTs with stale codes. Folding
+    the artifact bytes into the key makes that impossible; in-repo
+    callers co-memoize cb/index under the same key, so for them this
+    hashes to the same entry as before."""
+    import hashlib
+
+    import numpy as np
+
+    h = hashlib.sha256()
+    for a in arrays:
+        h.update(np.ascontiguousarray(a, dtype=np.float64).tobytes())
+    return h.hexdigest()[:16]
+
+
 def pq_codes_for(
     df: DataFrame,
     cb: PqCodebooks,
@@ -829,7 +901,10 @@ def pq_codes_for(
     persist is MEMORY_AND_DISK by Spark's DataFrame default (the
     ivf storage-level contract — a silent rebuild is structurally
     impossible, worst case it reads from local disk)."""
-    key = (cache_key, "pq-codes", id_col, vec_col, cb.m, cb.ksub)
+    key = (
+        cache_key, "pq-codes", id_col, vec_col, cb.m, cb.ksub,
+        _artifact_fingerprint(cb.codebooks),
+    )
     if key not in _PQ_CODES_CACHE:
         codes = pq_encode(df, id_col, vec_col, cb).persist()
         codes.count()
@@ -847,7 +922,10 @@ def ivfpq_codes_for(
 ) -> DataFrame:
     """Memoized + persisted ``ivfpq_encode`` (residual codes) — the
     IVF×PQ serving layout, in memory what ``ivfpq_save`` is on disk."""
-    key = (cache_key, "ivfpq-codes", id_col, vec_col, cb.m, cb.ksub)
+    key = (
+        cache_key, "ivfpq-codes", id_col, vec_col, cb.m, cb.ksub,
+        _artifact_fingerprint(cb.codebooks, index.centroids),
+    )
     if key not in _PQ_CODES_CACHE:
         codes = ivfpq_encode(df, id_col, vec_col, index, cb).persist()
         codes.count()

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from .operators import decontaminate as dc
 from .operators import dedup as dd
+from .operators import imagehash as ih
 from .operators import multimodal as mm
 from .operators import sampling as sp
 from .operators import similarity as sim
@@ -4605,6 +4606,26 @@ def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_real(mm.synthetic_png_media(docs))
 
 
+@register("multimodal_image_neardup", ih.neardup_oracle_sql())
+def q_multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup (r12, VERDICT r11 #6 —
+    operators/imagehash.py): real BMP decode → integer dHash (luma →
+    2×2 block means → 64 horizontal comparisons) → Hamming-banded
+    candidate join (the MinHash banding shape: 4×16-bit bands,
+    pigeonhole-complete for distance < 4) → exact bit_count(xor)
+    verify at max_distance 3. Fixtures are genuine BMPs whose pixels
+    are a closed-form field of doc_id (per-GROUP gradient slopes +
+    one perturbed pixel per variant, confined to block (0,0) so group
+    members differ in ≤1 bit), so the DuckDB oracle recomputes the
+    ENTIRE pipeline — hash bits, band values, bucket join, Hamming —
+    from the field arithmetic alone. Scale: decode/hash is map-only;
+    candidates are a band-bucket equi-join, never all-pairs; verify
+    touches candidate pairs only."""
+    docs = load(spark, "documents", sf_dir).select("doc_id")
+    media = ih.synthetic_neardup_media(docs)
+    return ih.image_neardup_pairs(media, max_distance=3, n_bands=4)
+
+
 # --- Training-data pipeline: PII redaction + sequence packing ---
 
 
@@ -4946,6 +4967,37 @@ def q_token_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, "documents", sf_dir)
     merges = bpe_merges_for(docs, "text", cache_key=sf_dir)
     costed = bpe_token_count(docs, "text", merges)
+    out = sp.token_budget_filter(
+        costed, ["source"], "doc_id", F.col("n_bpe_tokens"), _TOKEN_BUDGET * 3
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").alias("n_bpe_tokens"),
+        "cum_tokens",
+        "in_budget",
+    )
+
+
+@register("token_budget_bpe_bytes", None)
+def q_token_budget_bpe_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget cut costed in BYTE-LEVEL (GPT-2-style) BPE tokens
+    (r12, VERDICT r11 #2 — operators/bpe.py byte_* half): the
+    published byte-level recipe — GPT-2's regex pretokenizer (run
+    JVM-side, one source of truth for boundaries), the reversible
+    256-byte unicode alphabet, merges with no end-of-word marker — so
+    the budget is counted the way production model tokenizers count,
+    OOV-free on any byte sequence. Same skew-protected prefix-sum
+    seam as token_budget_bpe; only the costing column changes.
+    Iterative merges → not SQL-expressible → rows-only; parity against
+    an independent sequential-merge reference, losslessness, no-OOV
+    byte counting and the budget/packing seams are pinned in
+    tests/test_bpe.py."""
+    from .operators.bpe import byte_bpe_merges_for, byte_bpe_token_count
+
+    docs = load(spark, "documents", sf_dir)
+    merges = byte_bpe_merges_for(docs, "text", cache_key=sf_dir)
+    costed = byte_bpe_token_count(docs, "text", merges)
     out = sp.token_budget_filter(
         costed, ["source"], "doc_id", F.col("n_bpe_tokens"), _TOKEN_BUDGET * 3
     )
@@ -6979,6 +7031,11 @@ _OVERFLOW = [
     # strictly-stronger) mechanical twin:
     "window_latest_event_per_user",  # per-key argmax rank window ≈ in-window topk_per_key_skew_salted (same rank-within-key selection, strictly stronger: two-phase salted) + window_running_spend (ordered-window mechanics)
     "q6_revenue_change",  # single-table filter + conditional agg ≈ in-window q1_pricing_summary (same lineitem scan-filter-agg shape, strictly more aggregates) with the ratio variant q14_promo_revenue already overflow-CI-oracled
+    # r12 addition (VERDICT r11 #6): perceptual image near-dup — the
+    # banded candidate join ≈ in-window dedup_lsh_verified mechanics;
+    # the real-decode dHash + Hamming verify is the new surface
+    # (rotation candidate for r13)
+    "multimodal_image_neardup",
 ]
 
 # Rows-only entries promoted INTO the driver's 50-entry gate window.

@@ -247,3 +247,146 @@ def test_pack_bins_accepts_bpe_counts(spark):
         else:
             assert r["n_tokens"] > budget and r["bin_local"] == -1
     assert all(v <= budget for v in fills.values())
+
+
+# --- Byte-level (GPT-2-style) BPE ---------------------------------------
+
+from architrave_project_apache_nifi_spark.operators.bpe import (  # noqa: E402
+    byte_bpe_encode,
+    byte_bpe_token_count,
+    byte_bpe_train,
+    byte_pretokens,
+    byte_unicode_map,
+    byte_word_freqs,
+)
+
+
+def _ref_byte_encode(pretoken: str, merges, b2u) -> list[str]:
+    """Independent reference: classic sequential-merge BPE inference —
+    apply each merge IN RANK ORDER over the whole symbol list (the
+    textbook formulation, provably equivalent to the engine's
+    lowest-rank-first loop). Deliberately different code shape from
+    operators/bpe.py."""
+    sym = [b2u[b] for b in pretoken.encode("utf-8")]
+    for a, b in merges:
+        i, out = 0, []
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def test_byte_unicode_map_is_reversible_printable():
+    m = byte_unicode_map()
+    assert len(m) == 256
+    assert len(set(m.values())) == 256  # bijective
+    assert m[ord("A")] == "A" and m[ord("!")] == "!"
+    assert m[0x20] == "Ġ"  # space -> 'Ġ' (the GPT-2 signature)
+    for ch in m.values():  # every symbol is printable, none whitespace
+        assert not ch.isspace() and ch.isprintable()
+
+
+def test_jvm_pretokenizer_matches_gpt2_semantics(spark):
+    df = _corpus(spark, ["Hello world! it's 2026", "a  b", "tail  "])
+    got = [
+        r["p"]
+        for r in df.orderBy("doc_id")
+        .select(byte_pretokens("text").alias("p"))
+        .collect()
+    ]
+    assert got[0] == ["Hello", " world", "!", " it", "'s", " 2026"]
+    # double space: first space is whitespace-run (lookahead), second
+    # rides the following word
+    assert got[1] == ["a", " ", " b"]
+    # trailing whitespace is its own token
+    assert got[2] == ["tail", "  "]
+
+
+def test_byte_encode_matches_independent_reference(spark):
+    texts = [
+        "the low lower lowest newest news",
+        "the newest estimates, the widest tests!",
+        "café costs 12 euros — naïve example",
+    ] * 3
+    df = _corpus(spark, texts)
+    merges = byte_bpe_train(byte_word_freqs(df, "text"), n_merges=40)
+    assert len(merges) > 10
+    got = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in byte_bpe_encode(df, "text", merges).collect()
+    }
+    b2u = byte_unicode_map()
+    pts = {
+        r["doc_id"]: r["p"]
+        for r in df.select("doc_id", byte_pretokens("text").alias("p")).collect()
+    }
+    for i in got:
+        want = [t for pt in pts[i] for t in _ref_byte_encode(pt, merges, b2u)]
+        assert got[i] == want
+    # lossless: concatenated tokens reproduce the byte-mapped text
+    for i, text in ((r["doc_id"], r["text"]) for r in df.collect()):
+        mapped = "".join(b2u[b] for b in text.encode("utf-8"))
+        assert "".join(got[i]) == mapped
+
+
+def test_byte_level_has_no_oov_and_counts_bytes_without_merges(spark):
+    # zero merges -> token count == UTF-8 byte count of the pretokens
+    # (= of the text: pretokens partition it); emoji/controls included
+    texts = ["héllo \U0001f600 \x01 world", "普通话 text"]
+    df = _corpus(spark, texts)
+    rows = byte_bpe_token_count(df, "text", [], out_col="n").collect()
+    got = {r["doc_id"]: r["n"] for r in rows}
+    for i, t in enumerate(texts):
+        assert got[i] == len(t.encode("utf-8"))
+
+
+def test_byte_vs_word_level_counts_diverge(spark):
+    # rare-word text explodes under BPE; common-word text does not —
+    # the ordering divergence that motivates costing with the REAL
+    # tokenizer (same shape as the word-level divergence pin)
+    common = "the the the the the the the the"
+    rare = "zqxj vwpk qjzx bnmq"
+    df = _corpus(spark, [common] * 20 + [rare])
+    merges = byte_bpe_train(byte_word_freqs(df, "text"), n_merges=30)
+    rows = byte_bpe_token_count(df, "text", merges, out_col="n").collect()
+    got = {r["doc_id"]: r["n"] for r in rows}
+    # 'the' collapses to ~1 token/word; the rare line stays ~1/byte
+    assert got[0] <= 16  # 8 common words, heavily merged
+    assert got[20] >= 15  # 19 bytes of unmerged rare text
+    # whitespace counting would order them the OTHER way (8 vs 4 words)
+    assert got[20] > 4
+
+
+def test_byte_bpe_rides_budget_and_packing_seams(spark):
+    from architrave_project_apache_nifi_spark.operators.packing import (
+        pack_sequences,
+    )
+    from architrave_project_apache_nifi_spark.operators.sampling import (
+        token_budget_filter,
+    )
+
+    texts = [f"document {i} words and more filler text {i}" for i in range(30)]
+    df = _corpus(spark, texts).withColumn("lang", F.lit("en"))
+    merges = byte_bpe_train(byte_word_freqs(df, "text"), n_merges=25)
+    costed = byte_bpe_token_count(df, "text", merges)
+    out = token_budget_filter(costed, ["lang"], "doc_id", F.col("n_bpe_tokens"), 120)
+    rows = sorted(out.collect(), key=lambda r: r["doc_id"])
+    cum = 0
+    for r in rows:  # prefix-sum invariant under byte-BPE costs
+        cum += r["n_tokens"]
+        assert r["cum_tokens"] == cum
+        assert r["in_budget"] == int(cum <= 120)
+    packed = pack_sequences(
+        costed, "doc_id", "lang", F.col("n_bpe_tokens"), budget=64
+    ).collect()
+    offs = {r["doc_id"]: r for r in packed}
+    run = 0
+    for i in range(30):  # concat-then-chunk offsets under byte-BPE costs
+        assert offs[i]["seq_id"] == run // 64
+        assert offs[i]["seq_offset"] == run % 64
+        run += offs[i]["n_tokens"]
