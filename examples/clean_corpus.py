@@ -204,7 +204,9 @@ def main() -> None:
     # Barrier first: dsir_logweights runs bounded stat jobs of its
     # own, and without a plan truncation each would replay the whole
     # LSH/verify/decontaminate lineage above (the same trap the two
-    # earlier checkpoints document).
+    # earlier checkpoints document). (dsir_resample additionally
+    # checkpoints its SCORED weights internally since r12, so the
+    # explode+joins+agg lineage pays once regardless of the caller.)
     clean = clean.localCheckpoint(eager=True)
     target = clean.filter(F.col("lang") == "en").select("doc_id", "text")
     weights = sel.dsir_logweights(clean, target, "doc_id", "text")
