@@ -105,6 +105,35 @@ def main() -> None:
         .collect()[0]["c"]
     )
 
+    # 6. PERCEPTUAL image near-dup (r12, operators/imagehash.py):
+    #    byte-identity dedup (step 2) misses re-encodes and small
+    #    edits — dHash + Hamming banding catches them. The
+    #    perturbed-duplicates fixture plants 4-member groups whose
+    #    variants differ by one pixel; keep-best leaves one per group.
+    from architrave_project_apache_nifi_spark.operators.cluster import (
+        canonical_docs_best,
+    )
+    from architrave_project_apache_nifi_spark.operators.imagehash import (
+        image_neardup_pairs,
+        synthetic_neardup_media,
+    )
+
+    variants = synthetic_neardup_media(
+        spark.range(40).select(F.col("id").alias("doc_id"))
+    )
+    pairs = image_neardup_pairs(variants, max_distance=3)
+    keep = canonical_docs_best(
+        variants.select(
+            "doc_id", F.octet_length("media.payload").alias("n_bytes")
+        ),
+        pairs,
+        "doc_id",
+        "n_bytes",
+        a_col="id_a",
+        b_col="id_b",
+    )
+    n_keep = keep.filter(F.col("is_kept") == 1).count()
+
     print(f"payloads: {n_docs} ({kinds})")
     print(f"unique payloads by content hash: {n_unique}")
     print(f"mean audio spectral centroid: {centroid} Hz")
@@ -112,6 +141,7 @@ def main() -> None:
         f"kept after feature gate: {kept}/{n_docs} "
         "(dropped: silent audio, flat images)"
     )
+    print(f"perceptual near-dup: kept {n_keep}/40 variant images")
 
     spark.stop()
 

@@ -76,12 +76,32 @@ def main() -> None:
     n4 = sample.count()
     total_tokens = sample.agg(F.sum("n_bpe_tokens")).collect()[0][0]
 
+    # 6. BYTE-level (GPT-2-style) recount (r12): production budgets are
+    # specified in model tokens — byte-level BPE counts every byte
+    # (no OOV, case preserved, spaces ride inside the pretoken), so
+    # the same sample costs differently than the word-level count
+    from architrave_project_apache_nifi_spark.operators.bpe import (
+        byte_bpe_token_count,
+        byte_bpe_train,
+        byte_word_freqs,
+    )
+
+    bmerges = byte_bpe_train(byte_word_freqs(clean, "text"), n_merges=100)
+    bcounted = byte_bpe_token_count(
+        sample.drop("n_bpe_tokens"), "chunk_text", bmerges, out_col="n_bytes_bpe"
+    )
+    total_byte_tokens = bcounted.agg(F.sum("n_bytes_bpe")).collect()[0][0]
+
     print(f"documents in: {n0}")
     print(f"after semantic dedup: {n1}")
     print(f"after unit dedup: {n2}")
     print(f"learned merges: {len(merges)} (first: {merges[0]})")
     print(f"context windows: {n3}")
     print(f"sampled windows: {n4} carrying {total_tokens} BPE tokens")
+    print(
+        f"byte-level recount: {total_byte_tokens} GPT-2-style tokens "
+        "for the same sample"
+    )
     spark.stop()
 
 

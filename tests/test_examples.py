@@ -23,11 +23,11 @@ REPO = os.path.join(os.path.dirname(__file__), "..")
         ("examples/clean_corpus.py", "sampled"),
         ("examples/similarity_search.py", "IVF probe"),
         ("examples/assemble_dataset.py", "oversize routed to chunking"),
-        ("examples/tokenizer_dataset.py", "sampled windows:"),
+        ("examples/tokenizer_dataset.py", "byte-level recount:"),
         ("examples/monitoring_pipeline.py", "rollup equals recompute over accepted batches: True"),
         ("examples/late_events.py", "invariant violations after splice: 0"),
         ("examples/hot_key_windows.py", "scd2_build_skewed equals scd2_build: True"),
-        ("examples/multimodal_features.py", "kept after feature gate: 500/504"),
+        ("examples/multimodal_features.py", "perceptual near-dup: kept 10/40 variant images"),
     ],
 )
 def test_example_runs(script, expect):

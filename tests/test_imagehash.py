@@ -90,8 +90,9 @@ def test_neardups_full_recall_within_groups(spark):
 
 
 def test_neardups_exclude_distant_groups(spark):
-    # small-n fixture: gradient slopes (3+g%89, 5+g%97) are unique per
-    # group, so cross-group hashes sit far apart in Hamming space
+    # small-n fixture: gradient slopes (19+2(g%89), 23+2(g%97)) are
+    # unique per group, so cross-group hashes sit far apart in
+    # Hamming space
     n = 40
     media = synthetic_neardup_media(_ids(spark, n))
     rows = image_neardup_pairs(media, max_distance=3).collect()
@@ -161,3 +162,42 @@ def test_unsupported_magic_raises(spark):
     )
     with pytest.raises(Exception, match="unsupported payload magic"):
         image_dhash(df).collect()
+
+
+def test_dhash_invariant_under_exact_upscale(spark):
+    # the property that makes dHash PERCEPTUAL: a 2x nearest-neighbor
+    # upscale scales every block sum by 4 exactly, so the means — and
+    # the hash — are unchanged; byte-identity hashing would miss this
+    import pandas as pd
+
+    from architrave_project_apache_nifi_spark.operators.multimodal import (
+        bmp_bytes,
+    )
+
+    w, h = FIXTURE["w"], FIXTURE["h"]
+    rows = []
+    for i in range(6):
+        px = np.empty((h, w, 3), dtype=np.uint8)
+        for r in range(h):
+            for c in range(w):
+                for off in range(3):
+                    px[r, c, off] = _fixture_channel(i, r, c, off)
+        big = np.repeat(np.repeat(px, 2, axis=0), 2, axis=1)
+        rows.append((i, bytearray(bmp_bytes(px))))
+        rows.append((i + 100, bytearray(bmp_bytes(big))))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary").select(
+        "doc_id",
+        F.struct(
+            F.col("payload"),
+            F.struct(
+                F.lit("image/bmp").alias("mime"),
+                F.octet_length("payload").cast("long").alias("byte_len"),
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.lit(None).cast("long").alias("duration_ms"),
+            ).alias("meta"),
+        ).alias("media"),
+    )
+    got = {r["doc_id"]: r["dhash"] for r in image_dhash(df).collect()}
+    for i in range(6):
+        assert got[i] == got[i + 100], i
