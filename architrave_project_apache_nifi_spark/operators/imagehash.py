@@ -360,3 +360,96 @@ WHERE list_sum(list_transform(range(1, {HASH_BITS + 1}),
         i -> CASE WHEN ba.b[i] <> bb.b[i] THEN 1 ELSE 0 END))
       <= {max_distance}
 """
+
+
+# --- pHash (DCT perceptual hash) -------------------------------------
+# The published recipe: downsample to SIZE×SIZE luminance, 2-D DCT-II,
+# keep the top-left KEEP×KEEP low-frequency block, threshold each
+# coefficient against the block's MEDIAN (DC excluded — it's pure
+# brightness). Robust where dHash is not: global brightness/contrast
+# scaling leaves every comparison-vs-median unchanged (both sides
+# scale), and low frequencies survive blurring/re-encoding. Float
+# arithmetic → no closed-form SQL oracle; parity is pinned against an
+# independent cos-sum reference in tests/test_imagehash.py, and the
+# banded candidate/verify machinery is SHARED with dHash
+# (dhash_bands/dhash_neardups take the hash column name).
+
+PHASH_SIZE = 32
+PHASH_KEEP = 8  # 8×8 block − DC = 63 bits (sign bit stays 0)
+
+
+def _dct_matrix(n: int):
+    """Orthonormal DCT-II basis matrix (numpy, no scipy)."""
+    import numpy as np
+
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    D = np.cos(np.pi * (2 * i + 1) * k / (2 * n))
+    D[0] *= np.sqrt(1.0 / n)
+    D[1:] *= np.sqrt(2.0 / n)
+    return D
+
+
+def _phash_bits(px, w: int, h: int):
+    """63 pHash bits from a flat top-down RGB int array: float luma →
+    SIZE×SIZE nearest-sample grid (exact under k× nearest upscale) →
+    D·G·Dᵀ → top KEEP×KEEP minus DC → bit = coeff > median."""
+    import numpy as np
+
+    img = np.asarray(px, dtype=np.float64).reshape(h, w, 3)
+    luma = (299 * img[:, :, 0] + 587 * img[:, :, 1] + 114 * img[:, :, 2]) / 1000.0
+    rows = (np.arange(PHASH_SIZE) * h) // PHASH_SIZE
+    cols = (np.arange(PHASH_SIZE) * w) // PHASH_SIZE
+    G = luma[np.ix_(rows, cols)]
+    D = _dct_matrix(PHASH_SIZE)
+    C = D @ G @ D.T
+    block = C[:PHASH_KEEP, :PHASH_KEEP].reshape(-1)[1:]  # drop DC
+    med = np.median(block)
+    return block > med
+
+
+def image_phash(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """(id, width, height, phash) — same Arrow plumbing and decoders
+    as :func:`image_dhash`; compose with ``dhash_neardups(...,
+    hash_col='phash')`` (the banding machinery is hash-agnostic)."""
+    import pandas as pd
+
+    from .multimodal import PNG_SIG, _bmp_pixels, _png_pixels
+
+    picked = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(f"{media_col}.payload").alias("__payload"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, hashes = [], [], [], []
+            for i, raw in zip(pdf["__id"], pdf["__payload"]):
+                buf = bytes(raw)
+                if buf[:2] == b"BM":
+                    w, h, px = _bmp_pixels(buf)
+                elif buf[:8] == PNG_SIG:
+                    w, h, px = _png_pixels(buf)
+                else:
+                    raise ValueError(
+                        f"image_phash: unsupported payload magic {buf[:4]!r}"
+                        " — BMP and PNG decode in pure numpy"
+                    )
+                ids.append(i)
+                ws.append(w)
+                hs.append(h)
+                hashes.append(_pack_bits(_phash_bits(px, w, h)))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "phash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return picked.mapInPandas(
+        run, f"{id_col} long, width int, height int, phash long"
+    )

@@ -4626,6 +4626,22 @@ def q_multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ih.image_neardup_pairs(media, max_distance=3, n_bands=4)
 
 
+@register("multimodal_image_phash_neardup", None)
+def q_multimodal_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pHash near-dup pairs (r12 — operators/imagehash.py DCT half):
+    the published DCT perceptual hash (32×32 luminance → 2-D DCT-II →
+    top 8×8 low-frequency block thresholded on its median, DC
+    dropped) through the SAME hash-agnostic banding/verify machinery
+    as the oracled dHash entry. Float DCT + median → not
+    SQL-expressible → rows-only; parity against an independent
+    cos-sum reference, brightness-scaling invariance, and the ≤8-bit
+    within-group bound are pinned in tests/test_imagehash.py."""
+    docs = load(spark, "documents", sf_dir).select("doc_id")
+    media = ih.synthetic_neardup_media(docs)
+    hashes = ih.image_phash(media)
+    return ih.dhash_neardups(hashes, hash_col="phash", max_distance=3, n_bands=4)
+
+
 # --- Training-data pipeline: PII redaction + sequence packing ---
 
 

@@ -201,3 +201,117 @@ def test_dhash_invariant_under_exact_upscale(spark):
     got = {r["doc_id"]: r["dhash"] for r in image_dhash(df).collect()}
     for i in range(6):
         assert got[i] == got[i + 100], i
+
+
+# --- pHash (DCT) ------------------------------------------------------
+
+from architrave_project_apache_nifi_spark.operators.imagehash import (  # noqa: E402
+    PHASH_KEEP,
+    PHASH_SIZE,
+    image_phash,
+)
+
+
+def _ref_phash(doc_id: int) -> int:
+    """Independent reference: explicit cos-sum DCT (no matrix form)."""
+    import math
+
+    w, h = FIXTURE["w"], FIXTURE["h"]
+    luma = [
+        [
+            (
+                299 * _fixture_channel(doc_id, r, c, 0)
+                + 587 * _fixture_channel(doc_id, r, c, 1)
+                + 114 * _fixture_channel(doc_id, r, c, 2)
+            )
+            / 1000.0
+            for c in range(w)
+        ]
+        for r in range(h)
+    ]
+    n = PHASH_SIZE
+    G = [[luma[(r * h) // n][(c * w) // n] for c in range(n)] for r in range(n)]
+    C = []
+    for u in range(PHASH_KEEP):
+        row = []
+        au = math.sqrt((1 if u == 0 else 2) / n)
+        for v in range(PHASH_KEEP):
+            av = math.sqrt((1 if v == 0 else 2) / n)
+            s = 0.0
+            for r in range(n):
+                for c in range(n):
+                    s += (
+                        G[r][c]
+                        * math.cos(math.pi * (2 * r + 1) * u / (2 * n))
+                        * math.cos(math.pi * (2 * c + 1) * v / (2 * n))
+                    )
+            row.append(au * av * s)
+        C.append(row)
+    block = [C[u][v] for u in range(PHASH_KEEP) for v in range(PHASH_KEEP)][1:]
+    med = float(np.median(block))
+    v = 0
+    for x in block:
+        v = (v << 1) | int(x > med)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def test_phash_matches_independent_reference(spark):
+    media = synthetic_neardup_media(_ids(spark, 8))
+    got = {r["doc_id"]: r["phash"] for r in image_phash(media).collect()}
+    for i in range(8):
+        assert got[i] == _ref_phash(i), i
+
+
+def test_phash_invariant_under_brightness_scaling(spark):
+    # double every channel (values kept < 128): luma doubles exactly,
+    # the DCT scales linearly, the median scales with it — every
+    # comparison-vs-median is unchanged. dHash-style absolute means
+    # survive too, but pHash keeps this under CONTRAST changes where
+    # block-mean comparisons near ties would flip.
+    import pandas as pd  # noqa: F401
+
+    from architrave_project_apache_nifi_spark.operators.multimodal import (
+        bmp_bytes,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(5):
+        px = rng.randint(0, 120, size=(16, 18, 3)).astype(np.uint8)
+        rows.append((i, bytearray(bmp_bytes(px))))
+        rows.append((i + 100, bytearray(bmp_bytes((px * 2).astype(np.uint8)))))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary").select(
+        "doc_id",
+        F.struct(
+            F.col("payload"),
+            F.struct(
+                F.lit("image/bmp").alias("mime"),
+                F.octet_length("payload").cast("long").alias("byte_len"),
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.lit(None).cast("long").alias("duration_ms"),
+            ).alias("meta"),
+        ).alias("media"),
+    )
+    got = {r["doc_id"]: r["phash"] for r in image_phash(df).collect()}
+    for i in range(5):
+        assert got[i] == got[i + 100], i
+
+
+def test_phash_composes_with_banding_machinery(spark):
+    # the candidate/verify machinery is hash-agnostic: group members
+    # (small perturbations) stay within a few low-frequency bits
+    media = synthetic_neardup_media(_ids(spark, 16))
+    hashes = image_phash(media)
+    rows = {r["doc_id"]: r["phash"] for r in hashes.collect()}
+    gs = FIXTURE["group_size"]
+    for g in range(16 // gs):
+        members = [rows[g * gs + v] for v in range(gs)]
+        for a in members:
+            for b in members:
+                assert bin((a ^ b) & ((1 << 64) - 1)).count("1") <= 8
+    near = dhash_neardups(
+        hashes, hash_col="phash", max_distance=3, n_bands=4
+    ).collect()
+    for r in near:  # verified pairs carry exact Hamming, sign-safe
+        assert r["hamming"] <= 3
