@@ -271,16 +271,28 @@ def synthetic_neardup_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     w, h = FIXTURE["w"], FIXTURE["h"]
 
+    gs = FIXTURE["group_size"]
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # vectorized twin of _fixture_channel (the scalar form stays
+        # the test/oracle reference; equality pinned in
+        # test_imagehash.py) — one ufunc pass per image instead of
+        # h×w×3 Python calls
+        rr = np.arange(h, dtype=np.int64)[:, None, None]
+        cc = np.arange(w, dtype=np.int64)[None, :, None]
+        oo = np.arange(3, dtype=np.int64)[None, None, :]
         for pdf in batches:
             payloads = []
             for i in pdf[id_col].astype("int64"):
-                px = np.empty((h, w, 3), dtype=np.uint8)
-                for r in range(h):
-                    for c in range(w):
-                        for off in range(3):
-                            px[r, c, off] = _fixture_channel(int(i), r, c, off)
-                payloads.append(bmp_bytes(px))
+                g, v = int(i) // gs, int(i) % gs
+                px = (
+                    rr * (19 + (g % 89) * 2)
+                    + cc * (23 + (g % 97) * 2)
+                    + 7 * oo
+                    + 37 * g
+                )
+                px[v // 2, v % 2, :] += 40 + 9 * v
+                payloads.append(bmp_bytes((px % 256).astype(np.uint8)))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),

@@ -164,6 +164,10 @@ HEADLINE = [
     # timings measure encode+search, not training
     "ann_topk_pq",
     "ann_topk_ivfpq",
+    # r12: the perceptual image near-dup family joins the headline
+    # (decode -> dHash -> band join -> Hamming verify at sf0.1's 5k
+    # images); records its own first-run baseline
+    "multimodal_image_neardup",
     "window_running_spend",
     "rollup_events",
 ]
