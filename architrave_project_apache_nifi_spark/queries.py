@@ -20,6 +20,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .operators import audiohash as ih_audio
 from .operators import decontaminate as dc
 from .operators import dedup as dd
 from .operators import imagehash as ih
@@ -4621,7 +4622,7 @@ def q_multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the field arithmetic alone. Scale: decode/hash is map-only;
     candidates are a band-bucket equi-join, never all-pairs; verify
     touches candidate pairs only."""
-    docs = load(spark, "documents", sf_dir).select("doc_id")
+    docs = spread(load(spark, "documents", sf_dir).select("doc_id"), "doc_id")
     media = ih.synthetic_neardup_media(docs)
     return ih.image_neardup_pairs(media, max_distance=3, n_bands=4)
 
@@ -4636,10 +4637,27 @@ def q_multimodal_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFr
     SQL-expressible → rows-only; parity against an independent
     cos-sum reference, brightness-scaling invariance, and the ≤8-bit
     within-group bound are pinned in tests/test_imagehash.py."""
-    docs = load(spark, "documents", sf_dir).select("doc_id")
+    docs = spread(load(spark, "documents", sf_dir).select("doc_id"), "doc_id")
     media = ih.synthetic_neardup_media(docs)
-    hashes = ih.image_phash(media)
+    hashes = ih.image_phash(media).localCheckpoint(eager=True)
     return ih.dhash_neardups(hashes, hash_col="phash", max_distance=3, n_bands=4)
+
+
+@register("multimodal_audio_neardup", None)
+def q_multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual AUDIO near-dup (r12 — operators/audiohash.py): the
+    band-energy-difference fingerprint family (Haitsma & Kalker 2002)
+    over real decoded PCM — 4 time segments × 15 adjacent-band energy
+    comparisons = 60 sign bits, exactly invariant to volume and phase
+    — through the SAME hash-agnostic banding/verify machinery as the
+    image entries (one banded-Hamming engine for text shingles, image
+    dHash/pHash, audio). Float rFFT → not SQL-expressible →
+    rows-only; parity vs an independent direct-DFT reference,
+    volume/phase invariance and the group recall/exclusion semantics
+    are pinned in tests/test_audiohash.py."""
+    docs = spread(load(spark, "documents", sf_dir).select("doc_id"), "doc_id")
+    media = ih_audio.synthetic_neardup_audio(docs)
+    return ih_audio.audio_neardup_pairs(media, max_distance=3, n_bands=4)
 
 
 # --- Training-data pipeline: PII redaction + sequence packing ---
