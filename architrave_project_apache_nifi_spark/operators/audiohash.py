@@ -146,17 +146,40 @@ AUDIO_FIXTURE = {
 
 def synthetic_neardup_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Real WAV fixtures: each GROUP renders a pseudo-random band
-    amplitude PROFILE per time segment (16 band-center tones, weights
-    ``1 + (g·131 + k·101 + q·59) % 23``) — the sign pattern varies
-    with g AND q, so the 60 fingerprint bits are group-distinctive
-    (a pure chord would collapse to "which bands have a tone" and
-    collide across groups — measured before shipping; min cross-group
-    Hamming is 4 on the test range). VARIANTS of a group differ by
-    exact volume scaling, per-component PHASE shifts (both
-    magnitude-spectrum-invariant — the fixture's measured within-group
-    Hamming is 0) and, for v=3, a 3% single-band gain nudge (the
-    "small edit"). Rendered through the real WAV encoder so the engine
-    path exercises genuine RIFF decode."""
+    amplitude PROFILE per time segment — the 16 band-center tones get
+    amplitudes ``1 + rank``, where ranks order the 16 values of a
+    64-bit multiplicative hash ``mix64(g, k, q)`` (a hash-keyed
+    PERMUTATION of 1..16 per segment). Two deliberate properties:
+
+    * **Scale-proof distinctiveness.** A first cut used
+      ``(g·131 + k·101 + q·59) % 23``, which is PERIODIC in g with
+      period 23 — at sf1's 12,500 groups every class of ~543 groups
+      rendered identical spectra and the banded join blew up to 54.3M
+      pairs (the sf1 sweep caught it; the fourth scale-exposed defect
+      to date). A second cut mixed the keys AFFINELY
+      (``g·A + k·B + q·C``): the g-term is the same constant for every
+      band, constants mostly preserve rank order, and whole groups
+      shared a permutation (measured min cross-group Hamming 0). The
+      splitmix64-style finalizer fixes both: measured over ALL 13,000
+      sf1 groups (84.5M pairs), min cross-group Hamming is 7, zero
+      pairs ≤ 3.
+    * **No tie bits.** Permutation amplitudes mean adjacent bands
+      always differ by ≥1 rank (≥13.8 % energy gap at 15 vs 16), so
+      the v=3 edit below can NEVER flip a comparison — with raw
+      ``hash % 23`` amplitudes, equal adjacent draws (p = 1/23 each)
+      sat exactly on the ``>`` boundary and the nudge flipped up to 6
+      bits for some groups, breaking the ≤ ``max_distance`` recall
+      contract. Bonus: the worst-case peak (Σ amps = 136 × gain 210)
+      stays below int16 clip, so volume scaling is exactly linear.
+
+    VARIANTS of a group differ by exact volume scaling, per-component
+    PHASE shifts (both magnitude-spectrum-invariant; tones sit on
+    exact rFFT bins — (k+0.5)·250 Hz = bin (k+0.5)·16 at 8 kHz/512 —
+    so there is no leakage for phase to modulate) and, for v=3, a 3 %
+    single-band gain nudge (the "small edit"; provably hash-neutral
+    per the rank-gap argument, measured within-group Hamming 0).
+    Rendered through the real WAV encoder so the engine path
+    exercises genuine RIFF decode."""
     import numpy as np
     import pandas as pd
 
@@ -175,9 +198,26 @@ def synthetic_neardup_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 g, v = int(i) // gs, int(i) % gs
                 segs = []
                 for q in range(N_SEGMENTS):
+                    hs = []
+                    for k in range(N_BANDS + 1):
+                        # splitmix64-style finalizer: a bare affine
+                        # combine adds the SAME g-term to every k, which
+                        # mostly preserves rank order across g — whole
+                        # groups shared a permutation (measured min
+                        # cross-group Hamming 0); the multiply-xor
+                        # avalanche breaks that
+                        h = (
+                            g * 0x9E3779B97F4A7C15
+                            ^ k * 0xC2B2AE3D27D4EB4F
+                            ^ q * 0x165667B19E3779F9
+                        ) % (1 << 64)
+                        h = (h ^ (h >> 30)) * 0xBF58476D1CE4E5B9 % (1 << 64)
+                        h = (h ^ (h >> 27)) * 0x94D049BB133111EB % (1 << 64)
+                        hs.append(h ^ (h >> 31))
+                    rank = {int(k): r for r, k in enumerate(np.argsort(hs))}
                     s = np.zeros(seg_n)
                     for k in range(N_BANDS + 1):
-                        a = 1.0 + ((g * 131 + k * 101 + q * 59) % 23)
+                        a = 1.0 + rank[k]
                         if v == 3 and k == (g + q) % (N_BANDS + 1):
                             a *= 1.03
                         ph = 0.3 * v * ((k + q) % 5)
