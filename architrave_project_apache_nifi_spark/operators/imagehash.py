@@ -43,10 +43,12 @@ GRID = 8  # 8×8 comparison grid over an 8×9 luminance grid = 64 bits
 HASH_BITS = GRID * GRID
 
 
-def _dhash_bits(px, w: int, h: int, grid: int = GRID):
-    """64 dHash bits (row-major) from a flat top-down RGB int array —
-    integer luma, integer area block means (floor boundaries
-    ``i*H//grid``), strict > comparison (ties → 0)."""
+def _luma_block_means(px, w: int, h: int, grid: int = GRID):
+    """Integer luma block means on the (grid × grid+1) dHash grid from
+    a flat top-down RGB int array — luma = (299R+587G+114B)//1000,
+    block mean = sum // count, floor boundaries ``i*H//grid``. Shared
+    by :func:`_dhash_bits` and the temporally-pooled video hash
+    (operators/videohash.py)."""
     import numpy as np
 
     img = np.asarray(px, dtype=np.int64).reshape(h, w, 3)
@@ -64,6 +66,14 @@ def _dhash_bits(px, w: int, h: int, grid: int = GRID):
             c0, c1 = bc * w // cols, (bc + 1) * w // cols
             blk = luma[r0:r1, c0:c1]
             means[br, bc] = blk.sum() // blk.size
+    return means
+
+
+def _dhash_bits(px, w: int, h: int, grid: int = GRID):
+    """64 dHash bits (row-major) from a flat top-down RGB int array —
+    integer luma, integer area block means (floor boundaries
+    ``i*H//grid``), strict > comparison (ties → 0)."""
+    means = _luma_block_means(px, w, h, grid)
     return (means[:, :-1] > means[:, 1:]).reshape(-1)
 
 

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators import audiohash as ih_audio
+from .operators import videohash as vh
 from .operators import decontaminate as dc
 from .operators import dedup as dd
 from .operators import imagehash as ih
@@ -4660,6 +4661,46 @@ def q_multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ih_audio.audio_neardup_pairs(media, max_distance=3, n_bands=4)
 
 
+@register("multimodal_video_frames", vh.video_frames_oracle_sql())
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling (r12 — operators/videohash.py): a
+    genuine RIFF-AVI parser (uncompressed 'DIB ' stream — the one
+    mainstream container decodable without ffmpeg) walks the chunk
+    tree, maps every-200 ms sample timestamps to source frames via the
+    container's us_per_frame, and decodes exactly the sampled frames
+    (bottom-up BGR DIB bodies → top-down RGB). Output pins the
+    sampling arithmetic AND the integer luma total of each sampled
+    frame — every pixel contributes, so the closed-form oracle catches
+    any stride/flip/channel-order/frame-seek mistake. Scale: map-only
+    Arrow; frame seek is O(header walk) via chunk sizes, and only the
+    sampled frames are decoded."""
+    docs = spread(load(spark, "documents", sf_dir).select("doc_id"), "doc_id")
+    media = vh.synthetic_neardup_video(docs)
+    return vh.video_frames(media, every_ms=200, max_frames=5)
+
+
+@register("multimodal_video_neardup", vh.video_neardup_oracle_sql())
+def q_multimodal_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual VIDEO near-dup (r12 — operators/videohash.py): real
+    AVI decode → every-200 ms frame sampling → temporally-POOLED
+    integer dHash (per-frame luma block means summed across the 5
+    sampled frames, adjacent-column comparisons on the pooled grid —
+    100 % integer, so bit-reproducible) → the SAME hash-agnostic
+    Hamming-banded candidate join + exact bit_count verify as the
+    image/audio entries (one banded engine for text shingles, image
+    dHash/pHash, audio, video — the modality matrix is complete).
+    Fixtures are genuine AVIs whose per-frame pixels are a closed-form
+    field of (doc_id, frame), so the DuckDB oracle recomputes the
+    ENTIRE pipeline — sampling indices, block means, frame pooling,
+    bits, bands, bucket join, Hamming — from the field arithmetic
+    alone. Scale: decode+hash map-only (a 100 TB corpus reduces to an
+    8-byte column in one pass); candidates band-bucketed, never
+    all-pairs."""
+    docs = spread(load(spark, "documents", sf_dir).select("doc_id"), "doc_id")
+    media = vh.synthetic_neardup_video(docs)
+    return vh.video_neardup_pairs(media, max_distance=3, n_bands=4)
+
+
 # --- Training-data pipeline: PII redaction + sequence packing ---
 
 
@@ -7070,6 +7111,16 @@ _OVERFLOW = [
     # the real-decode dHash + Hamming verify is the new surface
     # (rotation candidate for r13)
     "multimodal_image_neardup",
+    # r12 additions (video modality): REAL AVI frame sampling — the
+    # 1→N mapInPandas fan-out ≈ in-window multimodal_frame_sample
+    # (same generator shape; the real container decode is the new
+    # surface) + multimodal_decode_png (same closed-form decode-oracle
+    # pattern); pooled-dHash near-dup — banding/verify machinery
+    # IDENTICAL to multimodal_image_neardup (overflow, CI-oracled) and
+    # ≈ in-window dedup_lsh_verified mechanics (rotation candidates
+    # for r13)
+    "multimodal_video_frames",
+    "multimodal_video_neardup",
 ]
 
 # Rows-only entries promoted INTO the driver's 50-entry gate window.
