@@ -1,0 +1,259 @@
+"""Reference-trained n-gram language model + CCNet perplexity buckets.
+
+The top rung of the corpus-LM quality ladder (queries.py
+``text_unigram_logprob`` → ``text_bigram_logprob`` → here): CCNet
+(Wenzek et al. 2019, "CCNet: Extracting High Quality Monolingual
+Datasets from Web Crawl Data") scores every crawled document with a
+language model trained on a REFERENCE corpus (Wikipedia), then splits
+each language into head / middle / tail perplexity terciles; LLaMA's
+pipeline keeps head+middle. The two pieces the earlier rungs lack are
+exactly what this module adds:
+
+- a real train/apply split — counts come from a reference slice, the
+  scored corpus contains n-grams the model never saw, so smoothing and
+  out-of-vocabulary mass are load-bearing, not decorative;
+- the per-language percentile bucketing that turns raw scores into the
+  keep/drop decision.
+
+The model is an interpolated trigram (Jelinek–Mercer across trigram /
+bigram / unigram / uniform-OOV floor):
+
+    P(c | a, b) = l3 * c3(a,b,c)/c2(a,b) + l2 * c2(b,c)/c1(b)
+                + l1 * c1(c)/T          + l0 / (V + 1)
+
+with every count drawn from the reference slice, missing counts
+contributing 0 (the floor ``l0/(V+1)`` keeps P strictly positive for
+any token, seen or not), T = reference token count, V = reference
+vocabulary size. Deliberately ANSI-SQL-expressible (like the whole
+textanalysis family) so the DuckDB oracle replicates it bit-for-bit;
+Kneser-Ney's continuation counts would add two more count tables but
+no new distribution shape.
+
+Scale (the same documented plan as ``bigram_logprob``, one rung up):
+the three count tables aggregate once at vocabulary size over the
+REFERENCE slice only (a few percent of the corpus in CCNet's setup)
+and join back to the exploded (doc, a, b, c) positions — AQE
+broadcasts them when small; at 100 TB cap each table to the top-K
+grams plus the floor term, still a broadcast. Documents themselves
+never shuffle except the final per-doc mean. Bucketing has two
+implementations: ``ppl_bucket_exact`` (per-language ``ntile`` — a
+sort within each language partition, used by the oracle-checked
+entry) and ``ppl_bucket_approx`` (``approx_percentile`` thresholds
+collected into a broadcast join — no global sort, the production
+path at corpus scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import tokens
+
+#: Jelinek–Mercer interpolation weights (trigram, bigram, unigram,
+#: uniform OOV floor) — must sum to 1.
+LM_LAMBDAS = (0.5, 0.3, 0.15, 0.05)
+
+#: CCNet bucket names in ascending-perplexity order (head = closest to
+#: the reference distribution).
+PPL_BUCKETS = ("head", "middle", "tail")
+
+
+def _clean_tokens(text: Column) -> Column:
+    return F.filter(tokens(text), lambda x: x != "")
+
+
+def _pos_structs(toks: Column, n: int) -> Column:
+    """Array of structs (t0..t{n-1}) for every length-``n`` window of
+    ``toks`` — empty when the document is shorter than ``n``. Stays in
+    codegen (transform over sequence, like dedup.shingles)."""
+    empty = F.array().cast(
+        "array<struct<" + ",".join(f"t{i}:string" for i in range(n)) + ">>"
+    )
+    return F.when(F.size(toks) < n, empty).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.struct(
+                *[F.get(toks, i + j).alias(f"t{j}") for j in range(n)]
+            ),
+        )
+    )
+
+
+def lm_counts(
+    ref: DataFrame, text_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Train the trigram model: (uni, bi, tri, totals) count tables
+    from the reference slice. ``uni`` = (tok, c1); ``bi`` = (a, b,
+    c2); ``tri`` = (a, b, c, c3); ``totals`` = one row (t = token
+    count as double, v = vocabulary size as double).
+
+    Three hash aggregates over the exploded reference tokens — each
+    output is vocabulary-sized, keyed by gram content (sharded by
+    construction, no doc-level hot key can exist)."""
+    base = ref.select(_clean_tokens(F.col(text_col)).alias("__toks"))
+    uni = (
+        base.select(F.explode("__toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    totals = uni.agg(
+        F.sum("c1").cast("double").alias("t"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    bi = (
+        base.select(F.explode(_pos_structs(F.col("__toks"), 2)).alias("p"))
+        .groupBy(F.col("p.t0").alias("a"), F.col("p.t1").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    tri = (
+        base.select(F.explode(_pos_structs(F.col("__toks"), 3)).alias("p"))
+        .groupBy(
+            F.col("p.t0").alias("a"),
+            F.col("p.t1").alias("b"),
+            F.col("p.t2").alias("c"),
+        )
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+    return uni, bi, tri, totals
+
+
+def trigram_nll(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    ref: DataFrame,
+    carry_cols: tuple[str, ...] = (),
+    lams: tuple[float, float, float, float] = LM_LAMBDAS,
+) -> DataFrame:
+    """Score every document of ``df`` (≥3 tokens) under the trigram
+    model trained on ``ref``: returns (``id_col``, *carry_cols*,
+    ``n_trigrams``, ``nll``) where ``nll`` is the mean negative log
+    likelihood per trigram position, rounded to 6 decimals so the
+    value hash is stable across summation orders (the family-wide
+    discipline). ``nll`` is the log of CCNet's perplexity — the
+    bucketing below never needs ``exp``, which keeps the oracle
+    compare free of cross-engine libm last-ulp drift.
+
+    Plan: one explode to (doc, a, b, c) positions, five LEFT joins
+    against the vocabulary-sized count tables (tri on (a,b,c), bi on
+    (a,b) and on (b,c), uni on b and on c — AQE broadcasts small
+    tables; at 100 TB cap to top-K grams), one broadcast of the
+    two-scalar totals row, one per-doc aggregate. Documents never
+    shuffle except that final mean."""
+    l3, l2, l1, l0 = lams
+    carry = [F.col(c) for c in carry_cols]
+    uni, bi, tri, totals = lm_counts(ref, text_col)
+
+    base = df.select(
+        F.col(id_col), *carry, _clean_tokens(F.col(text_col)).alias("__toks")
+    )
+    pos = base.select(
+        id_col, *carry_cols, F.explode(_pos_structs(F.col("__toks"), 3)).alias("p")
+    ).select(
+        id_col,
+        *carry_cols,
+        F.col("p.t0").alias("a"),
+        F.col("p.t1").alias("b"),
+        F.col("p.t2").alias("c"),
+    )
+
+    bi_ab = bi.select("a", "b", F.col("c2").alias("__c2ab"))
+    bi_bc = bi.select(
+        F.col("a").alias("b"), F.col("b").alias("c"), F.col("c2").alias("__c2bc")
+    )
+    uni_b = uni.select(F.col("tok").alias("b"), F.col("c1").alias("__c1b"))
+    uni_c = uni.select(F.col("tok").alias("c"), F.col("c1").alias("__c1c"))
+
+    j = (
+        pos.join(tri, ["a", "b", "c"], "left")
+        .join(bi_ab, ["a", "b"], "left")
+        .join(bi_bc, ["b", "c"], "left")
+        .join(uni_b, "b", "left")
+        .join(uni_c, "c", "left")
+        .join(F.broadcast(totals))
+    )
+    p = (
+        F.lit(l3)
+        * F.coalesce(F.col("c3").cast("double") / F.col("__c2ab"), F.lit(0.0))
+        + F.lit(l2)
+        * F.coalesce(F.col("__c2bc").cast("double") / F.col("__c1b"), F.lit(0.0))
+        + F.lit(l1)
+        * F.coalesce(F.col("__c1c").cast("double") / F.col("t"), F.lit(0.0))
+        + F.lit(l0) / (F.col("v") + 1)
+    )
+    return j.groupBy(id_col, *carry_cols).agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.round(F.avg(-F.log(p)), 6).alias("nll"),
+    )
+
+
+def ppl_bucket_exact(
+    scored: DataFrame,
+    nll_col: str,
+    id_col: str,
+    part_cols: tuple[str, ...] = ("lang",),
+    buckets: tuple[str, ...] = PPL_BUCKETS,
+) -> DataFrame:
+    """CCNet bucket assignment by EXACT per-language terciles:
+    ``ntile(len(buckets))`` over (``part_cols`` ordered by
+    ``nll_col``, ``id_col``) — the id tiebreak makes the assignment
+    deterministic under the 6-decimal rounding, so the DuckDB oracle
+    lands every boundary row in the same bucket. Adds ``ppl_bucket``.
+
+    This is a sort within each language partition of the DOC-level
+    table (already reduced from tokens by orders of magnitude); at
+    corpus scale prefer :func:`ppl_bucket_approx`."""
+    w = Window.partitionBy(*part_cols).orderBy(F.col(nll_col), F.col(id_col))
+    nt = F.ntile(len(buckets)).over(w)
+    expr = F.when(nt == 1, F.lit(buckets[0]))
+    for i, name in enumerate(buckets[1:-1], start=2):
+        expr = expr.when(nt == i, F.lit(name))
+    expr = expr.otherwise(F.lit(buckets[-1]))
+    return scored.withColumn("ppl_bucket", expr)
+
+
+def ppl_bucket_approx(
+    scored: DataFrame,
+    nll_col: str,
+    part_cols: tuple[str, ...] = ("lang",),
+    buckets: tuple[str, ...] = PPL_BUCKETS,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """The production bucketing at corpus scale: per-language NLL
+    thresholds via ``approx_percentile`` (one tiny aggregate — a few
+    rows per language), broadcast-joined back and applied map-side.
+    No global sort; the scored table streams through once. Adds
+    ``ppl_bucket``. Boundary rows may differ from the exact terciles
+    by the sketch's rank error (1/accuracy) — the documented trade."""
+    k = len(buckets)
+    qs = [i / k for i in range(1, k)]
+    thr = scored.groupBy(*part_cols).agg(
+        F.percentile_approx(nll_col, qs, accuracy).alias("__thr")
+    )
+    out = scored.join(F.broadcast(thr), list(part_cols))
+    nll = F.col(nll_col)
+    expr = F.when(nll <= F.get("__thr", 0), F.lit(buckets[0]))
+    for i, name in enumerate(buckets[1:-1], start=1):
+        expr = expr.when(nll <= F.get("__thr", i), F.lit(name))
+    expr = expr.otherwise(F.lit(buckets[-1]))
+    return out.withColumn("ppl_bucket", expr).drop("__thr")
+
+
+def ccnet_ppl_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    lang_col: str,
+    ref: DataFrame,
+    exact: bool = True,
+) -> DataFrame:
+    """The composed CCNet stage: train on ``ref``, score ``df``,
+    bucket per language. Returns (``id_col``, ``lang_col``,
+    ``n_trigrams``, ``nll``, ``ppl_bucket``); documents shorter than
+    3 tokens are excluded (no trigram positions — CCNet drops them to
+    the tail by convention, callers can union them back)."""
+    scored = trigram_nll(df, text_col, id_col, ref, carry_cols=(lang_col,))
+    if exact:
+        return ppl_bucket_exact(scored, "nll", id_col, (lang_col,))
+    return ppl_bucket_approx(scored, "nll", (lang_col,))

@@ -25,6 +25,7 @@ from .operators import videohash as vh
 from .operators import decontaminate as dc
 from .operators import dedup as dd
 from .operators import imagehash as ih
+from .operators import lm
 from .operators import multimodal as mm
 from .operators import sampling as sp
 from .operators import similarity as sim
@@ -1278,6 +1279,97 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.trim(F.col("text"))) > 0
     )
     return ta.bigram_logprob(docs, "text", "doc_id", lam=0.75)
+
+
+@register(
+    "text_ppl_ccnet",
+    """
+WITH base AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), ref AS (
+  SELECT toks FROM base WHERE (doc_id % 5) = 0
+), rtok AS (
+  SELECT unnest(toks) AS tok FROM ref
+), uni AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c1 FROM rtok GROUP BY tok
+), tot AS (
+  SELECT CAST(sum(c1) AS DOUBLE) AS t, CAST(count(*) AS DOUBLE) AS v
+  FROM uni
+), rpair AS (
+  SELECT unnest(list_transform(range(0, greatest(len(toks) - 1, 0)),
+         i -> struct_pack(a := toks[CAST(i + 1 AS INT)],
+                          b := toks[CAST(i + 2 AS INT)]))) AS p
+  FROM ref
+), bi AS (
+  SELECT p.a AS a, p.b AS b, CAST(count(*) AS BIGINT) AS c2
+  FROM rpair GROUP BY 1, 2
+), rtri AS (
+  SELECT unnest(list_transform(range(0, greatest(len(toks) - 2, 0)),
+         i -> struct_pack(a := toks[CAST(i + 1 AS INT)],
+                          b := toks[CAST(i + 2 AS INT)],
+                          c := toks[CAST(i + 3 AS INT)]))) AS p
+  FROM ref
+), tri AS (
+  SELECT p.a AS a, p.b AS b, p.c AS c, CAST(count(*) AS BIGINT) AS c3
+  FROM rtri GROUP BY 1, 2, 3
+), pos AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(0, greatest(len(toks) - 2, 0)),
+         i -> struct_pack(a := toks[CAST(i + 1 AS INT)],
+                          b := toks[CAST(i + 2 AS INT)],
+                          c := toks[CAST(i + 3 AS INT)]))) AS p
+  FROM base
+), posf AS (
+  SELECT doc_id, lang, p.a AS a, p.b AS b, p.c AS c FROM pos
+), scored AS (
+  SELECT posf.doc_id, posf.lang,
+         0.5 * coalesce(CAST(tri.c3 AS DOUBLE) / bab.c2, 0.0)
+       + 0.3 * coalesce(CAST(bbc.c2 AS DOUBLE) / ub.c1, 0.0)
+       + 0.15 * coalesce(CAST(uc.c1 AS DOUBLE) / tot.t, 0.0)
+       + 0.05 / (tot.v + 1) AS p
+  FROM posf
+  LEFT JOIN tri ON posf.a = tri.a AND posf.b = tri.b AND posf.c = tri.c
+  LEFT JOIN bi bab ON posf.a = bab.a AND posf.b = bab.b
+  LEFT JOIN bi bbc ON posf.b = bbc.a AND posf.c = bbc.b
+  LEFT JOIN uni ub ON posf.b = ub.tok
+  LEFT JOIN uni uc ON posf.c = uc.tok
+  CROSS JOIN tot
+), agg AS (
+  SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_trigrams,
+         round(avg(-ln(p)), 6) AS nll
+  FROM scored GROUP BY doc_id, lang
+)
+SELECT doc_id, lang, n_trigrams, nll,
+       CASE ntile(3) OVER (PARTITION BY lang ORDER BY nll, doc_id)
+         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+       END AS ppl_bucket
+FROM agg
+""",
+)
+def q_text_ppl_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity buckets (lm.ccnet_ppl_buckets, Wenzek et al.
+    2019) — the top rung of the corpus-LM quality ladder above
+    text_unigram_logprob / text_bigram_logprob, and the first with a
+    REAL train/apply split: an interpolated trigram LM (JM smoothing
+    over trigram/bigram/unigram + a uniform OOV floor) trains on the
+    reference slice doc_id % 5 = 0 (the "Wikipedia side"), scores
+    every document's mean negative log-likelihood, and splits each
+    language into head/middle/tail terciles (ntile + id tiebreak —
+    deterministic under the 6-decimal rounding; LLaMA's pipeline keeps
+    head+middle). nll is log-perplexity, so no exp crosses the oracle
+    hash. Plan: vocab-sized count tables from the reference slice
+    join back to exploded positions (AQE broadcasts; at 100 TB cap to
+    top-K grams), one per-doc mean, one doc-level per-lang window —
+    the production path swaps the window for approx_percentile
+    thresholds (lm.ppl_bucket_approx, pinned in test_lm.py)."""
+    docs = spread(load(spark, "documents", sf_dir), "doc_id").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    ref = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+    return lm.ccnet_ppl_buckets(docs, "text", "doc_id", "lang", ref)
 
 
 # Deterministic HTML wrapper for the extraction entry: the synthetic
@@ -7121,6 +7213,13 @@ _OVERFLOW = [
     # for r13)
     "multimodal_video_frames",
     "multimodal_video_neardup",
+    # r12 addition (CCNet stage): reference-trained trigram LM +
+    # per-lang perplexity terciles — count-table-join-back mechanics ≈
+    # in-window text_bigram_logprob (same gram explode + vocab-sized
+    # join-back, one order deeper + a real train/apply split); the
+    # per-lang ntile ≈ in-window topk_per_key_skew_salted's
+    # rank-within-key selection (rotation candidate for r13)
+    "text_ppl_ccnet",
 ]
 
 # Rows-only entries promoted INTO the driver's 50-entry gate window.
