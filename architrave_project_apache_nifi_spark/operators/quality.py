@@ -308,3 +308,155 @@ def score_quality(
         id_col,
         vector_to_array("probability")[1].alias("quality_prob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-level Naive-Bayes classifier (r12): the bag-of-words sibling of
+# the feature-based logistic model above — the shape fastText-style
+# quality classifiers (GPT-3 Appendix A, LLaMA §2.1) actually use:
+# every TOKEN carries a learned weight, so the model discovers
+# "lorem"/"{"-like junk markers from the weak labels instead of relying
+# on hand-picked ratios. Multinomial NB is the closed-form member of
+# that family (token weight = smoothed log-likelihood ratio; document
+# score = sum over token positions + prior), which keeps training a
+# pair of hash aggregates — no iterative fitting — and makes the whole
+# pipeline ANSI-SQL-expressible for the DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+
+def nb_token_model(
+    labeled: DataFrame,
+    text_col: str,
+    label_col: str,
+    alpha: float = 1.0,
+) -> tuple[DataFrame, DataFrame]:
+    """Train multinomial Naive Bayes from a 0/1 ``label_col``:
+    returns (``llr``, ``meta``) where ``llr`` is the per-token weight
+    table (tok, llr) with
+
+        llr(tok) = ln((c1 + a) / (T1 + a·V)) − ln((c0 + a) / (T0 + a·V))
+
+    (c_y = token count in class y, T_y = class token total, V = joint
+    vocabulary, a = Laplace ``alpha``) and ``meta`` is one row
+    (``prior_odds`` = ln(n1/n0) over docs, ``default_llr`` = the
+    alpha-only weight for tokens unseen in training).
+
+    Scale: one token explode → one vocabulary-sized hash aggregate
+    (conditional sums give both class counts in a single pass), one
+    two-scalar totals row, one doc-count row; the weight table is
+    vocabulary-sized (cap to top-K + ``default_llr`` at 100 TB) and
+    broadcast-joins back in scoring."""
+    from .dedup import tokens
+
+    y = F.col(label_col).cast("int")
+    base = labeled.select(
+        y.alias("__y"),
+        F.filter(tokens(F.col(text_col)), lambda x: x != "").alias("__toks"),
+    )
+    cnt = (
+        base.select("__y", F.explode("__toks").alias("tok"))
+        .groupBy("tok")
+        .agg(
+            F.sum(F.col("__y")).alias("c1"),
+            F.sum(F.lit(1) - F.col("__y")).alias("c0"),
+        )
+    )
+    tot = cnt.agg(
+        F.sum("c1").cast("double").alias("t1"),
+        F.sum("c0").cast("double").alias("t0"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    a = F.lit(float(alpha))
+    llr_expr = F.log((F.col("c1") + a) / (F.col("t1") + a * F.col("v"))) - F.log(
+        (F.col("c0") + a) / (F.col("t0") + a * F.col("v"))
+    )
+    llr = cnt.join(F.broadcast(tot)).select("tok", llr_expr.alias("llr"))
+    docs = base.agg(
+        F.sum("__y").cast("double").alias("n1"),
+        F.sum(F.lit(1) - F.col("__y")).cast("double").alias("n0"),
+    )
+    meta = docs.join(tot).select(
+        F.log(F.col("n1") / F.col("n0")).alias("prior_odds"),
+        (
+            F.log(a / (F.col("t1") + a * F.col("v")))
+            - F.log(a / (F.col("t0") + a * F.col("v")))
+        ).alias("default_llr"),
+    )
+    return llr, meta
+
+
+def nb_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    llr: DataFrame,
+    meta: DataFrame,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Score documents under a trained NB model: (``id_col``,
+    *carry_cols*, ``n_tokens``, ``log_odds``, ``pred_keep``) with
+    ``log_odds`` = prior + Σ per-position llr (unseen tokens get
+    ``default_llr``), rounded to 6 decimals for hash stability, and
+    ``pred_keep`` = 1 iff log_odds > 0.
+
+    One explode, one LEFT join on the vocabulary-sized weight table
+    (AQE broadcasts it), one per-doc sum — documents never shuffle
+    except that final aggregate; zero-token docs keep the bare prior
+    via the left join from the doc spine."""
+    from .dedup import tokens
+
+    carry = list(carry_cols)
+    base = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        F.filter(tokens(F.col(text_col)), lambda x: x != "").alias("__toks"),
+    )
+    pos = base.select(id_col, F.explode("__toks").alias("tok"))
+    summed = (
+        pos.join(llr, "tok", "left")
+        .join(F.broadcast(meta))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("llr"), F.col("default_llr"))).alias("__s"),
+        )
+    )
+    out = (
+        base.select(id_col, *carry)
+        .join(summed, id_col, "left")
+        .join(F.broadcast(meta))
+    )
+    log_odds = F.round(
+        F.col("prior_odds") + F.coalesce(F.col("__s"), F.lit(0.0)), 6
+    )
+    return out.select(
+        id_col,
+        *carry,
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        log_odds.alias("log_odds"),
+        (log_odds > 0).cast("int").alias("pred_keep"),
+    )
+
+
+def nb_quality_classifier(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    label: Column,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """The composed weak-supervision pipeline: label every document
+    with the boolean ``label`` Column (e.g. html.c4_page_keep — the
+    heuristic gate bootstraps the model, the model generalizes beyond
+    it), train NB on the labeled corpus, score the same corpus.
+    Returns (``id_col``, ``weak_label``, ``n_tokens``, ``log_odds``,
+    ``pred_keep``)."""
+    labeled = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        label.cast("int").alias("weak_label"),
+    )
+    llr, meta = nb_token_model(labeled, text_col, "weak_label", alpha)
+    return nb_score(
+        labeled, text_col, id_col, llr, meta, carry_cols=("weak_label",)
+    )

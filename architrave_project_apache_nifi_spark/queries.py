@@ -1372,6 +1372,106 @@ def q_text_ppl_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.ccnet_ppl_buckets(docs, "text", "doc_id", "lang", ref)
 
 
+@register(
+    "quality_classifier_nb",
+    r"""
+WITH s AS (
+  SELECT doc_id,
+         'Intro sentence number one. ' || text
+           || (CASE WHEN doc_id % 3 = 0
+                    THEN ' Then a second one! And a third?'
+                    WHEN doc_id % 3 = 1 THEN ' Then a second one.'
+                    ELSE '' END)
+           || (CASE WHEN doc_id % 7 = 0 THEN ' lorem ipsum filler' ELSE '' END)
+           || (CASE WHEN doc_id % 11 = 0 THEN ' if (x) { y(); }' ELSE '' END)
+           AS page
+  FROM documents
+), lab AS (
+  SELECT doc_id,
+         CAST(CASE WHEN CAST(len(regexp_extract_all(page, '[.!?]+(\s+|$)'))
+                         AS INT) >= 3
+                    AND NOT contains(lower(page), 'lorem ipsum')
+                    AND NOT (contains(page, '{') OR contains(page, '}'))
+              THEN 1 ELSE 0 END AS INT) AS weak_label,
+         list_filter(string_split_regex(lower(trim(page)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM s
+), tokc AS (
+  SELECT weak_label AS y, unnest(toks) AS tok FROM lab
+), cnt AS (
+  SELECT tok, CAST(sum(y) AS BIGINT) AS c1,
+         CAST(sum(1 - y) AS BIGINT) AS c0
+  FROM tokc GROUP BY tok
+), tot AS (
+  SELECT CAST(sum(c1) AS DOUBLE) AS t1, CAST(sum(c0) AS DOUBLE) AS t0,
+         CAST(count(*) AS DOUBLE) AS v
+  FROM cnt
+), llr AS (
+  SELECT tok,
+         ln((c1 + 1.0) / (t1 + v)) - ln((c0 + 1.0) / (t0 + v)) AS w
+  FROM cnt CROSS JOIN tot
+), nd AS (
+  SELECT CAST(sum(weak_label) AS DOUBLE) AS n1,
+         CAST(sum(1 - weak_label) AS DOUBLE) AS n0
+  FROM lab
+), meta AS (
+  SELECT ln(n1 / n0) AS prior_odds,
+         ln(1.0 / (t1 + v)) - ln(1.0 / (t0 + v)) AS default_llr
+  FROM nd CROSS JOIN tot
+), pos AS (
+  SELECT doc_id, unnest(toks) AS tok FROM lab
+), summed AS (
+  SELECT pos.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         sum(coalesce(llr.w, meta.default_llr)) AS sc
+  FROM pos LEFT JOIN llr ON pos.tok = llr.tok CROSS JOIN meta
+  GROUP BY pos.doc_id
+)
+SELECT lab.doc_id, lab.weak_label,
+       coalesce(summed.n_tokens, 0) AS n_tokens,
+       round(meta.prior_odds + coalesce(summed.sc, 0.0), 6) AS log_odds,
+       CAST(CASE WHEN round(meta.prior_odds + coalesce(summed.sc, 0.0), 6) > 0
+                 THEN 1 ELSE 0 END AS INT) AS pred_keep
+FROM lab LEFT JOIN summed ON lab.doc_id = summed.doc_id CROSS JOIN meta
+""",
+)
+def q_quality_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level Naive-Bayes quality classifier
+    (quality.nb_quality_classifier) — the bag-of-words sibling of the
+    feature-based logistic rung (r9) and the closed-form member of the
+    fastText-classifier family (GPT-3 Appendix A / LLaMA §2.1): the
+    C4 page gate weak-labels the corpus (same deterministic sentence/
+    marker/brace scaffold as in-window text_c4_page_rules, so the
+    class-0 docs really contain the junk tokens), multinomial NB
+    learns per-token log-likelihood ratios in one vocabulary-sized
+    hash aggregate (no iterative fit), and every document scores as
+    prior + Σ position llr. Plan: explode → vocab-sized weight join
+    (AQE broadcast; cap to top-K + default_llr at 100 TB) → per-doc
+    sum; documents never shuffle except that aggregate."""
+    from .operators.html import c4_page_keep
+    from .operators.quality import nb_quality_classifier
+
+    docs = spread(load(spark, "documents", sf_dir), "doc_id")
+    page = F.concat(
+        F.lit("Intro sentence number one. "),
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.lit(" Then a second one! And a third?")
+        )
+        .when(F.col("doc_id") % 3 == 1, F.lit(" Then a second one."))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" lorem ipsum filler")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" if (x) { y(); }")).otherwise(
+            F.lit("")
+        ),
+    )
+    paged = docs.select("doc_id", page.alias("page"))
+    return nb_quality_classifier(
+        paged, "page", "doc_id", c4_page_keep(F.col("page"))
+    )
+
+
 # Deterministic HTML wrapper for the extraction entry: the synthetic
 # corpus is plain text, so both sides wrap each document in the SAME
 # markup (script with < > operators, style block, comment, entities,
@@ -7220,6 +7320,13 @@ _OVERFLOW = [
     # per-lang ntile ≈ in-window topk_per_key_skew_salted's
     # rank-within-key selection (rotation candidate for r13)
     "text_ppl_ccnet",
+    # r12 addition (fastText-shape quality classifier): weak-label →
+    # closed-form NB train → token-weight join-back scoring — the same
+    # vocab-sized count-table mechanics as in-window
+    # text_bigram_logprob / entering text_ppl_ccnet, with the weak
+    # label riding in-window text_c4_page_rules' exact scaffold
+    # (rotation candidate for r13)
+    "quality_classifier_nb",
 ]
 
 # Rows-only entries promoted INTO the driver's 50-entry gate window.
