@@ -184,3 +184,82 @@ def dsir_resample(
         "*",
         (F.col("__score") >= F.lit(kth)).cast("int").alias("selected"),
     ).withColumnRenamed("__score", "gumbel_score")
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style domain reweighting (r12): where DSIR picks DOCUMENTS
+# that look like the target, DoReMi (Xie et al., "DoReMi: Optimizing
+# Data Mixtures Speeds Up Language Model Pretraining", NeurIPS 2023)
+# picks DOMAIN WEIGHTS from measured loss: domains where the proxy
+# model's loss exceeds the reference get upweighted by exponentiated
+# gradient. The full recipe interleaves weight updates with proxy
+# TRAINING steps; the closed-form member implemented here is one EG
+# round with the engine's reference-trained trigram LM standing in as
+# the loss oracle (lm.trigram_nll = per-doc NLL), which is exactly the
+# shape the paper's update rule takes between steps:
+#
+#     w_d  ∝  b_d · exp(eta · max(L_d − L̄, 0))        (normalized)
+#
+# b_d = baseline token share of domain d, L_d = mean per-position NLL
+# of domain d, L̄ = the corpus doc-mean (the "reference loss" — excess
+# below it is clipped to 0, the paper's non-negative excess). Feed the
+# resulting weights straight into sampling.temperature_rates /
+# token_budget_filter / weighted_sample to materialize the new mix.
+# ---------------------------------------------------------------------------
+
+
+def doremi_domain_weights(
+    scored: DataFrame,
+    domain_col: str,
+    nll_col: str = "nll",
+    tokens_col: str = "n_trigrams",
+    eta: float = 1.0,
+) -> DataFrame:
+    """One exponentiated-gradient reweighting round over per-doc LM
+    scores (the output shape of ``lm.trigram_nll`` with the domain in
+    ``carry_cols``): returns one row per domain —
+
+    (``domain_col``, ``n_docs``, ``n_tokens``, ``mean_nll``,
+    ``excess``, ``weight``)
+
+    with ``mean_nll`` the doc-mean NLL, ``excess`` = max(mean_nll −
+    corpus doc-mean, 0), and ``weight`` the normalized tilted share
+    b_d·exp(eta·excess) / Σ. All three reported floats round to 6
+    decimals (the family hash-stability discipline); the
+    normalization uses unrounded intermediates.
+
+    Scale: the input is doc-level (already reduced from tokens); one
+    hash aggregate to domain granularity (tens of rows — partial
+    map-side combine absorbs everything), one broadcast of the
+    two-scalar corpus row, one broadcast of the one-row normalizer.
+    Nothing here grows with the corpus."""
+    dom = scored.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(tokens_col)).alias("n_tokens"),
+        F.avg(F.col(nll_col)).alias("__mean"),
+    )
+    glob = scored.agg(
+        F.avg(F.col(nll_col)).alias("__gmean"),
+        F.sum(F.col(tokens_col)).cast("double").alias("__gtok"),
+    )
+    excess = F.greatest(F.col("__mean") - F.col("__gmean"), F.lit(0.0))
+    tilted = dom.join(F.broadcast(glob)).select(
+        domain_col,
+        "n_docs",
+        "n_tokens",
+        F.col("__mean"),
+        excess.alias("__excess"),
+        (
+            (F.col("n_tokens") / F.col("__gtok"))
+            * F.exp(F.lit(float(eta)) * excess)
+        ).alias("__tilt"),
+    )
+    norm = tilted.agg(F.sum("__tilt").alias("__z"))
+    return tilted.join(F.broadcast(norm)).select(
+        domain_col,
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("__mean"), 6).alias("mean_nll"),
+        F.round(F.col("__excess"), 6).alias("excess"),
+        F.round(F.col("__tilt") / F.col("__z"), 6).alias("weight"),
+    )

@@ -1472,6 +1472,108 @@ def q_quality_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mixture_doremi_weights",
+    """
+WITH base AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), ref AS (
+  SELECT toks FROM base WHERE (doc_id % 5) = 0
+), rtok AS (
+  SELECT unnest(toks) AS tok FROM ref
+), uni AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c1 FROM rtok GROUP BY tok
+), tot AS (
+  SELECT CAST(sum(c1) AS DOUBLE) AS t, CAST(count(*) AS DOUBLE) AS v
+  FROM uni
+), rpair AS (
+  SELECT unnest(list_transform(range(0, greatest(len(toks) - 1, 0)),
+         i -> struct_pack(a := toks[CAST(i + 1 AS INT)],
+                          b := toks[CAST(i + 2 AS INT)]))) AS p
+  FROM ref
+), bi AS (
+  SELECT p.a AS a, p.b AS b, CAST(count(*) AS BIGINT) AS c2
+  FROM rpair GROUP BY 1, 2
+), rtri AS (
+  SELECT unnest(list_transform(range(0, greatest(len(toks) - 2, 0)),
+         i -> struct_pack(a := toks[CAST(i + 1 AS INT)],
+                          b := toks[CAST(i + 2 AS INT)],
+                          c := toks[CAST(i + 3 AS INT)]))) AS p
+  FROM ref
+), tri AS (
+  SELECT p.a AS a, p.b AS b, p.c AS c, CAST(count(*) AS BIGINT) AS c3
+  FROM rtri GROUP BY 1, 2, 3
+), pos AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(0, greatest(len(toks) - 2, 0)),
+         i -> struct_pack(a := toks[CAST(i + 1 AS INT)],
+                          b := toks[CAST(i + 2 AS INT)],
+                          c := toks[CAST(i + 3 AS INT)]))) AS p
+  FROM base
+), posf AS (
+  SELECT doc_id, source, p.a AS a, p.b AS b, p.c AS c FROM pos
+), scored AS (
+  SELECT posf.doc_id, posf.source,
+         0.5 * coalesce(CAST(tri.c3 AS DOUBLE) / bab.c2, 0.0)
+       + 0.3 * coalesce(CAST(bbc.c2 AS DOUBLE) / ub.c1, 0.0)
+       + 0.15 * coalesce(CAST(uc.c1 AS DOUBLE) / tot.t, 0.0)
+       + 0.05 / (tot.v + 1) AS p
+  FROM posf
+  LEFT JOIN tri ON posf.a = tri.a AND posf.b = tri.b AND posf.c = tri.c
+  LEFT JOIN bi bab ON posf.a = bab.a AND posf.b = bab.b
+  LEFT JOIN bi bbc ON posf.b = bbc.a AND posf.c = bbc.b
+  LEFT JOIN uni ub ON posf.b = ub.tok
+  LEFT JOIN uni uc ON posf.c = uc.tok
+  CROSS JOIN tot
+), agg AS (
+  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_trigrams,
+         round(avg(-ln(p)), 6) AS nll
+  FROM scored GROUP BY doc_id, source
+), dom AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_trigrams) AS BIGINT) AS n_tokens,
+         avg(nll) AS m
+  FROM agg GROUP BY source
+), g AS (
+  SELECT avg(nll) AS gm, CAST(sum(n_trigrams) AS DOUBLE) AS gtok FROM agg
+), tilt AS (
+  SELECT source, n_docs, n_tokens, m,
+         greatest(m - g.gm, 0.0) AS ex,
+         (n_tokens / g.gtok) * exp(greatest(m - g.gm, 0.0)) AS w
+  FROM dom CROSS JOIN g
+), z AS (
+  SELECT sum(w) AS z FROM tilt
+)
+SELECT source, n_docs, n_tokens, round(m, 6) AS mean_nll,
+       round(ex, 6) AS excess, round(w / z.z, 6) AS weight
+FROM tilt CROSS JOIN z
+""",
+)
+def q_mixture_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi domain reweighting (selection.doremi_domain_weights, Xie
+    et al. NeurIPS 2023) — the missing link between the LM scores and
+    the mixture samplers: where DSIR picks DOCUMENTS that look like
+    the target, this picks DOMAIN WEIGHTS from measured loss. One
+    exponentiated-gradient round: the reference-trained trigram LM
+    (same model as text_ppl_ccnet) scores every doc's NLL, domains
+    with above-average loss tilt up by b_d·exp(eta·excess), weights
+    normalize to 1 and feed temperature_rates / token_budget_filter /
+    weighted_sample. Plan: doc-level scores → one domain-granularity
+    hash agg (tens of rows) → two broadcast scalars; nothing past the
+    scoring grows with the corpus."""
+    from .operators.selection import doremi_domain_weights
+
+    docs = spread(load(spark, "documents", sf_dir), "doc_id").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    ref = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+    scored = lm.trigram_nll(docs, "text", "doc_id", ref, carry_cols=("source",))
+    return doremi_domain_weights(scored, "source", eta=1.0)
+
+
 # Deterministic HTML wrapper for the extraction entry: the synthetic
 # corpus is plain text, so both sides wrap each document in the SAME
 # markup (script with < > operators, style block, comment, entities,
@@ -7327,6 +7429,12 @@ _OVERFLOW = [
     # label riding in-window text_c4_page_rules' exact scaffold
     # (rotation candidate for r13)
     "quality_classifier_nb",
+    # r12 addition (DoReMi EG round): doc-level LM scores → domain
+    # hash agg + two broadcast scalars — the scoring half is
+    # text_ppl_ccnet's exact lineage (entering above); the domain-agg
+    # + normalize ≈ in-window stratified_sample_by_lang's per-stratum
+    # rate table mechanics (rotation candidate for r13)
+    "mixture_doremi_weights",
 ]
 
 # Rows-only entries promoted INTO the driver's 50-entry gate window.
