@@ -7,8 +7,10 @@ in — record framing parse) → HTML boilerplate extraction (tag strip +
 C4 line gate) → Gopher-rule gate (well-formedness + the §A1.1
 repetition suite) → normalization → bigram-LM quality floor → exact
 dedup → MinHash-LSH near-dup clustering (bands picked by lsh_plan,
-keep-best canonicalization) → benchmark decontamination → DSIR
-importance selection (target-distribution resampling) → temperature
+keep-best canonicalization) → benchmark decontamination → CCNet
+perplexity gate (reference-trained trigram LM, keep head+middle) →
+DSIR importance selection (target-distribution resampling) → DoReMi
+domain reweighting (EG round over the same LM's losses) → temperature
 mixture sampling — the pipeline a 100 TB pretraining corpus runs, here
 on the sf0.001 documents table.
 """
@@ -26,6 +28,7 @@ from architrave_project_apache_nifi_spark.operators import (
 )
 from architrave_project_apache_nifi_spark.operators import dedup as dd
 from architrave_project_apache_nifi_spark.operators import html as html_ops
+from architrave_project_apache_nifi_spark.operators import lm as lmod
 from architrave_project_apache_nifi_spark.operators import sampling as sp
 from architrave_project_apache_nifi_spark.operators import selection as sel
 from architrave_project_apache_nifi_spark.operators import textanalysis as ta
@@ -209,6 +212,23 @@ def main() -> None:
     # explode+joins+agg lineage pays once regardless of the caller.)
     clean = clean.localCheckpoint(eager=True)
     target = clean.filter(F.col("lang") == "en").select("doc_id", "text")
+
+    # 4b. CCNet perplexity gate (Wenzek et al. 2019): trigram LM
+    # trained on the reference slice scores every survivor; keep
+    # head+middle per language (the LLaMA recipe). ONE scoring pass
+    # carries both lang (for the bucket) and source (reused by the
+    # DoReMi round below); the approx-percentile bucketer is the
+    # production path — no global sort.
+    ppl_scores = lmod.trigram_nll(
+        clean, "text", "doc_id", target, carry_cols=("lang", "source")
+    )
+    bucketed = lmod.ppl_bucket_approx(ppl_scores, "nll", ("lang",))
+    kept_scores = bucketed.filter(F.col("ppl_bucket") != "tail")
+    clean = clean.join(
+        kept_scores.select("doc_id"), "doc_id", "left_semi"
+    )
+    n4b = clean.count()
+
     weights = sel.dsir_logweights(clean, target, "doc_id", "text")
     picked = sel.dsir_resample(
         weights, "doc_id", k=max(1, int(n4 * 0.8))
@@ -220,7 +240,16 @@ def main() -> None:
     )
     n5 = clean.count()
 
-    # 6. temperature mixture (α=0.5) across languages
+    # 6. DoReMi domain weights (Xie et al. 2023): one EG round over
+    # the SAME LM scores computed in 4b — domains the reference model
+    # finds lossy tilt up; feed these into weighted/budgeted sampling
+    # when the mixture is specified by domain.
+    dw = sel.doremi_domain_weights(
+        kept_scores.join(clean.select("doc_id"), "doc_id", "left_semi"),
+        "source",
+    )
+
+    # 7. temperature mixture (α=0.5) across languages
     rates = sp.temperature_rates(clean, ["lang"], alpha=0.5)
     final = sp.stratified_sample(clean, rates.select("lang", "rate"), ["lang"], "doc_id")
     n6 = final.count()
@@ -230,8 +259,11 @@ def main() -> None:
     print(f"exact-dedup  {n2}")
     print(f"near-dedup   {n3}")
     print(f"decontam     {n4}")
+    print(f"ppl-gate     {n4b}")
     print(f"dsir-select  {n5}")
     print(f"sampled      {n6}")
+    print("doremi domain weights (top 5):")
+    dw.orderBy(F.desc("weight")).show(5)
     final.groupBy("lang").count().orderBy("lang").show()
 
 
