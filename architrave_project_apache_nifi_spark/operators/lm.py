@@ -152,9 +152,26 @@ def trigram_nll(
     tables; at 100 TB cap to top-K grams), one broadcast of the
     two-scalar totals row, one per-doc aggregate. Documents never
     shuffle except that final mean."""
+    return trigram_nll_with(
+        df, text_col, id_col, lm_counts(ref, text_col), carry_cols, lams
+    )
+
+
+def trigram_nll_with(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    model: tuple[DataFrame, DataFrame, DataFrame, DataFrame],
+    carry_cols: tuple[str, ...] = (),
+    lams: tuple[float, float, float, float] = LM_LAMBDAS,
+) -> DataFrame:
+    """:func:`trigram_nll` against an already-trained ``model`` (the
+    :func:`lm_counts` tuple) — the artifact form: train once on the
+    reference, score many corpora / micro-batches against the same
+    checkpointed tables (the streaming gate's stream-static join)."""
     l3, l2, l1, l0 = lams
     carry = [F.col(c) for c in carry_cols]
-    uni, bi, tri, totals = lm_counts(ref, text_col)
+    uni, bi, tri, totals = model
 
     base = df.select(
         F.col(id_col), *carry, _clean_tokens(F.col(text_col)).alias("__toks")

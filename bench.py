@@ -168,6 +168,12 @@ HEADLINE = [
     # (decode -> dHash -> band join -> Hamming verify at sf0.1's 5k
     # images); records its own first-run baseline
     "multimodal_image_neardup",
+    # r12 session 2: the CCNet perplexity stage joins the headline —
+    # reference-slice trigram LM train (3 checkpointed vocab aggs) +
+    # corpus scoring + per-lang bucketing, timed end-to-end (train is
+    # part of the stage's real cost); records its own first-run
+    # baseline
+    "text_ppl_ccnet",
     "window_running_spend",
     "rollup_events",
 ]
