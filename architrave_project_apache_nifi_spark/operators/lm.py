@@ -285,3 +285,33 @@ def ccnet_ppl_buckets(
     if exact:
         return ppl_bucket_exact(scored, "nll", id_col, (lang_col,))
     return ppl_bucket_approx(scored, "nll", (lang_col,))
+
+
+def lm_save(
+    model: tuple[DataFrame, DataFrame, DataFrame, DataFrame], path: str
+) -> None:
+    """Persist the trained LM (the :func:`lm_counts` tuple) as parquet
+    — the train-once/serve-many artifact convention (``ivfpq_save``,
+    ``ivf_save``): reference models are fit on a cadence, then many
+    scoring runs (and the streaming gate) load the same frozen tables.
+    ``totals`` materializes to its one row so a load never re-derives
+    it from uni's lineage."""
+    uni, bi, tri, totals = model
+    uni.write.mode("overwrite").parquet(f"{path}/uni")
+    bi.write.mode("overwrite").parquet(f"{path}/bi")
+    tri.write.mode("overwrite").parquet(f"{path}/tri")
+    totals.coalesce(1).write.mode("overwrite").parquet(f"{path}/totals")
+
+
+def lm_load(
+    spark, path: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Load a persisted LM for :func:`trigram_nll_with` — parquet
+    scans, no recomputation; the vocab-sized tables broadcast into the
+    scoring joins exactly like the freshly-trained form."""
+    return (
+        spark.read.parquet(f"{path}/uni"),
+        spark.read.parquet(f"{path}/bi"),
+        spark.read.parquet(f"{path}/tri"),
+        spark.read.parquet(f"{path}/totals"),
+    )

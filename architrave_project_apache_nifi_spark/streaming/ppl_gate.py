@@ -147,3 +147,25 @@ def run_ppl_gate_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def ppl_gate_save(model: PplGateModel, path: str) -> None:
+    """Persist the full gate artifact (LM tables + thresholds) — the
+    deployment form: fit on a cadence offline, load in the streaming
+    job. Same parquet-artifact convention as ``lm_save``."""
+    from ..operators.lm import lm_save
+
+    lm_save(model[:4], f"{path}/lm")
+    model.thresholds.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/thresholds"
+    )
+
+
+def ppl_gate_load(spark, path: str) -> PplGateModel:
+    """Load a persisted gate artifact for ``run_ppl_gate_stream``."""
+    from ..operators.lm import lm_load
+
+    return PplGateModel(
+        *lm_load(spark, f"{path}/lm"),
+        spark.read.parquet(f"{path}/thresholds"),
+    )

@@ -142,3 +142,30 @@ def test_model_matches_batch_operator_buckets(spark, model):
         ).collect()
     }
     assert stream_buckets == batch_buckets
+
+
+def test_artifact_save_load_roundtrip(spark, model, tmp_path):
+    """A loaded artifact scores every row identically to the in-memory
+    one — the deployment contract (fit offline, load in the stream)."""
+    from architrave_project_apache_nifi_spark.streaming.ppl_gate import (
+        ppl_gate_load,
+        ppl_gate_save,
+    )
+
+    path = str(tmp_path / "artifact")
+    ppl_gate_save(model, path)
+    loaded = ppl_gate_load(spark, path)
+    batch = _df(
+        spark,
+        [(1, "en", "the cat sat on the mat"), (2, "en", "xx yy zz aa"),
+         (3, "en", "too short"), (4, "xx", "the cat sat on the mat")],
+    )
+    mem = {
+        (r["doc_id"], r["nll"], r["ppl_bucket"])
+        for r in score_batch(batch, model, "text", "doc_id", "lang").collect()
+    }
+    disk = {
+        (r["doc_id"], r["nll"], r["ppl_bucket"])
+        for r in score_batch(batch, loaded, "text", "doc_id", "lang").collect()
+    }
+    assert mem == disk
