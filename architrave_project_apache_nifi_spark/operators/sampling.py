@@ -534,3 +534,56 @@ def negative_pairs(
         ).otherwise(F.col("__cand")),
     )
     return adjusted.join(ranked, "__cand").select(id_col, "neg_id", "slot")
+
+
+def token_budget_filter_weighted(
+    df: DataFrame,
+    stratum_cols: list[str],
+    id_col: str,
+    n_tokens_col,
+    budgets: DataFrame,
+    budget_col: str = "budget",
+    **kwargs,
+) -> DataFrame:
+    """Per-STRATUM token budgets — the form a DoReMi/temperature
+    mixture actually specifies ("web gets 120B tokens, wiki 40B"),
+    where :func:`token_budget_filter` caps every stratum at one shared
+    number. ``budgets`` is (stratum_cols → ``budget_col``), e.g.
+    ``doremi_token_budgets`` output.
+
+    Reuses the scalar filter's entire cumulative machinery (including
+    the auto skew-protected bucketed window) with an unreachable
+    sentinel budget, then re-derives ``in_budget`` against the
+    stratum's own bound — the cumulative sums are budget-independent,
+    so this costs one broadcast join over the mixture-sized budget
+    table and nothing else. Returns the scalar form's columns plus
+    ``budget``."""
+    out = token_budget_filter(
+        df, stratum_cols, id_col, n_tokens_col, budget=1 << 62, **kwargs
+    ).drop("in_budget")
+    bud = budgets.select(
+        *stratum_cols, F.col(budget_col).cast("bigint").alias("budget")
+    )
+    return out.join(F.broadcast(bud), stratum_cols).withColumn(
+        "in_budget",
+        (F.col("cum_tokens") <= F.col("budget")).cast("int"),
+    )
+
+
+def doremi_token_budgets(
+    weights: DataFrame,
+    domain_col: str,
+    total_budget: int,
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Materialize DoReMi weights as per-domain token budgets:
+    ``budget_d = round(w_d × total_budget)`` — the bridge from
+    ``selection.doremi_domain_weights`` to
+    :func:`token_budget_filter_weighted`. Mixture-sized (tens of
+    rows)."""
+    return weights.select(
+        domain_col,
+        F.round(F.col(weight_col) * F.lit(float(total_budget)))
+        .cast("bigint")
+        .alias("budget"),
+    )

@@ -1574,6 +1574,128 @@ def q_mixture_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doremi_domain_weights(scored, "source", eta=1.0)
 
 
+_DOREMI_TOTAL_BUDGET = 20_000
+
+
+@register(
+    "mixture_doremi_budget_cut",
+    """
+WITH base AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), ref AS (
+  SELECT toks FROM base WHERE (doc_id % 5) = 0
+), rtok AS (
+  SELECT unnest(toks) AS tok FROM ref
+), uni AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c1 FROM rtok GROUP BY tok
+), tot AS (
+  SELECT CAST(sum(c1) AS DOUBLE) AS t, CAST(count(*) AS DOUBLE) AS v
+  FROM uni
+), rpair AS (
+  SELECT unnest(list_transform(range(0, greatest(len(toks) - 1, 0)),
+         i -> struct_pack(a := toks[CAST(i + 1 AS INT)],
+                          b := toks[CAST(i + 2 AS INT)]))) AS p
+  FROM ref
+), bi AS (
+  SELECT p.a AS a, p.b AS b, CAST(count(*) AS BIGINT) AS c2
+  FROM rpair GROUP BY 1, 2
+), rtri AS (
+  SELECT unnest(list_transform(range(0, greatest(len(toks) - 2, 0)),
+         i -> struct_pack(a := toks[CAST(i + 1 AS INT)],
+                          b := toks[CAST(i + 2 AS INT)],
+                          c := toks[CAST(i + 3 AS INT)]))) AS p
+  FROM ref
+), tri AS (
+  SELECT p.a AS a, p.b AS b, p.c AS c, CAST(count(*) AS BIGINT) AS c3
+  FROM rtri GROUP BY 1, 2, 3
+), pos AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(0, greatest(len(toks) - 2, 0)),
+         i -> struct_pack(a := toks[CAST(i + 1 AS INT)],
+                          b := toks[CAST(i + 2 AS INT)],
+                          c := toks[CAST(i + 3 AS INT)]))) AS p
+  FROM base
+), posf AS (
+  SELECT doc_id, source, p.a AS a, p.b AS b, p.c AS c FROM pos
+), scored AS (
+  SELECT posf.doc_id, posf.source,
+         0.5 * coalesce(CAST(tri.c3 AS DOUBLE) / bab.c2, 0.0)
+       + 0.3 * coalesce(CAST(bbc.c2 AS DOUBLE) / ub.c1, 0.0)
+       + 0.15 * coalesce(CAST(uc.c1 AS DOUBLE) / tot.t, 0.0)
+       + 0.05 / (tot.v + 1) AS p
+  FROM posf
+  LEFT JOIN tri ON posf.a = tri.a AND posf.b = tri.b AND posf.c = tri.c
+  LEFT JOIN bi bab ON posf.a = bab.a AND posf.b = bab.b
+  LEFT JOIN bi bbc ON posf.b = bbc.a AND posf.c = bbc.b
+  LEFT JOIN uni ub ON posf.b = ub.tok
+  LEFT JOIN uni uc ON posf.c = uc.tok
+  CROSS JOIN tot
+), agg AS (
+  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_trigrams,
+         round(avg(-ln(p)), 6) AS nll
+  FROM scored GROUP BY doc_id, source
+), dom AS (
+  SELECT source, CAST(sum(n_trigrams) AS BIGINT) AS n_tokens, avg(nll) AS m
+  FROM agg GROUP BY source
+), g AS (
+  SELECT avg(nll) AS gm, CAST(sum(n_trigrams) AS DOUBLE) AS gtok FROM agg
+), tilt AS (
+  SELECT source,
+         (n_tokens / g.gtok) * exp(greatest(m - g.gm, 0.0)) AS w
+  FROM dom CROSS JOIN g
+), z AS (
+  SELECT sum(w) AS z FROM tilt
+), bud AS (
+  SELECT source,
+         CAST(round(round(w / z.z, 6) * 20000) AS BIGINT) AS budget
+  FROM tilt CROSS JOIN z
+), cum AS (
+  SELECT doc_id, source, n_trigrams AS n_tokens,
+         sum(n_trigrams) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum_tokens
+  FROM agg
+)
+SELECT cum.source, cum.doc_id, cum.n_tokens, cum.cum_tokens, bud.budget,
+       CAST(CASE WHEN cum.cum_tokens <= bud.budget THEN 1 ELSE 0 END AS INT)
+         AS in_budget
+FROM cum JOIN bud ON cum.source = bud.source
+""",
+)
+def q_mixture_doremi_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DoReMi loop closed end-to-end (sampling.doremi_token_budgets
+    + token_budget_filter_weighted): the EG-round weights materialize
+    as per-domain TOKEN budgets (w_d × a fixed 20k-token total) and
+    cut each source in deterministic doc_id order — the form a
+    training mixture is actually specified in. Reuses the scalar
+    budget filter's entire cumulative machinery (incl. the r7 skew
+    bucketing contract) with the per-stratum bound applied by one
+    broadcast join over the mixture-sized budget table. Token counts
+    here are the LM's trigram positions (the costing the weights were
+    derived from — one lineage, no whitespace-vs-model divergence)."""
+    from .operators.sampling import (
+        doremi_token_budgets,
+        token_budget_filter_weighted,
+    )
+    from .operators.selection import doremi_domain_weights
+
+    docs = spread(load(spark, "documents", sf_dir), "doc_id").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    ref = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+    scored = lm.trigram_nll(
+        docs, "text", "doc_id", ref, carry_cols=("source",)
+    ).localCheckpoint(eager=True)
+    dw = doremi_domain_weights(scored, "source", eta=1.0)
+    budgets = doremi_token_budgets(dw, "source", _DOREMI_TOTAL_BUDGET)
+    return token_budget_filter_weighted(
+        scored, ["source"], "doc_id", F.col("n_trigrams"), budgets
+    )
+
+
 # Deterministic HTML wrapper for the extraction entry: the synthetic
 # corpus is plain text, so both sides wrap each document in the SAME
 # markup (script with < > operators, style block, comment, entities,
@@ -7435,6 +7557,13 @@ _OVERFLOW = [
     # + normalize ≈ in-window stratified_sample_by_lang's per-stratum
     # rate table mechanics (rotation candidate for r13)
     "mixture_doremi_weights",
+    # r12 addition: the DoReMi loop closed — weights → per-domain
+    # budgets → weighted cumulative cut; the cut mechanics are
+    # in-window token_budget_skew_salted's exact machinery (the
+    # weighted variant reuses the scalar filter's window + skew
+    # bucketing, asserted in test_doremi.py) over the
+    # mixture_doremi_weights lineage (rotation candidate for r13)
+    "mixture_doremi_budget_cut",
 ]
 
 # Rows-only entries promoted INTO the driver's 50-entry gate window.

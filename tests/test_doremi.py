@@ -10,6 +10,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from architrave_project_apache_nifi_spark.operators.selection import (
     doremi_domain_weights,
@@ -99,3 +100,62 @@ def test_eta_zero_recovers_token_shares(spark):
     for d in ("wiki", "web", "books"):
         share = sum(n for _, dd, n, _ in ROWS if dd == d) / gtok
         assert out[d] == pytest.approx(share, abs=2e-6)
+
+
+def test_weighted_budget_filter_matches_python(spark):
+    from architrave_project_apache_nifi_spark.operators.sampling import (
+        doremi_token_budgets,
+        token_budget_filter_weighted,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "web" if i % 2 else "wiki", 10 + i) for i in range(20)],
+        "doc_id long, source string, n_trigrams long",
+    )
+    weights = spark.createDataFrame(
+        [("web", 0.75), ("wiki", 0.25)], "source string, weight double"
+    )
+    budgets = doremi_token_budgets(weights, "source", 200)
+    assert {
+        r["source"]: r["budget"] for r in budgets.collect()
+    } == {"web": 150, "wiki": 50}
+    out = token_budget_filter_weighted(
+        docs, ["source"], "doc_id", F.col("n_trigrams"), budgets
+    ).collect()
+    # python reference: cumulative in doc_id order per source
+    cums: dict[str, int] = {}
+    expected = {}
+    for i in range(20):
+        src = "web" if i % 2 else "wiki"
+        cums[src] = cums.get(src, 0) + 10 + i
+        expected[i] = (cums[src], 1 if cums[src] <= (150 if src == "web" else 50) else 0)
+    for r in out:
+        assert (r["cum_tokens"], r["in_budget"]) == expected[r["doc_id"]], r
+    # the cut respects each stratum's OWN bound — some wiki doc must be
+    # out while a later web doc is still in
+    by = {r["doc_id"]: r["in_budget"] for r in out}
+    assert by[4] == 1 and by[6] == 0  # wiki (cum 36 → 52) crosses 50
+    assert by[9] == 1  # web still under 150
+
+
+def test_weighted_budget_filter_keeps_scalar_columns(spark):
+    """The weighted variant returns the scalar filter's exact columns
+    plus budget — callers filter in_budget identically."""
+    from architrave_project_apache_nifi_spark.operators.sampling import (
+        token_budget_filter,
+        token_budget_filter_weighted,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "a", 5) for i in range(6)],
+        "doc_id long, source string, n long",
+    )
+    budgets = spark.createDataFrame([("a", 15)], "source string, budget long")
+    w = token_budget_filter_weighted(
+        docs, ["source"], "doc_id", F.col("n"), budgets
+    )
+    s = token_budget_filter(docs, ["source"], "doc_id", F.col("n"), 15)
+    assert set(w.columns) == set(s.columns) | {"budget"}
+    assert {
+        (r["doc_id"], r["cum_tokens"], r["in_budget"]) for r in w.collect()
+    } == {(r["doc_id"], r["cum_tokens"], r["in_budget"]) for r in s.collect()}
