@@ -81,7 +81,7 @@ def _pos_structs(toks: Column, n: int) -> Column:
 
 
 def lm_counts(
-    ref: DataFrame, text_col: str
+    ref: DataFrame, text_col: str, max_vocab: int | None = None
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Train the trigram model: (uni, bi, tri, totals) count tables
     from the reference slice. ``uni`` = (tok, c1); ``bi`` = (a, b,
@@ -98,7 +98,18 @@ def lm_counts(
     plan (AQE's ReusedExchange recovers only part of it — measured 9
     residual scans at sf0.01). Materializing the three vocab-sized
     tables costs one reference pass each and makes every reuse read
-    partitions, not lineage."""
+    partitions, not lineage.
+
+    ``max_vocab`` is the promised 100 TB bound: keep only the top-K
+    most frequent entries of EACH table (count-desc, gram tiebreak —
+    deterministic), so the broadcast stays K-rows regardless of corpus
+    vocabulary. Scoring needs no special casing — dropped grams simply
+    miss their left join and fall through the interpolation to the
+    lower orders / the OOV floor, exactly like genuinely-unseen grams.
+    ``totals`` (T, V) always reflects the UNCAPPED reference, keeping
+    the unigram term a true probability and the floor denominator the
+    real vocabulary size; the caps are built FROM the checkpointed
+    full tables (vocab-sized sorts, no corpus rescan)."""
     base = ref.select(_clean_tokens(F.col(text_col)).alias("__toks"))
     uni = (
         base.select(F.explode("__toks").alias("tok"))
@@ -126,6 +137,22 @@ def lm_counts(
         .agg(F.count(F.lit(1)).alias("c3"))
         .localCheckpoint(eager=True)
     )
+    if max_vocab is not None:
+        uni = (
+            uni.orderBy(F.desc("c1"), "tok")
+            .limit(int(max_vocab))
+            .localCheckpoint(eager=True)
+        )
+        bi = (
+            bi.orderBy(F.desc("c2"), "a", "b")
+            .limit(int(max_vocab))
+            .localCheckpoint(eager=True)
+        )
+        tri = (
+            tri.orderBy(F.desc("c3"), "a", "b", "c")
+            .limit(int(max_vocab))
+            .localCheckpoint(eager=True)
+        )
     return uni, bi, tri, totals
 
 

@@ -324,11 +324,22 @@ def score_quality(
 # ---------------------------------------------------------------------------
 
 
+def _nb_feature(tok, num_buckets: int | None):
+    """Raw token string, or its hashed bucket (the fastText trick —
+    DSIR's exact contract: the weight table is ``num_buckets``-sized
+    regardless of vocabulary; collisions merge counts, the documented
+    trade, and hashed == raw whenever collision-free)."""
+    if num_buckets is None:
+        return tok
+    return F.pmod(F.xxhash64(tok), F.lit(int(num_buckets)))
+
+
 def nb_token_model(
     labeled: DataFrame,
     text_col: str,
     label_col: str,
     alpha: float = 1.0,
+    num_buckets: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Train multinomial Naive Bayes from a 0/1 ``label_col``:
     returns (``llr``, ``meta``) where ``llr`` is the per-token weight
@@ -344,8 +355,9 @@ def nb_token_model(
     Scale: one token explode → one vocabulary-sized hash aggregate
     (conditional sums give both class counts in a single pass), one
     two-scalar totals row, one doc-count row; the weight table is
-    vocabulary-sized (cap to top-K + ``default_llr`` at 100 TB) and
-    broadcast-joins back in scoring."""
+    vocabulary-sized and broadcast-joins back in scoring — or, with
+    ``num_buckets``, HASHED-feature-sized regardless of vocabulary
+    (the 100 TB bound; pass the same value to :func:`nb_score`)."""
     from .dedup import tokens
 
     y = F.col(label_col).cast("int")
@@ -354,7 +366,8 @@ def nb_token_model(
         F.filter(tokens(F.col(text_col)), lambda x: x != "").alias("__toks"),
     )
     cnt = (
-        base.select("__y", F.explode("__toks").alias("tok"))
+        base.select("__y", F.explode("__toks").alias("__tk"))
+        .select("__y", _nb_feature(F.col("__tk"), num_buckets).alias("tok"))
         .groupBy("tok")
         .agg(
             F.sum(F.col("__y")).alias("c1"),
@@ -392,6 +405,7 @@ def nb_score(
     llr: DataFrame,
     meta: DataFrame,
     carry_cols: tuple[str, ...] = (),
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """Score documents under a trained NB model: (``id_col``,
     *carry_cols*, ``n_tokens``, ``log_odds``, ``pred_keep``) with
@@ -411,7 +425,9 @@ def nb_score(
         *[F.col(c) for c in carry],
         F.filter(tokens(F.col(text_col)), lambda x: x != "").alias("__toks"),
     )
-    pos = base.select(id_col, F.explode("__toks").alias("tok"))
+    pos = base.select(id_col, F.explode("__toks").alias("__tk")).select(
+        id_col, _nb_feature(F.col("__tk"), num_buckets).alias("tok")
+    )
     summed = (
         pos.join(llr, "tok", "left")
         .join(F.broadcast(meta))
@@ -444,6 +460,7 @@ def nb_quality_classifier(
     id_col: str,
     label: Column,
     alpha: float = 1.0,
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """The composed weak-supervision pipeline: label every document
     with the boolean ``label`` Column (e.g. html.c4_page_keep — the
@@ -456,7 +473,15 @@ def nb_quality_classifier(
         F.col(text_col),
         label.cast("int").alias("weak_label"),
     )
-    llr, meta = nb_token_model(labeled, text_col, "weak_label", alpha)
+    llr, meta = nb_token_model(
+        labeled, text_col, "weak_label", alpha, num_buckets
+    )
     return nb_score(
-        labeled, text_col, id_col, llr, meta, carry_cols=("weak_label",)
+        labeled,
+        text_col,
+        id_col,
+        llr,
+        meta,
+        carry_cols=("weak_label",),
+        num_buckets=num_buckets,
     )

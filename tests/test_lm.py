@@ -166,3 +166,44 @@ def test_ccnet_composition_carries_lang_and_buckets(spark):
     # row = bucket 1 = head
     de = [r for r in rows if r["lang"] == "de"]
     assert len(de) == 1 and de[0]["ppl_bucket"] == "head"
+
+
+def test_max_vocab_cap_recovers_uncapped_when_large(spark):
+    ref = _mk_docs(spark, REF_ROWS)
+    targets = _mk_docs(spark, [(1, "en", "the cat sat on a log today")])
+    full = lm.trigram_nll_with(
+        targets, "text", "doc_id", lm.lm_counts(ref, "text")
+    ).collect()[0]["nll"]
+    capped = lm.trigram_nll_with(
+        targets, "text", "doc_id", lm.lm_counts(ref, "text", max_vocab=10_000)
+    ).collect()[0]["nll"]
+    assert capped == full
+
+
+def test_max_vocab_cap_degrades_to_lower_orders_not_errors(spark):
+    """Dropped grams fall through the interpolation exactly like
+    unseen grams: with a tiny cap every doc still scores finite, and
+    the capped NLL can only be >= the full model's (less probability
+    mass resolved at higher orders)."""
+    ref = _mk_docs(spark, REF_ROWS)
+    targets = _mk_docs(
+        spark,
+        [(1, "en", "the cat sat on the mat"), (2, "en", "a dog sat on a log")],
+    )
+    counts = lm.lm_counts(ref, "text", max_vocab=3)
+    uni, bi, tri, _ = counts
+    assert uni.count() == 3 and bi.count() == 3 and tri.count() == 3
+    full = {
+        r["doc_id"]: r["nll"]
+        for r in lm.trigram_nll_with(
+            targets, "text", "doc_id", lm.lm_counts(ref, "text")
+        ).collect()
+    }
+    capped = {
+        r["doc_id"]: r["nll"]
+        for r in lm.trigram_nll_with(
+            targets, "text", "doc_id", counts
+        ).collect()
+    }
+    for d in full:
+        assert capped[d] is not None and capped[d] >= full[d]

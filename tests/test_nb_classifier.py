@@ -121,3 +121,38 @@ def test_composed_pipeline_carries_weak_label(spark):
     }
     for doc_id, y, _ in ROWS:
         assert rows[doc_id]["weak_label"] == y
+
+
+def test_hashed_features_match_raw_when_collision_free(spark):
+    """DSIR's hashed-feature contract, mirrored: with enough buckets
+    the hashed model reproduces the raw one's log-odds exactly (the
+    weight table just keys on buckets), and junk-token learning
+    survives."""
+    labeled = _labeled(spark)
+    raw_llr, raw_meta = nb_token_model(labeled, "text", "weak_label")
+    h_llr, h_meta = nb_token_model(
+        labeled, "text", "weak_label", num_buckets=1 << 20
+    )
+    assert h_llr.count() == raw_llr.count()  # collision-free
+    raw = {
+        r["doc_id"]: r["log_odds"]
+        for r in nb_score(labeled, "text", "doc_id", raw_llr, raw_meta).collect()
+    }
+    hashed = {
+        r["doc_id"]: r["log_odds"]
+        for r in nb_score(
+            labeled, "text", "doc_id", h_llr, h_meta, num_buckets=1 << 20
+        ).collect()
+    }
+    assert hashed == raw
+
+
+def test_hashed_features_tiny_buckets_still_finite(spark):
+    """Collisions merge counts (the documented trade) but scores stay
+    finite and the separable fixture still classifies."""
+    labeled = _labeled(spark)
+    llr, meta = nb_token_model(labeled, "text", "weak_label", num_buckets=8)
+    out = nb_score(
+        labeled, "text", "doc_id", llr, meta, num_buckets=8
+    ).collect()
+    assert all(r["log_odds"] is not None for r in out)
