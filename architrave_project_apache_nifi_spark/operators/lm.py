@@ -25,9 +25,10 @@ with every count drawn from the reference slice, missing counts
 contributing 0 (the floor ``l0/(V+1)`` keeps P strictly positive for
 any token, seen or not), T = reference token count, V = reference
 vocabulary size. Deliberately ANSI-SQL-expressible (like the whole
-textanalysis family) so the DuckDB oracle replicates it bit-for-bit;
-Kneser-Ney's continuation counts would add two more count tables but
-no new distribution shape.
+textanalysis family) so the DuckDB oracle replicates it bit-for-bit.
+:func:`kn_trigram_nll` is the stronger sibling — interpolated
+Kneser-Ney (the smoothing KenLM implements and CCNet actually runs),
+whose continuation counts derive from the same checkpointed tables.
 
 Scale (the same documented plan as ``bigram_logprob``, one rung up):
 the three count tables aggregate once at vocabulary size over the
@@ -341,4 +342,136 @@ def lm_load(
         spark.read.parquet(f"{path}/bi"),
         spark.read.parquet(f"{path}/tri"),
         spark.read.parquet(f"{path}/totals"),
+    )
+
+
+#: Absolute discount for Kneser-Ney (the standard 0.75) and the
+#: uniform escape mass keeping P strictly positive for any token.
+KN_DISCOUNT = 0.75
+KN_EPSILON = 0.05
+
+
+def kn_counts(
+    ref: DataFrame, text_col: str
+) -> tuple[DataFrame, ...]:
+    """Kneser-Ney count tables from the reference slice: the
+    :func:`lm_counts` tuple PLUS the continuation statistics the KN
+    recursion needs — ``ncont`` (c → N1+(·,c): distinct left contexts,
+    the "how many kinds of bigrams end in c" count that replaces raw
+    frequency at the unigram level), ``n1p_b`` (b → N1+(b,·): distinct
+    continuations of b), ``n1p_ab`` ((a,b) → N1+(a,b,·)), and
+    ``kn_totals`` (one row: n_bigram_types). Every table derives from
+    the already-checkpointed uni/bi/tri by vocabulary-sized aggregates
+    — no extra reference pass."""
+    uni, bi, tri, totals = lm_counts(ref, text_col)
+    ncont = (
+        bi.groupBy(F.col("b").alias("c"))
+        .agg(F.count(F.lit(1)).alias("ncont"))
+        .localCheckpoint(eager=True)
+    )
+    n1p_b = (
+        bi.groupBy(F.col("a").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n1p_b"))
+        .localCheckpoint(eager=True)
+    )
+    n1p_ab = (
+        tri.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n1p_ab"))
+        .localCheckpoint(eager=True)
+    )
+    kn_totals = bi.agg(
+        F.count(F.lit(1)).cast("double").alias("nbig")
+    )
+    return uni, bi, tri, totals, ncont, n1p_b, n1p_ab, kn_totals
+
+
+def kn_trigram_nll(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    ref: DataFrame,
+    carry_cols: tuple[str, ...] = (),
+    discount: float = KN_DISCOUNT,
+    eps: float = KN_EPSILON,
+) -> DataFrame:
+    """Interpolated Kneser-Ney trigram NLL (Kneser & Ney 1995; Chen &
+    Goodman 1999 eq. 4.x — the smoothing family KenLM implements and
+    CCNet's filter actually runs), the stronger sibling of the
+    Jelinek-Mercer :func:`trigram_nll`:
+
+        P1(c)      = N1+(·,c) / n_bigram_types        (continuation)
+        P2(c | b)  = max(c2(b,c)−D, 0)/c1(b)
+                   + D·N1+(b,·)/c1(b) · P1(c)
+        P3(c|a,b)  = max(c3(a,b,c)−D, 0)/c2(a,b)
+                   + D·N1+(a,b,·)/c2(a,b) · P2(c | b)
+        P          = (1−eps)·P3 + eps/(V+1)           (uniform escape)
+
+    An unseen context backs off wholesale (c2(a,b)=0 → P3:=P2;
+    c1(b)=0 → P2:=P1), exactly the KN recursion; the engineering
+    deviation is the explicit ``eps`` escape to the uniform floor in
+    place of KenLM's <unk> token — it keeps P strictly positive for
+    any input and is documented rather than hidden in vocabulary
+    handling. Returns (``id_col``, *carry_cols*, ``n_trigrams``,
+    ``nll``), same rounding discipline as the JM form.
+
+    Plan: the same explode + vocabulary-sized broadcast joins as
+    :func:`trigram_nll` with three continuation tables added (derived
+    from the checkpointed uni/bi/tri, no extra reference pass), one
+    per-doc mean."""
+    uni, bi, tri, totals, ncont, n1p_b, n1p_ab, kn_totals = kn_counts(
+        ref, text_col
+    )
+    d = F.lit(float(discount))
+    e = F.lit(float(eps))
+    carry = [F.col(c) for c in carry_cols]
+
+    base = df.select(
+        F.col(id_col), *carry, _clean_tokens(F.col(text_col)).alias("__toks")
+    )
+    pos = base.select(
+        id_col, *carry_cols, F.explode(_pos_structs(F.col("__toks"), 3)).alias("p")
+    ).select(
+        id_col,
+        *carry_cols,
+        F.col("p.t0").alias("a"),
+        F.col("p.t1").alias("b"),
+        F.col("p.t2").alias("c"),
+    )
+
+    bi_ab = bi.select("a", "b", F.col("c2").alias("__c2ab"))
+    bi_bc = bi.select(
+        F.col("a").alias("b"), F.col("b").alias("c"), F.col("c2").alias("__c2bc")
+    )
+    uni_b = uni.select(F.col("tok").alias("b"), F.col("c1").alias("__c1b"))
+
+    j = (
+        pos.join(tri, ["a", "b", "c"], "left")
+        .join(bi_ab, ["a", "b"], "left")
+        .join(bi_bc, ["b", "c"], "left")
+        .join(uni_b, "b", "left")
+        .join(ncont, "c", "left")
+        .join(n1p_b, "b", "left")
+        .join(n1p_ab, ["a", "b"], "left")
+        .join(F.broadcast(totals))
+        .join(F.broadcast(kn_totals))
+    )
+    p1 = F.coalesce(F.col("ncont").cast("double") / F.col("nbig"), F.lit(0.0))
+    c1b = F.col("__c1b").cast("double")
+    p2 = F.when(
+        F.col("__c1b").isNull(), p1
+    ).otherwise(
+        F.greatest(F.coalesce(F.col("__c2bc").cast("double"), F.lit(0.0)) - d, F.lit(0.0)) / c1b
+        + d * F.coalesce(F.col("n1p_b").cast("double"), F.lit(0.0)) / c1b * p1
+    )
+    c2ab = F.col("__c2ab").cast("double")
+    p3 = F.when(
+        F.col("__c2ab").isNull(), p2
+    ).otherwise(
+        F.greatest(F.coalesce(F.col("c3").cast("double"), F.lit(0.0)) - d, F.lit(0.0)) / c2ab
+        + d * F.coalesce(F.col("n1p_ab").cast("double"), F.lit(0.0)) / c2ab * p2
+    )
+    p = (F.lit(1.0) - e) * p3 + e / (F.col("v") + 1)
+    return j.groupBy(id_col, *carry_cols).agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.round(F.avg(-F.log(p)), 6).alias("nll"),
     )

@@ -1574,6 +1574,108 @@ def q_mixture_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doremi_domain_weights(scored, "source", eta=1.0)
 
 
+@register(
+    "text_ppl_kneser_ney",
+    """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), ref AS (
+  SELECT toks FROM base WHERE (doc_id % 5) = 0
+), rtok AS (
+  SELECT unnest(toks) AS tok FROM ref
+), uni AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c1 FROM rtok GROUP BY tok
+), tot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS v FROM uni
+), rpair AS (
+  SELECT unnest(list_transform(range(0, greatest(len(toks) - 1, 0)),
+         i -> struct_pack(a := toks[CAST(i + 1 AS INT)],
+                          b := toks[CAST(i + 2 AS INT)]))) AS p
+  FROM ref
+), bi AS (
+  SELECT p.a AS a, p.b AS b, CAST(count(*) AS BIGINT) AS c2
+  FROM rpair GROUP BY 1, 2
+), rtri AS (
+  SELECT unnest(list_transform(range(0, greatest(len(toks) - 2, 0)),
+         i -> struct_pack(a := toks[CAST(i + 1 AS INT)],
+                          b := toks[CAST(i + 2 AS INT)],
+                          c := toks[CAST(i + 3 AS INT)]))) AS p
+  FROM ref
+), tri AS (
+  SELECT p.a AS a, p.b AS b, p.c AS c, CAST(count(*) AS BIGINT) AS c3
+  FROM rtri GROUP BY 1, 2, 3
+), ncont AS (
+  SELECT b AS c, CAST(count(*) AS BIGINT) AS ncont FROM bi GROUP BY b
+), npb AS (
+  SELECT a AS b, CAST(count(*) AS BIGINT) AS n1p_b FROM bi GROUP BY a
+), nab AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS n1p_ab FROM tri GROUP BY a, b
+), knt AS (
+  SELECT CAST(count(*) AS DOUBLE) AS nbig FROM bi
+), pos AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, greatest(len(toks) - 2, 0)),
+         i -> struct_pack(a := toks[CAST(i + 1 AS INT)],
+                          b := toks[CAST(i + 2 AS INT)],
+                          c := toks[CAST(i + 3 AS INT)]))) AS p
+  FROM base
+), posf AS (
+  SELECT doc_id, p.a AS a, p.b AS b, p.c AS c FROM pos
+), j AS (
+  SELECT posf.doc_id, tri.c3, bab.c2 AS c2ab, bbc.c2 AS c2bc,
+         ub.c1 AS c1b, nc.ncont, npb.n1p_b, nab.n1p_ab, tot.v, knt.nbig
+  FROM posf
+  LEFT JOIN tri ON posf.a = tri.a AND posf.b = tri.b AND posf.c = tri.c
+  LEFT JOIN bi bab ON posf.a = bab.a AND posf.b = bab.b
+  LEFT JOIN bi bbc ON posf.b = bbc.a AND posf.c = bbc.b
+  LEFT JOIN uni ub ON posf.b = ub.tok
+  LEFT JOIN ncont nc ON posf.c = nc.c
+  LEFT JOIN npb ON posf.b = npb.b
+  LEFT JOIN nab ON posf.a = nab.a AND posf.b = nab.b
+  CROSS JOIN tot CROSS JOIN knt
+), s1 AS (
+  SELECT *, coalesce(CAST(ncont AS DOUBLE) / nbig, 0.0) AS p1 FROM j
+), s2 AS (
+  SELECT *, CASE WHEN c1b IS NULL THEN p1
+            ELSE greatest(coalesce(CAST(c2bc AS DOUBLE), 0.0) - 0.75, 0.0)
+                   / c1b
+               + 0.75 * coalesce(CAST(n1p_b AS DOUBLE), 0.0) / c1b * p1
+            END AS p2
+  FROM s1
+), s3 AS (
+  SELECT *, CASE WHEN c2ab IS NULL THEN p2
+            ELSE greatest(coalesce(CAST(c3 AS DOUBLE), 0.0) - 0.75, 0.0)
+                   / c2ab
+               + 0.75 * coalesce(CAST(n1p_ab AS DOUBLE), 0.0) / c2ab * p2
+            END AS p3
+  FROM s2
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       round(avg(-ln(0.95 * p3 + 0.05 / (v + 1))), 6) AS nll
+FROM s3 GROUP BY doc_id
+""",
+)
+def q_text_ppl_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney trigram NLL (lm.kn_trigram_nll, Kneser
+    & Ney 1995 / Chen & Goodman 1999) — the smoothing KenLM implements
+    and CCNet's filter actually runs, next to the JM sibling
+    text_ppl_ccnet: continuation counts replace raw frequency at the
+    unigram level (N1+(·,c)/n_bigram_types), absolute discount D=0.75
+    redistributes to lower orders, unseen contexts back off wholesale,
+    and an explicit eps=0.05 uniform escape stands in for KenLM's
+    <unk>. Same plan family: three extra vocabulary-sized continuation
+    tables derived from the checkpointed counts (no extra reference
+    pass), eight broadcast joins, one per-doc mean."""
+    docs = spread(load(spark, "documents", sf_dir), "doc_id").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    ref = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+    return lm.kn_trigram_nll(docs, "text", "doc_id", ref)
+
+
 _DOREMI_TOTAL_BUDGET = 20_000
 
 
@@ -7564,6 +7666,11 @@ _OVERFLOW = [
     # bucketing, asserted in test_doremi.py) over the
     # mixture_doremi_weights lineage (rotation candidate for r13)
     "mixture_doremi_budget_cut",
+    # r12 addition: interpolated Kneser-Ney NLL — the same count-table
+    # join-back mechanics as text_ppl_ccnet (entering above) with
+    # three continuation tables added; the KN recursion is the new
+    # surface (rotation candidate for r13)
+    "text_ppl_kneser_ney",
 ]
 
 # Rows-only entries promoted INTO the driver's 50-entry gate window.

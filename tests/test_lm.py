@@ -207,3 +207,103 @@ def test_max_vocab_cap_degrades_to_lower_orders_not_errors(spark):
     }
     for d in full:
         assert capped[d] is not None and capped[d] >= full[d]
+
+
+def _py_kn_nll(text: str, d=0.75, eps=0.05) -> tuple[int, float]:
+    uni, bi, tri = _py_counts()
+    v = float(len(uni))
+    nbig = float(len(bi))
+    ncont: dict[str, int] = {}
+    n1p_b: dict[str, int] = {}
+    for (a, b) in bi:
+        ncont[b] = ncont.get(b, 0) + 1
+        n1p_b[a] = n1p_b.get(a, 0) + 1
+    n1p_ab: dict[tuple, int] = {}
+    for (a, b, c) in tri:
+        n1p_ab[(a, b)] = n1p_ab.get((a, b), 0) + 1
+    toks = text.lower().split()
+    logs = []
+    for a, b, c in zip(toks, toks[1:], toks[2:]):
+        p1 = ncont.get(c, 0) / nbig
+        if b in uni:
+            c1b = uni[b]
+            p2 = (
+                max(bi.get((b, c), 0) - d, 0.0) / c1b
+                + d * n1p_b.get(b, 0) / c1b * p1
+            )
+        else:
+            p2 = p1
+        if (a, b) in bi:
+            c2ab = bi[(a, b)]
+            p3 = (
+                max(tri.get((a, b, c), 0) - d, 0.0) / c2ab
+                + d * n1p_ab.get((a, b), 0) / c2ab * p2
+            )
+        else:
+            p3 = p2
+        p = (1 - eps) * p3 + eps / (v + 1)
+        logs.append(-math.log(p))
+    return len(logs), round(sum(logs) / len(logs), 6)
+
+
+def test_kn_trigram_nll_matches_python_reference(spark):
+    ref = _mk_docs(spark, REF_ROWS)
+    targets = [
+        (1, "en", "the cat sat on the mat"),  # fully in-model
+        (2, "en", "the cat sat on a log"),  # mixed / backoff
+        (3, "en", "fish the cat sat"),  # unseen context (a,b) backoff
+        (4, "en", "zz qq ww rr"),  # fully OOV — escape floor only
+    ]
+    out = {
+        r["doc_id"]: (r["n_trigrams"], r["nll"])
+        for r in lm.kn_trigram_nll(
+            _mk_docs(spark, targets), "text", "doc_id", ref
+        ).collect()
+    }
+    for doc_id, _, text in targets:
+        n_exp, nll_exp = _py_kn_nll(text)
+        n_got, nll_got = out[doc_id]
+        assert n_got == n_exp
+        assert nll_got == pytest.approx(nll_exp, abs=2e-6), text
+
+
+def test_kn_probabilities_sum_to_at_most_one_per_context(spark):
+    """Smoothing sanity: for a seen context (a,b), summing the KN
+    P(c|a,b) over the full reference vocabulary stays <= 1 (the
+    discount redistributes, never inflates; the escape adds eps·V/(V+1)
+    of extra mass bounded by eps)."""
+    uni, bi, tri = _py_counts()
+    d, eps = 0.75, 0.05
+    v = float(len(uni))
+    nbig = float(len(bi))
+    ncont: dict[str, int] = {}
+    n1p_b: dict[str, int] = {}
+    for (a, b) in bi:
+        ncont[b] = ncont.get(b, 0) + 1
+        n1p_b[a] = n1p_b.get(a, 0) + 1
+    n1p_ab: dict[tuple, int] = {}
+    for k in tri:
+        n1p_ab[(k[0], k[1])] = n1p_ab.get((k[0], k[1]), 0) + 1
+    a, b = "the", "cat"  # seen context
+    total = 0.0
+    for c in uni:
+        p1 = ncont.get(c, 0) / nbig
+        c1b = uni[b]
+        p2 = max(bi.get((b, c), 0) - d, 0.0) / c1b + d * n1p_b[b] / c1b * p1
+        c2ab = bi[(a, b)]
+        p3 = max(tri.get((a, b, c), 0) - d, 0.0) / c2ab + d * n1p_ab[(a, b)] / c2ab * p2
+        total += (1 - eps) * p3 + eps / (v + 1)
+    assert total <= 1.0 + 1e-9
+
+
+def test_kn_oov_doc_scores_exactly_the_escape_floor(spark):
+    """A fully out-of-vocabulary document backs off through every
+    level to P1=0 and lands exactly on the eps/(V+1) escape — the KN
+    twin of the JM floor test."""
+    ref = _mk_docs(spark, REF_ROWS)
+    uni, _, _ = _py_counts()
+    floor_nll = round(-math.log(lm.KN_EPSILON / (len(uni) + 1)), 6)
+    row = lm.kn_trigram_nll(
+        _mk_docs(spark, [(9, "en", "zz qq ww")]), "text", "doc_id", ref
+    ).collect()[0]
+    assert row["nll"] == pytest.approx(floor_nll, abs=2e-6)
