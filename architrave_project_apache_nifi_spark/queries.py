@@ -1756,9 +1756,10 @@ WITH base AS (
   FROM tilt CROSS JOIN z
 ), cum AS (
   SELECT doc_id, source, n_trigrams AS n_tokens,
-         sum(n_trigrams) OVER (PARTITION BY source ORDER BY doc_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING
-                               AND CURRENT ROW) AS cum_tokens
+         CAST(sum(n_trigrams) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens
   FROM agg
 )
 SELECT cum.source, cum.doc_id, cum.n_tokens, cum.cum_tokens, bud.budget,
