@@ -47,8 +47,11 @@ def pair_set_metrics(
     n_t = t.count()
     n_c = p.join(t, ["a", "b"], "left_semi").count()
     spark = predicted.sparkSession
-    row = spark.createDataFrame(
-        [(n_p, n_t, n_c)], "n_predicted long, n_truth long, n_common long"
+    from ..tables import local_df
+
+    # local_df (r12): one-row LocalTableScan, no Python stage per eval
+    row = local_df(
+        spark, [(n_p, n_t, n_c)], "n_predicted long, n_truth long, n_common long"
     )
     prec = F.when(F.col("n_predicted") > 0, F.col("n_common") / F.col("n_predicted"))
     rec = F.when(F.col("n_truth") > 0, F.col("n_common") / F.col("n_truth"))

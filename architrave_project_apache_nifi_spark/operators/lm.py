@@ -110,34 +110,51 @@ def lm_counts(
     ``totals`` (T, V) always reflects the UNCAPPED reference, keeping
     the unigram term a true probability and the floor denominator the
     real vocabulary size; the caps are built FROM the checkpointed
-    full tables (vocab-sized sorts, no corpus rescan)."""
-    base = ref.select(_clean_tokens(F.col(text_col)).alias("__toks"))
-    uni = (
-        base.select(F.explode("__toks").alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("c1"))
+    full tables (vocab-sized sorts, no corpus rescan).
+
+    r12 (optimization): the three tables come from ONE reference pass.
+    Every position i emits a padded window struct (a=tok[i],
+    b=tok[i+1]|NULL, c=tok[i+2]|NULL) and a single ``rollup(a, b, c)``
+    aggregates all three gram orders in one shuffle — uni is the (a)
+    grouping over every position, bi the (a,b) rows whose window had a
+    second token, tri the (a,b,c) rows with a third (real tokens are
+    never NULL after ``_clean_tokens``, so a NULL key can only mean
+    padding and ``grouping_id`` + null filters split exactly). One
+    explode + one shuffle + one eager checkpoint replaces three of
+    each — same counts, 3× fewer reference passes (this used to be
+    three tokenize+explode+shuffle+checkpoint jobs per train)."""
+    toks = _clean_tokens(F.col(text_col))
+    empty = F.array().cast("array<struct<a:string,b:string,c:string>>")
+    padded = F.when(F.size(toks) < 1, empty).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.get(toks, i).alias("a"),
+                F.get(toks, i + 1).alias("b"),
+                F.get(toks, i + 2).alias("c"),
+            ),
+        )
+    )
+    pos = ref.select(F.explode(padded).alias("p")).select("p.a", "p.b", "p.c")
+    grams = (
+        pos.rollup("a", "b", "c")
+        .agg(F.count(F.lit(1)).alias("__n"), F.grouping_id().alias("__gid"))
+        .filter(F.col("__gid") < 7)  # drop the grand-total row
         .localCheckpoint(eager=True)
+    )
+    uni = grams.filter(F.col("__gid") == 3).select(
+        F.col("a").alias("tok"), F.col("__n").alias("c1")
     )
     totals = uni.agg(
         F.sum("c1").cast("double").alias("t"),
         F.count(F.lit(1)).cast("double").alias("v"),
     )
-    bi = (
-        base.select(F.explode(_pos_structs(F.col("__toks"), 2)).alias("p"))
-        .groupBy(F.col("p.t0").alias("a"), F.col("p.t1").alias("b"))
-        .agg(F.count(F.lit(1)).alias("c2"))
-        .localCheckpoint(eager=True)
-    )
-    tri = (
-        base.select(F.explode(_pos_structs(F.col("__toks"), 3)).alias("p"))
-        .groupBy(
-            F.col("p.t0").alias("a"),
-            F.col("p.t1").alias("b"),
-            F.col("p.t2").alias("c"),
-        )
-        .agg(F.count(F.lit(1)).alias("c3"))
-        .localCheckpoint(eager=True)
-    )
+    bi = grams.filter(
+        (F.col("__gid") == 1) & F.col("b").isNotNull()
+    ).select("a", "b", F.col("__n").alias("c2"))
+    tri = grams.filter(
+        (F.col("__gid") == 0) & F.col("c").isNotNull()
+    ).select("a", "b", "c", F.col("__n").alias("c3"))
     if max_vocab is not None:
         uni = (
             uni.orderBy(F.desc("c1"), "tok")

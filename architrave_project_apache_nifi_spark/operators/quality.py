@@ -365,6 +365,11 @@ def nb_token_model(
         y.alias("__y"),
         F.filter(tokens(F.col(text_col)), lambda x: x != "").alias("__toks"),
     )
+    # localCheckpoint (r12 optimization — the lm_counts/DSIR lesson):
+    # cnt is vocabulary-sized but its lineage is the full labeled-
+    # corpus explode+aggregate; un-truncated, the scoring plan replayed
+    # that explode once for the llr build, once for tot, and once per
+    # meta reference — four corpus passes where one suffices.
     cnt = (
         base.select("__y", F.explode("__toks").alias("__tk"))
         .select("__y", _nb_feature(F.col("__tk"), num_buckets).alias("tok"))
@@ -373,6 +378,7 @@ def nb_token_model(
             F.sum(F.col("__y")).alias("c1"),
             F.sum(F.lit(1) - F.col("__y")).alias("c0"),
         )
+        .localCheckpoint(eager=True)
     )
     tot = cnt.agg(
         F.sum("c1").cast("double").alias("t1"),
@@ -388,12 +394,18 @@ def nb_token_model(
         F.sum("__y").cast("double").alias("n1"),
         F.sum(F.lit(1) - F.col("__y")).cast("double").alias("n0"),
     )
-    meta = docs.join(tot).select(
-        F.log(F.col("n1") / F.col("n0")).alias("prior_odds"),
-        (
-            F.log(a / (F.col("t1") + a * F.col("v")))
-            - F.log(a / (F.col("t0") + a * F.col("v")))
-        ).alias("default_llr"),
+    # meta is one row but its docs side is a labeled-corpus pass, and
+    # scoring broadcasts meta TWICE — checkpoint so the pass runs once
+    meta = (
+        docs.join(tot)
+        .select(
+            F.log(F.col("n1") / F.col("n0")).alias("prior_odds"),
+            (
+                F.log(a / (F.col("t1") + a * F.col("v")))
+                - F.log(a / (F.col("t0") + a * F.col("v")))
+            ).alias("default_llr"),
+        )
+        .localCheckpoint(eager=True)
     )
     return llr, meta
 
@@ -413,10 +425,15 @@ def nb_score(
     ``default_llr``), rounded to 6 decimals for hash stability, and
     ``pred_keep`` = 1 iff log_odds > 0.
 
-    One explode, one LEFT join on the vocabulary-sized weight table
-    (AQE broadcasts it), one per-doc sum — documents never shuffle
-    except that final aggregate; zero-token docs keep the bare prior
-    via the left join from the doc spine."""
+    One OUTER explode, one LEFT join on the vocabulary-sized weight
+    table (AQE broadcasts it), one per-doc sum — documents never
+    shuffle except that final aggregate. Zero-token docs ride the
+    ``explode_outer`` NULL row through the same aggregate (r12
+    optimization: this replaces a doc-spine left join that cost a
+    second corpus pass plus a sort-merge join — one corpus scan and
+    two exchanges removed, values identical: a NULL position never
+    matches the weight table, is excluded from ``n_tokens`` by
+    ``count(tok)``, and contributes nothing to the sum)."""
     from .dedup import tokens
 
     carry = list(carry_cols)
@@ -425,30 +442,37 @@ def nb_score(
         *[F.col(c) for c in carry],
         F.filter(tokens(F.col(text_col)), lambda x: x != "").alias("__toks"),
     )
-    pos = base.select(id_col, F.explode("__toks").alias("__tk")).select(
-        id_col, _nb_feature(F.col("__tk"), num_buckets).alias("tok")
+    pos = base.select(
+        id_col, *carry, F.explode_outer("__toks").alias("__tk")
+    ).select(
+        id_col,
+        *carry,
+        F.when(
+            F.col("__tk").isNotNull(), _nb_feature(F.col("__tk"), num_buckets)
+        ).alias("tok"),
     )
     summed = (
         pos.join(llr, "tok", "left")
         .join(F.broadcast(meta))
-        .groupBy(id_col)
+        .groupBy(id_col, *carry)
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(F.coalesce(F.col("llr"), F.col("default_llr"))).alias("__s"),
+            F.count(F.col("tok")).alias("n_tokens"),
+            F.sum(
+                F.when(
+                    F.col("tok").isNotNull(),
+                    F.coalesce(F.col("llr"), F.col("default_llr")),
+                )
+            ).alias("__s"),
+            F.first("prior_odds").alias("prior_odds"),
         )
-    )
-    out = (
-        base.select(id_col, *carry)
-        .join(summed, id_col, "left")
-        .join(F.broadcast(meta))
     )
     log_odds = F.round(
         F.col("prior_odds") + F.coalesce(F.col("__s"), F.lit(0.0)), 6
     )
-    return out.select(
+    return summed.select(
         id_col,
         *carry,
-        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.col("n_tokens"),
         log_odds.alias("log_odds"),
         (log_odds > 0).cast("int").alias("pred_keep"),
     )

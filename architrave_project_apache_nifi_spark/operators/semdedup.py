@@ -297,8 +297,13 @@ def kmeans_fit(
 def centroids_df(spark, model: KMeansModel) -> DataFrame:
     """Materialize a fitted model as the (centroid_id, centroid) table
     ``assign_clusters`` / ``semdedup_prune`` consume."""
+    from ..tables import local_df
+
     rows = [
         (i, [float(x) for x in model.centroids[i]])
         for i in range(model.centroids.shape[0])
     ]
-    return spark.createDataFrame(rows, "centroid_id int, centroid array<double>")
+    # local_df (r12): LocalTableScan instead of a Python RDD — the
+    # centroid table broadcasts into every assignment join, and the
+    # Python-RDD form re-ran a Python-worker stage per evaluation
+    return local_df(spark, rows, "centroid_id int, centroid array<double>")

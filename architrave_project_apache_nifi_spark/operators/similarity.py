@@ -404,6 +404,8 @@ def ivf_probe(
     ``lsh_topk`` but with data-adaptive cells."""
     import numpy as np
 
+    from ..tables import local_df
+
     id_col = index.id_col
     C = np.array(index.centroids, dtype=np.float64)
     nprobe = min(nprobe, index.nlist)
@@ -433,7 +435,10 @@ def ivf_probe(
             for cell in cells
         ]
     spark = index.assigned.sparkSession
-    qprobes = spark.createDataFrame(probed_rows, probe_schema).withColumn(
+    # local_df (r12): Arrow-backed LocalTableScan — the probe table
+    # used to be a Python RDD, costing a stage of Python-worker tasks
+    # on every probe evaluation just to unpickle ~nq·nprobe rows
+    qprobes = local_df(spark, probed_rows, probe_schema).withColumn(
         "__qn", l2_norm(F.col("__qv"))
     )
     probed_cells = sorted({cell for _, cell, _ in probed_rows})

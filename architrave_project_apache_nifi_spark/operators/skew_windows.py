@@ -39,6 +39,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..tables import local_df
+
 BUCKET = "__b"
 
 
@@ -401,7 +403,10 @@ def detect_hot_edges(
     # r7: a 20M-row pruned events scan got BroadcastExchange'd (~500 MB
     # through the driver) against this ≤100k-row table. The hint is
     # size-safe by construction: max_hot_keys × n_ts_buckets doubles.
-    return True, F.broadcast(spark.createDataFrame(rows, agg.schema))
+    # local_df (r12): Arrow LocalTableScan — the Python-RDD form ran a
+    # Python-worker stage per twin evaluation just to unpickle the
+    # bounded hot-key block
+    return True, F.broadcast(local_df(spark, rows, agg.schema))
 
 
 def _bucket_rows(
@@ -793,7 +798,10 @@ def _detect_hot_keys(
     if len(rows) > max_hot_keys:
         return True, None
     spark = df.sparkSession
-    return True, F.broadcast(spark.createDataFrame(rows, agg.schema))
+    # local_df (r12): Arrow LocalTableScan — the Python-RDD form ran a
+    # Python-worker stage per twin evaluation just to unpickle the
+    # bounded hot-key block
+    return True, F.broadcast(local_df(spark, rows, agg.schema))
 
 
 def topk_per_key(

@@ -601,10 +601,16 @@ def bigram_logprob(
     toks = F.filter(tokens(text), lambda x: x != "")
     base = df.select(F.col(id_col), toks.alias("__toks"))
 
+    # localCheckpoint (r12 optimization — the lm_counts lesson): uni is
+    # vocabulary-sized but referenced THREE times below (ua, ub, total)
+    # and bi once more; un-truncated lineage re-ran the corpus
+    # tokenize+explode+aggregate for every reference — the initial plan
+    # carried five full document scans, no exchange reuse.
     uni = (
         base.select(F.explode("__toks").alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
     total = uni.agg(F.sum("c").cast("double").alias("t"))
 
@@ -621,7 +627,11 @@ def bigram_logprob(
     pairs = base.select(id_col, F.explode(pair_arr).alias("p")).select(
         id_col, F.col("p.a").alias("a"), F.col("p.b").alias("b")
     )
-    bi = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c2"))
+    bi = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint(eager=True)
+    )
 
     ua = uni.select(F.col("tok").alias("a"), F.col("c").alias("ca"))
     ub = uni.select(F.col("tok").alias("b"), F.col("c").alias("cb"))

@@ -42,7 +42,7 @@ from .operators.scd2 import (
     scd2_invariants,
     scd2_split_late,
 )
-from .tables import load, spread
+from .tables import load, local_df, spread
 
 
 @dataclass(frozen=True)
@@ -943,7 +943,14 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
     )
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # localCheckpoint (r12 optimization — the lm_counts lesson): freq
+    # is vocab-sized but referenced twice (the scoring join and total),
+    # so un-truncated lineage re-ran the corpus explode+agg per use
+    freq = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     total = freq.agg(F.sum("c").cast("double").alias("t"))
     return (
         toks.join(freq, "tok")  # vocab is unbounded at 100 TB: AQE decides
@@ -2523,8 +2530,8 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes, zero corpus shuffles). The oracle runs the identical
     arithmetic in SQL."""
     docs = load(spark, "documents", sf_dir)
-    rates = spark.createDataFrame(
-        [("en", 0.5), ("de", 0.25), ("fr", 0.125)], "lang string, rate double"
+    rates = local_df(
+        spark, [("en", 0.5), ("de", 0.25), ("fr", 0.125)], "lang string, rate double"
     )
     return sp.stratified_sample(
         docs, rates, ["lang"], "doc_id", default_rate=0.0625
@@ -5666,7 +5673,8 @@ def q_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     after a broadcast rates join — no shuffle
     (operators/sampling.py::replicate_by_rate)."""
     docs = load(spark, "documents", sf_dir)
-    rates = spark.createDataFrame(
+    rates = local_df(
+        spark,
         [("de", 2.4), ("zh", 2.0), ("fr", 1.5), ("es", 0.6), ("en", 1.0)],
         "lang string, rate double",
     )

@@ -44,6 +44,15 @@ ENGINE_CONF: dict[str, str] = {
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
     ),
     "spark.sql.shuffle.partitions": "32",
+    # r12 (optimization): the generated-class cache defaults to 100
+    # entries; one pass over this engine's registry compiles several
+    # hundred distinct WholeStageCodegen/expression classes, so a
+    # multi-query driver (the bench loop, any long-lived serving
+    # session) evicts and re-Janino-compiles continuously. 10k entries
+    # comfortably holds the whole registry's classes (they are small —
+    # this bounds compilation work, not data memory) and is what a
+    # production driver cycling many distinct plans wants too.
+    "spark.sql.codegen.cache.maxEntries": "10000",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     # The live UI's listener store is not free: with many short
     # multi-stage jobs in one JVM its event processing measurably

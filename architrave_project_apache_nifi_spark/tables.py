@@ -72,6 +72,61 @@ def spread(df: DataFrame, *key_cols: str) -> DataFrame:
     return df.repartition(n)
 
 
+def local_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """Small driver-side table WITHOUT a Python stage (r12 optimization).
+
+    ``spark.createDataFrame(list, schema)`` builds a Python RDD
+    (``applySchemaToPythonRDD`` in the plan): every evaluation of any
+    plan referencing it runs a stage of Python-worker tasks just to
+    unpickle a handful of rows — measured as a 32-task Python stage
+    per probe evaluation on the ANN serving path (the probe table is
+    the BUILD side of a broadcast join, so the stage is on the join's
+    critical path). Routing the same rows through pandas + the
+    session's enabled Arrow path yields a JVM-only ``Scan ExistingRDD
+    arrow`` (no Python workers at execution, one partition for
+    anything this engine passes here).
+
+    Columns are built dtype=object so pandas can't coerce (e.g. a
+    nullable long column to float); Arrow casts to the declared
+    schema, which is exact for the engine's types (longs, doubles,
+    strings, float64 arrays). ``schema`` is a DDL string or
+    StructType; ``rows`` an iterable of tuples/Rows."""
+    import pandas as pd
+
+    from pyspark.sql.types import StructType
+
+    names = (
+        schema.names
+        if isinstance(schema, StructType)
+        else [f.split(":")[0].split()[0].strip("`") for f in _split_ddl(schema)]
+    )
+    rows = list(rows)
+    data = {
+        n: pd.Series([r[i] for r in rows], dtype=object)
+        for i, n in enumerate(names)
+    }
+    pdf = pd.DataFrame(data, columns=names)
+    return spark.createDataFrame(pdf, schema)
+
+
+def _split_ddl(schema: str) -> list[str]:
+    """Split a DDL struct string on top-level commas (array<...>/
+    struct<...> fields contain nested commas)."""
+    parts, depth, cur = [], 0, []
+    for ch in schema:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur)); cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
 def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     return {name: load(spark, name, sf_dir) for name in TABLES}
 
