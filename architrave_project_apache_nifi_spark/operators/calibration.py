@@ -94,9 +94,13 @@ def roc_auc(df: DataFrame, score: Column, label: Column) -> DataFrame:
     decomposition), then midrank = below + (count+1)/2 and two scalar
     reductions. Returns one row: (auc, n_pos, n_neg)."""
     base = df.select(score.alias("__s"), label.cast("int").alias("__y"))
+    # localCheckpoint (r12 optimization): g is distinct-score-sized but
+    # referenced by bounds, the sharded cumsum and the shard offsets —
+    # un-truncated lineage re-ran the corpus aggregate per reference
+    # (the same fix as drift.ks_statistic / quality.quantile_transform)
     g = base.groupBy("__s").agg(
         F.count(F.lit(1)).alias("__c"), F.sum("__y").alias("__p")
-    )
+    ).localCheckpoint(eager=True)
     parts = df.sparkSession.sparkContext.defaultParallelism
     bounds = g.agg(F.min("__s").alias("__lo"), F.max("__s").alias("__hi"))
     sharded = g.crossJoin(F.broadcast(bounds)).withColumn(

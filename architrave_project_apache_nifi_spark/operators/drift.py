@@ -51,9 +51,12 @@ def _numeric_bin(x: Column, lo: Column, hi: Column, bins: int) -> Column:
 
 
 def _shares(df: DataFrame, bin_col: Column, alias: str) -> DataFrame:
+    # localCheckpoint (r12 optimization): counts is ≤(bins+2) rows but
+    # referenced twice (total and the share projection) — un-truncated
+    # lineage re-ran the corpus bin-aggregate per reference
     counts = df.groupBy(bin_col.alias("bin")).agg(
         F.count(F.lit(1)).alias("__n")
-    )
+    ).localCheckpoint(eager=True)
     total = counts.agg(F.sum("__n").alias("__t"))
     return counts.crossJoin(F.broadcast(total)).select(
         "bin", (F.col("__n") / F.col("__t")).alias(alias)
@@ -66,10 +69,12 @@ def psi_numeric(
     """Per-bin PSI contributions for a numeric column; grid frozen on
     ``old``'s min/max. Returns (bin, p_old, p_new, psi) — sum ``psi``
     for the headline score (``psi_report`` does)."""
+    # localCheckpoint (r12): the 1-row grid bounds are broadcast into
+    # BOTH sides — un-truncated, the old-side min/max scan ran twice
     b = old.agg(
         F.min(col).cast("double").alias("__lo"),
         F.max(col).cast("double").alias("__hi"),
-    )
+    ).localCheckpoint(eager=True)
     o = old.crossJoin(F.broadcast(b))
     n = new.crossJoin(F.broadcast(b))
     ob = _shares(
@@ -165,10 +170,14 @@ def ks_statistic(old: DataFrame, new: DataFrame, col: str) -> DataFrame:
     tagged = o.withColumn("__is_new", F.lit(0)).unionByName(
         n.withColumn("__is_new", F.lit(1))
     )
+    # localCheckpoint (r12 optimization): counts is distinct-value-
+    # sized but referenced four ways below (bounds, the sharded cumsum,
+    # the shard offsets, totals) — un-truncated lineage replayed the
+    # corpus scan+union+aggregate per reference (10 scans in one plan)
     counts = tagged.groupBy("__v").agg(
         F.sum(1 - F.col("__is_new")).alias("__co"),
         F.sum("__is_new").alias("__cn"),
-    )
+    ).localCheckpoint(eager=True)
     parts = tagged.sparkSession.sparkContext.defaultParallelism
     bounds = counts.agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
     sharded = counts.crossJoin(F.broadcast(bounds)).withColumn(

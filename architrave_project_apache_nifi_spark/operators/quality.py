@@ -131,9 +131,13 @@ def quantile_transform(
     n = nonnull.count()
     if n < 2:
         raise ValueError("quantile_transform: need >= 2 non-null rows")
+    # localCheckpoint (r12 optimization): counts is distinct-value-
+    # sized but referenced by bounds, the sharded local cumsum AND the
+    # shard offsets — un-truncated lineage re-ran the corpus aggregate
+    # per reference (the same fix as drift.ks_statistic)
     counts = nonnull.groupBy(F.col(col).alias("__v")).agg(
         F.count(F.lit(1)).alias("__c")
-    )
+    ).localCheckpoint(eager=True)
     parts = df.sparkSession.sparkContext.defaultParallelism
     bounds = counts.agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
     sharded = counts.crossJoin(F.broadcast(bounds)).withColumn(

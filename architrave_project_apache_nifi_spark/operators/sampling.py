@@ -97,7 +97,15 @@ def temperature_rates(
     difference moves the LCG threshold by ≤1 in 2^31, flipping a row
     only if its hash equals the boundary exactly (~n/2^31 odds).
     Everything else (div/mul/floor) is IEEE-exact."""
-    counts = df.groupBy(*stratum_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    # localCheckpoint (r12 optimization): counts is stratum-sized but
+    # referenced twice (wmax and the rate projection) and its output
+    # broadcasts into the corpus sampling join — un-truncated lineage
+    # re-ran the corpus count aggregate per reference
+    counts = (
+        df.groupBy(*stratum_cols)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .localCheckpoint(eager=True)
+    )
     w = F.pow(F.col("n_rows").cast("double"), F.lit(float(alpha) - 1.0))
     weighted = counts.withColumn("__w", w)
     wmax = weighted.agg(F.max("__w").alias("__wmax"))

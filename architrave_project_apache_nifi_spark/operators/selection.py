@@ -232,7 +232,15 @@ def doremi_domain_weights(
     hash aggregate to domain granularity (tens of rows — partial
     map-side combine absorbs everything), one broadcast of the
     two-scalar corpus row, one broadcast of the one-row normalizer.
-    Nothing here grows with the corpus."""
+    Nothing here grows with the corpus.
+
+    The doc-level input is ``localCheckpoint``-ed first (r12
+    optimization, the dsir_resample convention): it is referenced by
+    BOTH the per-domain and the corpus-global aggregates, and its
+    lineage is typically the full LM scoring plan (corpus explode +
+    five count-table joins) — un-truncated, that scoring ran twice
+    per evaluation."""
+    scored = scored.localCheckpoint(eager=True)
     dom = scored.groupBy(domain_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col(tokens_col)).alias("n_tokens"),

@@ -6693,9 +6693,14 @@ def q_neardup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph_stats import clustering_coefficient
 
     emb = load(spark, "embeddings", sf_dir)
+    # localCheckpoint (r12 optimization): the pair table is small (the
+    # near-dup edge set) but clustering_coefficient references it for
+    # the degree count AND both sides of the wedge-closure joins —
+    # un-truncated lineage re-ran the blocked cosine pair generation
+    # per reference (11 embeddings scans in one plan)
     pairs = embedding_neardup_pairs(
         emb, "vec_id", "embedding", _COSINE_THRESHOLD, block_col="label"
-    )
+    ).localCheckpoint(eager=True)
     out = clustering_coefficient(pairs)
     return out.select(
         "id",
@@ -6947,7 +6952,13 @@ def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, "events", sf_dir).withColumn(
         "item_id", F.get_json_object("props", "$.k").cast("long")
     ).filter(F.col("item_id").isNotNull())
-    ui = user_item_matrix(events, "user_id", "item_id")
+    # localCheckpoint (r12 optimization): ui is (user, item)-aggregate
+    # sized but feeds three references inside the similarity (both
+    # self-join sides + per-item totals) — un-truncated lineage re-ran
+    # the events scan + JSON extract + dedup aggregate per reference
+    ui = user_item_matrix(events, "user_id", "item_id").localCheckpoint(
+        eager=True
+    )
     out = item_cosine_similarity(ui)
     return out.select(
         "item_a", "item_b", F.col("co_users").cast("long"),
@@ -7006,8 +7017,15 @@ def q_item_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, "events", sf_dir).withColumn(
         "item_id", F.get_json_object("props", "$.k").cast("long")
     ).filter(F.col("item_id").isNotNull())
-    ui = user_item_matrix(events, "user_id", "item_id")
-    sim = item_cosine_similarity(ui)
+    # localCheckpoint ×2 (r12 optimization): ui feeds FIVE references
+    # (similarity self-join ×2, per-item totals, scoring spine, seen-
+    # set anti-join) and sim feeds the edges union twice — both are
+    # aggregate-sized, and un-truncated lineage re-ran the events scan
+    # + pairwise join per reference (10 events scans in one plan)
+    ui = user_item_matrix(events, "user_id", "item_id").localCheckpoint(
+        eager=True
+    )
+    sim = item_cosine_similarity(ui).localCheckpoint(eager=True)
     edges = sim.select(
         F.col("item_a").alias("item"), F.col("item_b").alias("other"), "cosine"
     ).unionByName(
